@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+One shared SparkSession; each query is timed to full materialization
+(count + a foreach no-op collect-free action) after a warmup of the
+session on a trivial job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_engineering_hs_spark.queries import REGISTRY, load_all
+from data_engineering_hs_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/session so the first query doesn't pay startup.
+    spark.range(1000).count()
+
+    headline = [name for name, q in sorted(REGISTRY.items()) if q.bench]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Dataset catalog: explicit StructType schemas + loaders.
+
+The reference prefers explicit schemas handed to readers
+(revenue_analysis/main.ipynb:89-150 StructType;
+generate_fuel_exports.py:127-151 arrow schema;
+lab05-airflow/sql/001_create_table.sql DDL) with inference as a
+demonstrated fallback (mini-lab-hdfs+spark-local/spark.ipynb:205-208).
+This module is the engine's equivalent: one place declaring the
+contract of every named dataset (SURVEY.md §1.4) plus loaders for the
+driver testdata tables.
+
+At 100 TB scale, explicit schemas are not cosmetic: they skip the
+inference pass (a full extra scan for CSV/JSON), enable nested-schema
+pruning, and pin decimal/timestamp semantics across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions safe to broadcast at any scale factor: their
+# cardinality is fixed (region=5, nation=25) or grows sub-linearly.
+BROADCASTABLE_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md).
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    (microseconds) rejects by default; read it as long nanos and floor
+    to micros — the same truncation DuckDB applies at millis, so
+    cross-engine time bucketing agrees.
+    """
+    # The engine's time semantics are UTC (SURVEY.md §1.2); pin it even
+    # when the caller's session was built elsewhere (e.g. the driver).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped dataset schemas (SURVEY.md §1.4 / FIXTURES.md §B).
+# These are the contracts for the ingestion operators; fixture
+# generators under tests/ produce matching data.
+# ---------------------------------------------------------------------------
+
+# B1: lab01 transactions — headerless CSV with comma-packed items string
+# (lab01/tasks.ipynb:249 column names; items pack from the cell-1 generator).
+TRANSACTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("items", T.StringType(), False),
+        T.StructField("category", T.StringType(), False),
+    ]
+)
+
+# B2: lab02 nested users document (lab02/tasks.ipynb:118-151).
+USERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField(
+            "profile",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("username", T.StringType()),
+                    T.StructField("ip", T.StringType()),
+                    T.StructField("tz", T.StringType()),
+                    T.StructField("locale", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "contact",
+            T.StructType(
+                [
+                    T.StructField("email", T.StringType()),
+                    T.StructField("phone", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "preferences",
+            T.StructType(
+                [
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("marketing_opt_in", T.BooleanType()),
+                    T.StructField("theme", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "devices",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("ua", T.StringType()),
+                        T.StructField("os", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+USERS_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("generated_at", T.StringType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("version", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("users", T.ArrayType(USERS_SCHEMA)),
+    ]
+)
+
+# B6: magic_shop raw layer is stringly typed; staging casts
+# (stg_customers.sql:3-9, stg_orders.sql:3-10, stg_payments.sql:3-9).
+MAGIC_RAW_CUSTOMERS_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("house", T.StringType()),
+        T.StructField("signup_date", T.StringType()),
+    ]
+)
+MAGIC_RAW_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.StringType()),
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("order_ts", T.StringType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("amount_galleons", T.StringType()),
+    ]
+)
+MAGIC_RAW_PAYMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("payment_id", T.StringType()),
+        T.StructField("order_id", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("paid_galleons", T.StringType()),
+        T.StructField("paid_at", T.StringType()),
+    ]
+)
+
+# B7: fuel_sales rich-typed parquet drops (generate_fuel_exports.py:127-151).
+FUEL_SALES_SCHEMA = T.StructType(
+    [
+        T.StructField("transaction_id", T.StringType(), False),
+        T.StructField("station_id", T.IntegerType()),
+        T.StructField(
+            "dock",
+            T.StructType(
+                [
+                    T.StructField("bay", T.ShortType()),
+                    T.StructField("level", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("ship_name", T.StringType()),
+        T.StructField("franchise", T.StringType()),
+        T.StructField("captain_name", T.StringType()),
+        T.StructField("species", T.StringType()),
+        T.StructField("fuel_type", T.StringType()),
+        T.StructField("fuel_units", T.FloatType()),
+        T.StructField("price_per_unit", T.DecimalType(8, 2)),
+        T.StructField("total_cost", T.DecimalType(12, 2)),
+        T.StructField("services", T.ArrayType(T.StringType())),
+        T.StructField("is_emergency", T.BooleanType()),
+        T.StructField("visited_at", T.TimestampType()),
+        T.StructField("arrival_date", T.DateType()),
+        T.StructField("coords_x", T.DoubleType()),
+        T.StructField("coords_y", T.DoubleType()),
+    ]
+)
+
+# B8: lab06 kafka event payload (async_data_gen.py:39-49).
+KAFKA_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.StringType(), False),
+        T.StructField("event", T.StringType(), False),
+        T.StructField("amount", T.DoubleType(), False),
+        T.StructField("ts", T.LongType(), False),
+    ]
+)
+
+KAFKA_EVENT_AVRO_SCHEMA = """{
+  "type": "record",
+  "name": "Event",
+  "fields": [
+    {"name": "user", "type": "string"},
+    {"name": "event", "type": "string"},
+    {"name": "amount", "type": "double"},
+    {"name": "ts", "type": "long"}
+  ]
+}"""
+
+# B9: revenue_analysis flagship schemas (revenue_analysis/main.ipynb:89-150).
+REVENUE_USERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("signup_date", T.DateType()),
+        T.StructField("plan", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("marketing_opt_in", T.BooleanType()),
+    ]
+)
+REVENUE_ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.IntegerType(), False),
+        T.StructField("category", T.StringType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ]
+)
+REVENUE_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event", T.StringType(), False),
+        T.StructField("user_id", T.IntegerType(), False),
+        T.StructField("item_id", T.IntegerType(), False),
+        T.StructField(
+            "context",
+            T.StructType(
+                [
+                    T.StructField("country", T.StringType()),
+                    T.StructField("device", T.StringType()),
+                    T.StructField("locale", T.StringType()),
+                    T.StructField("session_id", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "props",
+            T.StructType(
+                [
+                    T.StructField("price", T.DoubleType(), True),
+                    T.StructField("payment_method", T.StringType(), True),
+                    T.StructField("dwell_ms", T.IntegerType(), True),
+                ]
+            ),
+        ),
+        T.StructField(
+            "exp",
+            T.StructType([T.StructField("ab_group", T.StringType())]),
+        ),
+    ]
+)
+
+# Events table `props` JSON payload contract (driver testdata `events`).
+EVENT_PROPS_SCHEMA = T.StructType(
+    [
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("payment_method", T.StringType(), True),
+        T.StructField("dwell_ms", T.IntegerType(), True),
+    ]
+)
+
+# B11: weather avro micro-fixture (avro_test.ipynb:10-23).
+WEATHER_SCHEMA = T.StructType(
+    [
+        T.StructField("station", T.StringType(), False),
+        T.StructField("time", T.LongType(), False),
+        T.StructField("temp", T.IntegerType(), False),
+    ]
+)

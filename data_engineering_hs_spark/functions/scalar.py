@@ -1,0 +1,125 @@
+"""Scalar function surface (SURVEY.md §2.8 F1-F25).
+
+Each helper is a thin, documented Column builder mapping a capability
+observed in the reference to its idiomatic Spark expression. All are
+JVM-evaluated built-ins → they stay inside whole-stage codegen and
+vectorized parquet readers at any scale.
+
+Reference points (see SURVEY.md §2.8 for the full table):
+- ilike:        lab03/sql/script1.sql:6,36,41
+- md5 identity: lab03/sql/script1.sql:67-70
+- log parsing:  lab02/tasks.ipynb:184-205, 248
+- money math:   magic_shop stg_orders.sql:9, fct_orders.sql:43-44
+- epoch millis: lab06 async_data_gen.py:53-54
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# --- string ops (F1-F9) ----------------------------------------------------
+
+def norm_name(c: ColumnOrName) -> Column:
+    """lower(trim(x)) — the identity-normalization the reference uses
+    before md5 checksumming people (lab03/sql/script1.sql:67)."""
+    return F.lower(F.trim(_col(c)))
+
+
+def md5_identity(c: ColumnOrName) -> Column:
+    """md5(lower(trim(x))) — golden-checksum idiom (script1.sql:67-70)."""
+    return F.md5(norm_name(c))
+
+
+def ilike(c: ColumnOrName, pattern: str) -> Column:
+    """Case-insensitive LIKE — Postgres/DuckDB ILIKE parity."""
+    return _col(c).ilike(pattern)
+
+
+def full_name(first: ColumnOrName, last: ColumnOrName) -> Column:
+    """initcap(first) || ' ' || initcap(last) — dim_customers.sql:9."""
+    return F.concat_ws(" ", F.initcap(_col(first)), F.initcap(_col(last)))
+
+
+def split_packed_list(c: ColumnOrName, sep: str = ",") -> Column:
+    """Comma-packed list-in-string → array<string> (lab01 `items` col)."""
+    return F.split(_col(c), sep)
+
+
+# --- time ops (F10-F16) ----------------------------------------------------
+
+LOG_TS_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"  # lab02/tasks.ipynb:189
+
+
+def to_log_timestamp(c: ColumnOrName) -> Column:
+    """Parse nginx-style '%d/%b/%Y:%H:%M:%S %z' timestamps."""
+    return F.to_timestamp(_col(c), LOG_TS_FORMAT)
+
+
+def month_bucket(c: ColumnOrName) -> Column:
+    """toYYYYMM(ts) equivalent (fct_orders.sql:15) → int yyyyMM."""
+    return F.date_format(_col(c), "yyyyMM").cast("int")
+
+
+def time_of_day_between(c: ColumnOrName, start_hhmm: str, end_hhmm: str) -> Column:
+    """ts::time >= 'HH:mm' AND ts::time < 'HH:mm'
+    (lab03/sql/script1.sql:17-18). Requires UTC session tz."""
+    tod = F.date_format(_col(c), "HH:mm")
+    return (tod >= start_hhmm) & (tod < end_hhmm)
+
+
+def epoch_millis_to_ts(c: ColumnOrName) -> Column:
+    """Kafka-style long epoch-millis → timestamp (async_data_gen.py:53)."""
+    return F.timestamp_millis(_col(c))
+
+
+def ts_to_epoch_millis(c: ColumnOrName) -> Column:
+    return F.unix_millis(_col(c))
+
+
+# --- money / numeric ops (F18-F21) ----------------------------------------
+
+def money_cents(c: ColumnOrName) -> Column:
+    """Exact integer-cents representation of a 2-dp monetary double.
+
+    Engine-wide determinism rule: monetary doubles that are 2-dp by
+    contract (prices, balances, discounts) are scaled to BIGINT cents
+    before aggregation, so distributed sums are exact and
+    order-independent — the Spark-scale equivalent of the reference's
+    Decimal quantize discipline (generate_fuel_exports.py:161-163).
+    """
+    return F.round(_col(c) * 100).cast("long")
+
+
+def cents_to_amount(c: ColumnOrName) -> Column:
+    """BIGINT cents → double amount (single deterministic division)."""
+    return _col(c).cast("double") / F.lit(100.0)
+
+
+def to_money(c: ColumnOrName, precision: int = 12, scale: int = 2) -> Column:
+    """toDecimal64(x, 2) equivalent (stg_orders.sql:9)."""
+    return _col(c).cast(f"decimal({precision},{scale})")
+
+
+def outstanding(total: ColumnOrName, paid: ColumnOrName) -> Column:
+    """amount - ifNull(paid, 0) (fct_orders.sql:43-44)."""
+    return _col(total) - F.coalesce(_col(paid), F.lit(0))
+
+
+# --- json ops (F22) --------------------------------------------------------
+
+def json_get(c: ColumnOrName, path: str) -> Column:
+    """get_json_object on a JSON-string column (e.g. events.props)."""
+    return F.get_json_object(_col(c), f"$.{path}")
+
+
+def json_decode(c: ColumnOrName, schema) -> Column:
+    """from_json with an explicit schema (spark_kafka_foreachbatch.py:69)."""
+    return F.from_json(_col(c), schema)

@@ -1,0 +1,12 @@
+"""Named query registry backing __spark_entry__ and bench.py."""
+
+from data_engineering_hs_spark.queries.registry import REGISTRY, Query, register  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from data_engineering_hs_spark.queries import (  # noqa: F401
+        relational,
+        scalars,
+        llm,
+    )

@@ -1,0 +1,307 @@
+"""LLM-training-data pipeline queries: text analysis, dedup,
+similarity search over `documents` / `embeddings` (BASELINE.json
+north star; SURVEY.md §7 step 8).
+
+Oracle determinism: integer-ratio doubles are emitted as single
+divisions (bit-identical); cosine oracles are generated as explicit
+left-to-right 64-term sums matching the Spark fold order exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.functions import text as TX
+from data_engineering_hs_spark.operators import dedup as D
+from data_engineering_hs_spark.operators import similarity as S
+from data_engineering_hs_spark.queries.registry import register
+
+EMBED_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_text_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    doc="corpus token/char statistics by language (token counting for "
+    "training-data budgeting)",
+    bench=True,
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("long").alias("total_tokens"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.max(F.length("text")).cast("long").alias("max_chars"),
+            (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "t_quality_components",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars_exact,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+         AS mean_word_len
+FROM documents
+""",
+    doc="per-document quality components: token count, punctuation "
+    "ratio, mean word length (quality scoring for corpus filtering)",
+)
+def t_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    non_space = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s", ""))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_exact"),
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        (non_space.cast("double") / F.greatest(n_tok, F.lit(1))).alias("mean_word_len"),
+    )
+
+
+@register(
+    "t_langid",
+    oracle=None,  # heuristic classifier → rows-only; accuracy pinned in tests
+    doc="n-gram/stopword language-ID heuristic per document",
+)
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "t_quality_score",
+    oracle=None,  # engine-defined composite → rows-only; pinned in tests
+    doc="composite document quality score (length/punct/stopword mix)",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_exact_dup_summary",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         AS n_dup_surplus
+FROM documents
+""",
+    doc="exact dedup via normalized-text fingerprint groupBy (hash dedup)",
+)
+def d_exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(D.normalized_text("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dup_surplus"),
+    )
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS jaccard
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.5
+""",
+    doc="exact word-set Jaccard near-dup pairs (same-lang blocking); the "
+    "verify stage of the MinHash pipeline, standalone at small n",
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(TX.tokens("text")).alias("tok_set")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect("a.tok_set", "b.tok_set"))
+    union = F.size(F.array_distinct(F.concat("a.tok_set", "b.tok_set")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=None,  # hash-family-specific (xxhash64) → rows-only; recall
+    # against exact Jaccard is pinned in tests
+    doc="MinHash+LSH candidate pairs: shingle→32 minhashes→8 bands→"
+    "bucket join (the 100 TB near-dup path)",
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+@register(
+    "d_simhash_pairs",
+    oracle=None,  # hash-family-specific → rows-only; pinned in tests
+    doc="SimHash near-dup pairs: 64-bit signature, 16-bit chunk blocking, "
+    "Hamming ≤ 8 verify",
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-to-right 64-term dot product — matches the Spark
+    zip_with+aggregate fold order exactly (bit-identical doubles)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+
+
+def _norm2_sql(a: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+
+
+S_COSINE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CASE WHEN sqrt({_norm2_sql('q.q_vec')}) * sqrt({_norm2_sql('c.c_vec')}) = 0
+              THEN 0.0
+              ELSE ({_dot_sql('q.q_vec', 'c.c_vec')})
+                   / (sqrt({_norm2_sql('q.q_vec')}) * sqrt({_norm2_sql('c.c_vec')}))
+         END AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+@register(
+    "s_cosine_topk",
+    oracle=S_COSINE_ORACLE,
+    doc="brute-force cosine top-k ANN baseline over array<float> "
+    "embeddings (broadcast query set, per-query window rank)",
+    bench=True,
+)
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(e, q, k=5)
+
+
+@register(
+    "s_centroids",
+    oracle=f"""
+SELECT label, CAST(pos AS INT) - 1 AS pos,
+       CAST(SUM(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)) AS DOUBLE)
+         / COUNT(*) AS mean_val_r
+FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMBED_DIM + 1})) AS pos) p
+GROUP BY label, pos
+""",
+    doc="per-label centroid components (the IVF coarse quantizer build)",
+)
+def s_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("double")) / F.count("*")).alias("mean_val_r")
+        )
+        .select("label", "pos", "mean_val_r")
+    )
+
+
+@register(
+    "s_ivf_topk",
+    oracle=None,  # approximate by design → rows-only; recall vs brute
+    # force pinned in tests
+    doc="IVF-style approximate ANN: assign to nearest label-centroid, "
+    "probe 2 cells (the corpus-scale search path)",
+)
+def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.centroids(e)
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(e, q, cents, k=5, nprobe=2).drop("cos_sim")
+
+
+@register(
+    "s_embedding_near_dup",
+    oracle=None,  # LSH-bucketed candidates (xxhash64 planes) → rows-only
+    doc="embedding-cosine near-duplicate pairs via random-hyperplane "
+    "LSH buckets + exact verify",
+)
+def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(e, threshold=0.9).orderBy("id_a", "id_b")
