@@ -1,0 +1,137 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns with a typed metadata struct; all
+Spark-side mechanics (schema, partition sizing, Arrow batch shape,
+UDF signatures) are real and tested. The actual codec work (JPEG
+decode, resampling, frame extraction) requires libraries absent from
+this container — those steps are STUBS: `deterministic_fake_decode`
+produces seeded, shape-correct fake features so pipelines are
+end-to-end testable, and `decode_image` raises NotImplementedError
+until a codec backend (pillow/ffmpeg/torchaudio) is injected.
+
+Scale design: media rows are large and skew partition sizes —
+`repartition_for_media` targets rows-per-task by byte budget, and
+feature extraction runs in mapInPandas so one Arrow batch holds
+batch_size blobs, never the whole partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def load_binary_dir(spark, path: str, kind: str) -> DataFrame:
+    """Ingest a directory of media files as (media_id, kind, content,
+    meta) — binaryFile scan, id from the path hash, byte-size meta."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.col("length").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def repartition_for_media(
+    df: DataFrame, total_bytes: int, target_bytes_per_task: int = 256 << 20
+) -> DataFrame:
+    """Size partitions by byte budget, not row count — a 4 KB thumbnail
+    and a 400 MB video must not land in the same fixed-row task."""
+    n = max(1, total_bytes // target_bytes_per_task)
+    return df.repartition(n)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Real decode entry point — requires a codec backend.
+
+    STUB (container has no image libs): fail loudly rather than fake
+    silently; tests exercise deterministic_fake_decode instead.
+    """
+    raise NotImplementedError(
+        "image decode requires a codec backend (e.g. pillow); "
+        "use extract_features(df, deterministic_fake_decode) for plumbing tests"
+    )
+
+
+def deterministic_fake_decode(content: bytes) -> list[float]:
+    """Seeded shape-correct fake feature vector: FEATURE_DIM floats
+    derived from content bytes — stable across runs/executors."""
+    import hashlib
+
+    h = hashlib.sha256(content).digest()
+    return [
+        int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], list[float]],
+    batch_size: int = 64,
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches of `batch_size`
+    blobs → (media_id, features). The decoder runs per blob inside the
+    batch loop — swap deterministic_fake_decode for a real model."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "features": [
+                            decoder(bytes(b)) for b in chunk["content"]
+                        ],
+                    }
+                )
+
+    cfg = {"spark.sql.execution.arrow.maxRecordsPerBatch": str(batch_size)}
+    spark = df.sparkSession
+    for k, v in cfg.items():
+        spark.conf.set(k, v)
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )

@@ -9,4 +9,5 @@ def load_all() -> None:
         relational,
         scalars,
         llm,
+        streaming_q,
     )

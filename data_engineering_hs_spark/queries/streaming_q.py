@@ -1,0 +1,150 @@
+"""Streaming queries over the driver testdata, replayed through the
+Structured Streaming file source and drained synchronously
+(availableNow). Each has a batch-SQL oracle where semantics allow —
+streaming/batch parity is the correctness claim (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_hs_spark.queries.registry import register
+from data_engineering_hs_spark.streaming.pipelines import (
+    sessionized_counts,
+    tumbling_counts,
+)
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir_for(sf_dir: str, table: str) -> str:
+    """The streaming file source requires a directory; testdata tables
+    are single files. Build (once) a temp dir holding a symlink to the
+    table file and stream that — zero-copy, testdata untouched."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}/{table}".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_stream_{table}_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        _stream_dir_for(sf_dir, "events")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _drain(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    name = f"stq_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "st_tumbling_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="event-time tumbling window agg, streamed via file source and "
+    "drained availableNow — matches the batch oracle exactly "
+    "(streaming/batch parity, §2.9 watermark gap)",
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    windowed = tumbling_counts(events, window="1 hour", watermark="2 hours")
+    out = _drain(windowed, spark, "complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        (F.col("total_value").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+@register(
+    "st_wordcount_stream",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE word <> '' GROUP BY word
+""",
+    doc="socket-word-count shape (complete-mode stateful agg) replayed "
+    "over the documents table (T5/S17-S18 parity)",
+)
+def st_wordcount_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.streaming.pipelines import word_count
+
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    lines = spark.readStream.schema(docs_schema).parquet(
+        _stream_dir_for(sf_dir, "documents")
+    )
+    counts = word_count(lines, value_col="text")
+    return _drain(counts, spark, "complete")
+
+
+@register(
+    "st_session_windows",
+    oracle=None,  # session-window semantics have no clean single-pass
+    # SQL equivalent → rows-only; behavior pinned in tests
+    doc="gap-based session windows per user over the events stream "
+    "(§2.9 session_window extension)",
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_stream(spark, sf_dir)
+    sessions = sessionized_counts(events, gap="30 minutes", watermark="4 hours")
+    out = _drain(sessions, spark, "complete")
+    return (
+        out.select(
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

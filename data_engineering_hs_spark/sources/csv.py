@@ -1,0 +1,72 @@
+"""CSV sources/sinks (SURVEY.md §2.1 S1-S4).
+
+The reference's lab01 scans 50k headerless small CSVs with a pandas
+loop + concat (47.7 s for ~1 GB, lab01/tasks.ipynb cell 22526b98) and
+re-reads gzip variants with DictReader. In Spark all of those are one
+declarative read: the glob handles the union, the schema skips
+inference, and gzip decodes transparently — Catalyst parallelizes by
+file/split, so 50k files become one job, not 50k loop iterations.
+
+Scale note (many-small-files): at 100 TB the failure mode is driver
+file-listing and per-file task overhead. Mitigations built in here:
+pass a directory (not an expanded glob list) so listing is
+distributed (spark.sql.sources.parallelPartitionDiscovery), and
+`compact()` rewrites small files into right-sized parquet once, so
+downstream reads stop paying the small-file tax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_headerless(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S1/S3: glob of headerless CSVs (plain or .gz) with supplied
+    column names — `spark.read.schema(s).csv(dir/*.csv)` replaces the
+    read_csv loop + pd.concat (lab01/tasks.ipynb:249,409)."""
+    return spark.read.schema(schema).option("header", False).csv(path)
+
+
+def read_with_header(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """S2/S4: header CSV; explicit schema preferred, inference as the
+    demonstrated fallback (mini-lab-hdfs+spark-local/spark.ipynb:205-208
+    — which mis-infers elevation_ft; explicit schema is the fix)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """S2: single logical CSV dataset write (one file per partition;
+    coalesce(1) only for small exports — a 100 TB export stays multi-file)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_glob: str,
+    schema: T.StructType,
+    dest_parquet: str,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Many-small-files remediation: one pass CSV→parquet rewrite.
+
+    The scale answer to lab01's 50k-file layout: pay the listing cost
+    once, emit splittable columnar files sized by maxPartitionBytes.
+    """
+    df = read_headerless(spark, src_glob, schema)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    df.write.mode("overwrite").parquet(dest_parquet)
+    return spark.read.parquet(dest_parquet)

@@ -1,0 +1,53 @@
+"""JSON sources (SURVEY.md §2.1 S5-S6).
+
+- JSONL with explicit nested schema (+.gz): the flagship ingest shape
+  (revenue_analysis/main.ipynb:153-160).
+- Multi-line document envelope {generated_at, meta, users:[...]} →
+  explode to rows (lab02/tasks.ipynb:160-166).
+
+Explicit schemas skip the inference scan and enable nested-schema
+pruning; corrupt records are quarantined to a column instead of
+failing the job (PERMISSIVE + columnNameOfCorruptRecord), matching
+the reference's dirty-data tolerance (~0.1% bad rows by design,
+generate_data_json.py:81-82).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """S5: JSONL (optionally gzip) with explicit nested StructType."""
+    if keep_corrupt:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    if keep_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader.json(paths)
+
+
+def read_document_array(
+    spark: SparkSession,
+    path: str,
+    doc_schema: T.StructType,
+    array_field: str,
+) -> DataFrame:
+    """S6: one JSON document with an embedded array of records →
+    one row per element, envelope fields carried alongside."""
+    doc = spark.read.option("multiLine", True).schema(doc_schema).json(path)
+    envelope_cols = [c for c in doc.columns if c != array_field]
+    return doc.select(
+        *envelope_cols, F.explode(F.col(array_field)).alias("_rec")
+    ).select(*envelope_cols, "_rec.*")

@@ -1,0 +1,193 @@
+"""Streaming pipelines.
+
+Reference shapes re-expressed on Structured Streaming:
+
+- word_count: socket word count, complete-mode stateful agg
+  (lab06-avro-streaming/socket_streaming.py:11-19). The source is a
+  parameter so tests drive it from a file/rate source; production
+  passes readStream.format("socket").
+- kafka_shaped_ingest: decode binary event records, flatten, carry
+  source metadata, sink via foreachBatch to parquet partitioned by
+  batch_id with checkpoint (spark_kafka_foreachbatch.py:31-98).
+  The Kafka topic is replaced by any streaming DataFrame with a
+  binary `value` column — file-based in tests, format("kafka") in
+  production (identical downstream plan).
+- file_watch_ingest: directory-watch incremental ETL with idempotent
+  upsert + quarantine (lab05 fuel_ingest_dag.py) — the streaming file
+  source's offset log subsumes the filename watermark.
+- watermarked event-time ops (§2.9 gap): tumbling/sliding windows,
+  session windows, dropDuplicatesWithinWatermark.
+
+All pipelines are testable synchronously: trigger(availableNow) +
+processAllAvailable drain a bounded source to completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def word_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """T5: running word counts (complete-mode stateful groupBy).
+    socket_streaming.py:17-18 parity: split on spaces, explode, count."""
+    words = lines.select(
+        F.explode(F.split(F.col(value_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("n"))
+
+
+def enrich_batch(batch: DataFrame, batch_id: int) -> DataFrame:
+    """T7: per-record ingest enrichment — lit(batch_id) +
+    current_timestamp (spark_kafka_foreachbatch.py:80-81)."""
+    return batch.withColumn("batch_id", F.lit(batch_id)).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+
+
+def kafka_shaped_ingest(
+    stream: DataFrame,
+    decode,  # DataFrame -> DataFrame adding a struct col `data`
+    sink_dir: str,
+    checkpoint_dir: str,
+    carry_cols: tuple[str, ...] = (),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """S14-S19: decode → flatten data.* (+ carried source metadata) →
+    foreachBatch append parquet partitioned by batch_id, checkpointed.
+
+    `decode` is sources.avro.decode_avro_column (or from_json) bound
+    to the payload schema; `stream` is any streaming DF with a binary
+    `value` column (Kafka in prod: .format("kafka") with
+    maxOffsetsPerTrigger for T1 batch sizing).
+    """
+    decoded = decode(stream)
+    flat = decoded.select(*carry_cols, "data.*")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = enrich_batch(batch, batch_id)
+        (
+            out.write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    writer = (
+        flat.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def file_watch_ingest(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...],
+    quarantine_dir: str | None = None,
+    valid_predicate=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """S20-S23: incremental file ingest with idempotent keyed upsert.
+
+    The streaming file source + checkpoint replaces lab05's filename
+    watermark; per batch: split valid/invalid rows (quarantine —
+    fuel_ingest_dag.py:130-134 _bad analog), dedup on keys, anti-join
+    against the target (ON CONFLICT DO NOTHING), append.
+    """
+    from data_engineering_hs_spark.sources.upsert import upsert_parquet
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        good = batch
+        if valid_predicate is not None:
+            bad = batch.filter(~valid_predicate)
+            good = batch.filter(valid_predicate)
+            if quarantine_dir is not None:
+                bad.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(quarantine_dir)
+        upsert_parquet(spark, target_dir, good, list(keys))
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """§2.9 gap: event-time tumbling window with watermark — late rows
+    beyond the watermark drop; append-mode emits finalized windows."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """§2.9 gap: session windows (gap-based) per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """§2.9 gap: bounded-state streaming dedup."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a bounded streaming DF into an in-memory table and return
+    (query, table_df) — the synchronous test/drive harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q, df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,118 @@
+"""Model-DAG runner tests over the magic_shop fixture (FIXTURES.md §B6,
+SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.plans.magic_shop import build_runner
+from data_engineering_hs_spark.quality.assertions import AssertionError_
+
+NOW = "timestamp'2025-06-15 00:00:00'"  # pinned 'now' for incremental window
+
+
+def _raw(spark, orders_extra=(), payments_extra=()):
+    customers = spark.createDataFrame(
+        [
+            ("1", "harry", "POTTER", "Gryffindor", "2024-01-01"),
+            ("2", "luna", "lovegood", None, "2024-02-01"),
+        ],
+        ["customer_id", "first_name", "last_name", "house", "signup_date"],
+    )
+    orders = spark.createDataFrame(
+        [
+            # old order (outside any 30-day window from NOW)
+            ("10", "1", "2025-01-05 10:00:00", "wand", "Fulfilled", "100.00"),
+            # recent orders
+            ("11", "1", "2025-06-01 09:00:00", "robe", "pending", "55.50"),
+            ("12", "2", "2025-06-10 12:00:00", "potion", "FULFILLED", "20.00"),
+            *orders_extra,
+        ],
+        ["order_id", "customer_id", "order_ts", "item", "status", "amount_galleons"],
+    )
+    payments = spark.createDataFrame(
+        [
+            ("100", "10", "GOLD", "100.00", "2025-01-06 00:00:00"),
+            ("101", "11", "gold", "30.00", "2025-06-02 00:00:00"),
+            # order 12 unpaid → exercises ifNull/outstanding
+            *payments_extra,
+        ],
+        ["payment_id", "order_id", "method", "paid_galleons", "paid_at"],
+    )
+    return {"customers": customers, "orders": orders, "payments": payments}
+
+
+class TestFullRun:
+    def test_staging_casts_and_marts(self, spark):
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        built = runner.run()
+        stg_c = {r["customer_id"]: r for r in built["stg_customers"].collect()}
+        assert stg_c[1]["first_name"] == "Harry"  # initcap
+        assert stg_c[2]["house"] == "Unknown"  # ifNull
+        dim = {r["customer_id"]: r["full_name"] for r in built["dim_customers"].collect()}
+        assert dim[2] == "Luna Lovegood"
+        fct = {r["order_id"]: r for r in built["fct_orders"].collect()}
+        assert fct[10]["outstanding_galleons"] == Decimal("0.00")
+        assert fct[11]["outstanding_galleons"] == Decimal("25.50")
+        assert fct[12]["paid_galleons"] == Decimal("0.00")  # unpaid, ifNull
+        assert fct[12]["outstanding_galleons"] == Decimal("20.00")
+        assert fct[11]["status"] == "pending"  # lower()
+        assert runner.test() == []
+
+    def test_accepted_values_check_fails_on_bad_status(self, spark):
+        raw = _raw(spark, orders_extra=[
+            ("13", "1", "2025-06-12 00:00:00", "hat", "SHIPPED", "5.00")
+        ])
+        runner = build_runner(spark, raw, now_expr=NOW)
+        with pytest.raises(AssertionError_, match="accepted_values"):
+            runner.run()
+
+    def test_unique_check_fails_on_dup_key(self, spark):
+        raw = _raw(spark, orders_extra=[
+            ("11", "1", "2025-06-01 09:00:00", "robe", "pending", "55.50")
+        ])
+        runner = build_runner(spark, raw, now_expr=NOW)
+        with pytest.raises(AssertionError_, match="unique"):
+            runner.run()
+
+
+class TestIncremental:
+    def test_delete_insert_within_window(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        # Initial full build.
+        runner = build_runner(spark, _raw(spark), warehouse_dir=wh, now_expr=NOW)
+        runner.run()
+        # Second run: order 11 amount changed (recent → inside window);
+        # order 10 changed too, but it's OUTSIDE the 30-day window, so
+        # the incremental run must NOT pick it up.
+        raw2 = _raw(spark)
+        raw2["orders"] = spark.createDataFrame(
+            [
+                ("10", "1", "2025-01-05 10:00:00", "wand", "Fulfilled", "999.00"),
+                ("11", "1", "2025-06-01 09:00:00", "robe", "pending", "60.00"),
+                ("12", "2", "2025-06-10 12:00:00", "potion", "FULFILLED", "20.00"),
+            ],
+            ["order_id", "customer_id", "order_ts", "item", "status", "amount_galleons"],
+        )
+        runner2 = build_runner(spark, raw2, warehouse_dir=wh, now_expr=NOW)
+        runner2.run()
+        fct = {
+            r["order_id"]: r
+            for r in spark.read.parquet(f"{wh}/fct_orders").collect()
+        }
+        assert len(fct) == 3  # delete+insert, no duplicates
+        assert fct[11]["amount_galleons"] == Decimal("60.00")  # refreshed
+        assert fct[10]["amount_galleons"] == Decimal("100.00")  # untouched (old window)
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        wh = str(tmp_path / "wh2")
+        runner = build_runner(spark, _raw(spark), warehouse_dir=wh, now_expr=NOW)
+        runner.run()
+        runner2 = build_runner(spark, _raw(spark), warehouse_dir=wh, now_expr=NOW)
+        runner2.run()
+        df = spark.read.parquet(f"{wh}/fct_orders")
+        assert df.count() == 3
+        assert df.groupBy("order_id").count().filter(F.col("count") > 1).count() == 0

@@ -1,0 +1,45 @@
+"""Multimodal column plumbing tests — binary ingestion, Arrow-batched
+feature extraction with the deterministic fake decoder (real codecs
+are stubbed; see operators.multimodal docstring)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_engineering_hs_spark.operators import multimodal as M
+
+
+class TestMultimodal:
+    def test_binary_ingest_and_features(self, spark, tmp_path):
+        d = str(tmp_path / "imgs")
+        os.makedirs(d)
+        for i in range(5):
+            with open(os.path.join(d, f"img_{i}.bin"), "wb") as f:
+                f.write(bytes([i]) * (100 + i))
+        df = M.load_binary_dir(spark, d, kind="image")
+        assert df.count() == 5
+        assert df.schema["content"].dataType.typeName() == "binary"
+        sizes = {r["meta"]["n_bytes"] for r in df.collect()}
+        assert sizes == {100, 101, 102, 103, 104}
+
+        feats = M.extract_features(df, M.deterministic_fake_decode, batch_size=2)
+        rows = feats.collect()
+        assert len(rows) == 5
+        assert all(len(r["features"]) == M.FEATURE_DIM for r in rows)
+        # determinism: same content → same features across runs
+        again = {r["media_id"]: r["features"] for r in
+                 M.extract_features(df, M.deterministic_fake_decode).collect()}
+        first = {r["media_id"]: r["features"] for r in rows}
+        assert again == first
+
+    def test_decode_image_is_explicit_stub(self, spark):
+        with pytest.raises(NotImplementedError, match="codec backend"):
+            M.decode_image(None)
+
+    def test_repartition_by_byte_budget(self, spark):
+        df = spark.range(10).withColumnRenamed("id", "media_id")
+        out = M.repartition_for_media(df, total_bytes=10 << 30,
+                                      target_bytes_per_task=1 << 30)
+        assert out.rdd.getNumPartitions() == 10

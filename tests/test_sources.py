@@ -1,0 +1,296 @@
+"""Source/sink component tests (SURVEY.md §2.1) over reference-shaped
+fixtures (FIXTURES.md §B)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_hs_spark.sources import avro as A
+from data_engineering_hs_spark.sources import csv as C
+from data_engineering_hs_spark.sources import json as J
+from data_engineering_hs_spark.sources import parquet as P
+from data_engineering_hs_spark.sources.upsert import (
+    commit_watermark,
+    read_watermark,
+    upsert_parquet,
+)
+
+TX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("items", T.StringType()),
+        T.StructField("category", T.StringType()),
+    ]
+)
+
+
+def _write_tx_files(d: str, n_files: int = 5, rows_per: int = 20, gz: bool = False):
+    cats = ["Food", "Toys", "Electronics", "Books", "Stationery", "Tools"]
+    total = 0
+    for f_i in range(n_files):
+        lines = []
+        for r in range(rows_per):
+            rid = f_i * rows_per + r
+            cat = cats[rid % len(cats)]
+            lines.append(
+                f'{rid},"2015-06-0{1 + rid % 9} 12:00:00","a,b,c","{cat}"'
+            )
+            total += 1
+        name = os.path.join(d, f"part_{f_i:06d}.csv" + (".gz" if gz else ""))
+        data = ("\n".join(lines) + "\n").encode()
+        if gz:
+            with gzip.open(name, "wb") as fh:
+                fh.write(data)
+        else:
+            with open(name, "wb") as fh:
+                fh.write(data)
+    return total
+
+
+class TestCsv:
+    def test_many_small_files_scan(self, spark, tmp_path):
+        # S1: glob + union + supplied names, one declarative read.
+        d = str(tmp_path / "tx")
+        os.makedirs(d)
+        total = _write_tx_files(d, n_files=8)
+        df = C.read_headerless(spark, d + "/*.csv", TX_SCHEMA)
+        assert df.count() == total
+        assert df.schema["id"].dataType == T.IntegerType()
+        assert df.filter(F.col("category") == "Food").count() > 0
+
+    def test_gzip_scan_transparent(self, spark, tmp_path):
+        # S3: .csv.gz decodes with the same API.
+        d = str(tmp_path / "txgz")
+        os.makedirs(d)
+        total = _write_tx_files(d, n_files=3, gz=True)
+        df = C.read_headerless(spark, d + "/*.csv.gz", TX_SCHEMA)
+        assert df.count() == total
+
+    def test_header_roundtrip_and_infer(self, spark, tmp_path):
+        # S2/S4: write header CSV, re-read with inference fallback.
+        d = str(tmp_path / "hdr")
+        src = spark.createDataFrame(
+            [(1, "x"), (2, "y")], T.StructType(
+                [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+            )
+        )
+        C.write_csv(src, d)
+        inferred = C.read_with_header(spark, d, infer=True)
+        assert inferred.count() == 2
+        assert dict(inferred.dtypes)["id"] == "int"
+
+    def test_compact_small_files(self, spark, tmp_path):
+        # Remediation path: 50k-small-files shape → one parquet dataset.
+        d = str(tmp_path / "tx2")
+        os.makedirs(d)
+        total = _write_tx_files(d, n_files=6)
+        out = str(tmp_path / "tx_parquet")
+        df = C.compact(spark, d + "/*.csv", TX_SCHEMA, out, target_partitions=2)
+        assert df.count() == total
+        assert df.rdd.getNumPartitions() <= 4
+
+
+class TestJson:
+    def test_jsonl_nested_schema_with_corrupt_quarantine(self, spark, tmp_path):
+        # S5: explicit nested schema + PERMISSIVE corrupt capture.
+        p = str(tmp_path / "ev.jsonl")
+        good = {"ts": "2025-01-01T00:00:00Z", "event": "view",
+                "props": {"price": 9.99}}
+        with open(p, "w") as f:
+            f.write(json.dumps(good) + "\n")
+            f.write('{"ts": broken\n')
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.StringType()),
+                T.StructField("event", T.StringType()),
+                T.StructField(
+                    "props",
+                    T.StructType([T.StructField("price", T.DoubleType())]),
+                ),
+            ]
+        )
+        df = J.read_jsonl(spark, p, schema, keep_corrupt=True)
+        rows = df.collect()
+        assert len(rows) == 2
+        corrupt = [r for r in rows if r[J.CORRUPT_COL] is not None]
+        assert len(corrupt) == 1
+        ok = [r for r in rows if r[J.CORRUPT_COL] is None][0]
+        assert ok["props"]["price"] == 9.99
+
+    def test_document_array_explode(self, spark, tmp_path):
+        # S6: {generated_at, meta, users:[...]} envelope → rows (B2 shape).
+        from data_engineering_hs_spark.catalog import USERS_DOC_SCHEMA
+
+        doc = {
+            "generated_at": "2025-05-01T00:00:00Z",
+            "meta": {"source": "gen", "version": "1"},
+            "users": [
+                {
+                    "id": "u00001",
+                    "profile": {"name": "A", "username": "a", "ip": "10.0.0.1",
+                                "tz": "UTC", "locale": "en_US"},
+                    "contact": {"email": "a@x.com", "phone": "1"},
+                    "preferences": {"lang": "en", "marketing_opt_in": True,
+                                    "theme": "dark"},
+                    "devices": [{"ua": "ff", "os": "Linux"}],
+                    "tags": ["vip"],
+                },
+                {
+                    "id": "u00002",
+                    "profile": {"name": "B", "username": "b", "ip": "10.0.0.2",
+                                "tz": "UTC", "locale": "de_DE"},
+                    "contact": {"email": "b@x.com", "phone": "2"},
+                    "preferences": {"lang": "de", "marketing_opt_in": False,
+                                    "theme": "light"},
+                    "devices": [{"ua": "ch", "os": "iOS"}, {"ua": "sf", "os": "macOS"}],
+                    "tags": [],
+                },
+            ],
+        }
+        p = str(tmp_path / "users.json")
+        with open(p, "w") as f:
+            json.dump(doc, f)
+        df = J.read_document_array(spark, p, USERS_DOC_SCHEMA, "users")
+        rows = df.orderBy("id").collect()
+        assert [r["id"] for r in rows] == ["u00001", "u00002"]
+        assert rows[0]["generated_at"] == "2025-05-01T00:00:00Z"
+        # nested array-of-struct survives (F8 explode source material)
+        assert rows[1]["devices"][1]["os"] == "macOS"
+
+
+class TestParquet:
+    def test_partitioned_write_and_pruned_read(self, spark, tmp_path):
+        # S8/S9: partitionBy write, filter-pruned read.
+        out = str(tmp_path / "pq")
+        df = spark.range(100).withColumn(
+            "part", (F.col("id") % 4).cast("int")
+        )
+        P.write_partitioned(df, out, ["part"])
+        pruned = P.read_pruned(spark, out, part=2)
+        assert pruned.count() == 25
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # partition filter must reach the scan, not a post-filter
+        assert "PartitionFilters" in plan
+
+    def test_dynamic_overwrite_touches_only_new_partitions(self, spark, tmp_path):
+        out = str(tmp_path / "pq2")
+        df1 = spark.createDataFrame([(1, 0), (2, 1)], ["v", "part"])
+        P.write_partitioned(df1, out, ["part"])
+        df2 = spark.createDataFrame([(99, 1)], ["v", "part"])
+        P.write_partitioned(df2, out, ["part"], dynamic=True)
+        got = {
+            (r["part"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        }
+        # partition 0 untouched; partition 1 replaced
+        assert got == {(0, 1), (1, 99)}
+
+
+WEATHER_AVRO = {
+    "type": "record",
+    "name": "Weather",
+    "fields": [
+        {"name": "station", "type": "string"},
+        {"name": "time", "type": "long"},
+        {"name": "temp", "type": "int"},
+    ],
+}
+# B11: the reference's exact weather rows (avro_test.ipynb:10-47).
+WEATHER_ROWS = [
+    {"station": "011990-99999", "time": -619524000000, "temp": 0},
+    {"station": "011990-99999", "time": -619506000000, "temp": 22},
+    {"station": "011990-99999", "time": -619484400000, "temp": -11},
+    {"station": "012650-99999", "time": -655531200000, "temp": 111},
+]
+
+
+class TestAvro:
+    def test_container_roundtrip(self, tmp_path):
+        # S13 codec level: write container, parse it back.
+        p = str(tmp_path / "w.avro")
+        A.write_container(p, WEATHER_ROWS, WEATHER_AVRO)
+        with open(p, "rb") as f:
+            schema, recs = A.read_container_bytes(f.read())
+        assert schema["name"] == "Weather"
+        assert recs == WEATHER_ROWS
+
+    def test_read_avro_distributed(self, spark, tmp_path):
+        # S13 Spark level: binaryFile + mapInPandas decode.
+        d = str(tmp_path / "avrodir")
+        os.makedirs(d)
+        A.write_container(os.path.join(d, "a.avro"), WEATHER_ROWS[:2], WEATHER_AVRO)
+        A.write_container(os.path.join(d, "b.avro"), WEATHER_ROWS[2:], WEATHER_AVRO)
+        df = A.read_avro(
+            spark, d, json.dumps(WEATHER_AVRO), use_native=False
+        )
+        got = sorted(
+            (r["station"], r["time"], r["temp"]) for r in df.collect()
+        )
+        want = sorted((r["station"], r["time"], r["temp"]) for r in WEATHER_ROWS)
+        assert got == want
+
+    def test_decode_avro_column(self, spark):
+        # S15: from_avro equivalent on a binary column (kafka value shape).
+        from data_engineering_hs_spark.catalog import KAFKA_EVENT_AVRO_SCHEMA
+
+        schema = json.loads(KAFKA_EVENT_AVRO_SCHEMA)
+        events = [
+            {"user": "u_ab12cd", "event": "click", "amount": 10.25, "ts": 1700000000000},
+            {"user": "u_ef34gh", "event": "purchase", "amount": 99.99, "ts": 1700000001000},
+        ]
+        payloads = [(A.encode_record(e, schema),) for e in events]
+        df = spark.createDataFrame(payloads, T.StructType(
+            [T.StructField("value", T.BinaryType())]
+        ))
+        out = A.decode_avro_column(df, "value", KAFKA_EVENT_AVRO_SCHEMA)
+        rows = out.select("data.*").orderBy("ts").collect()
+        assert rows[0]["user"] == "u_ab12cd"
+        assert rows[1]["amount"] == pytest.approx(99.99)
+
+    def test_union_nullable_fields(self, tmp_path):
+        schema = {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "a", "type": ["null", "string"]},
+                {"name": "b", "type": "long"},
+            ],
+        }
+        recs = [{"a": None, "b": 1}, {"a": "x", "b": 2}]
+        p = str(tmp_path / "u.avro")
+        A.write_container(p, recs, schema)
+        with open(p, "rb") as f:
+            _, got = A.read_container_bytes(f.read())
+        assert got == recs
+
+
+class TestUpsert:
+    def test_idempotent_upsert(self, spark, tmp_path):
+        # S21: ON CONFLICT DO NOTHING semantics — re-running a batch is a no-op.
+        target = str(tmp_path / "target")
+        b1 = spark.createDataFrame(
+            [("t1", 1.0), ("t2", 2.0), ("t2", 2.0)], ["transaction_id", "v"]
+        )
+        n1 = upsert_parquet(spark, target, b1, ["transaction_id"])
+        assert n1 == 2  # intra-batch dedup
+        n2 = upsert_parquet(spark, target, b1, ["transaction_id"])
+        assert n2 == 0  # idempotent replay
+        b2 = spark.createDataFrame([("t2", 9.9), ("t3", 3.0)], ["transaction_id", "v"])
+        n3 = upsert_parquet(spark, target, b2, ["transaction_id"])
+        assert n3 == 1  # only the new key lands (DO NOTHING on t2)
+        final = {r["transaction_id"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert final == {"t1": 1.0, "t2": 2.0, "t3": 3.0}
+
+    def test_watermark_commit(self, tmp_path):
+        # S23: atomic watermark file.
+        wm = str(tmp_path / "_watermark")
+        assert read_watermark(wm, "") == ""
+        commit_watermark(wm, "fuel_export_20250101_000000.parquet")
+        assert read_watermark(wm) == "fuel_export_20250101_000000.parquet"

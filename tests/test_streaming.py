@@ -1,0 +1,163 @@
+"""Streaming pipeline tests (SURVEY.md §2.9, §2.1 S14-S23) — bounded
+sources drained with availableNow; no Kafka/socket needed."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_hs_spark.catalog import KAFKA_EVENT_AVRO_SCHEMA
+from data_engineering_hs_spark.sources import avro as A
+from data_engineering_hs_spark.streaming.pipelines import (
+    dedup_within_watermark,
+    file_watch_ingest,
+    kafka_shaped_ingest,
+    run_to_memory,
+    word_count,
+)
+
+VALUE_SCHEMA = T.StructType([T.StructField("value", T.BinaryType())])
+
+
+def _avro_event_files(spark, d: str, batches: list[list[dict]]):
+    """Write parquet files each holding binary avro `value` rows — the
+    Kafka-topic stand-in for tests."""
+    schema = json.loads(KAFKA_EVENT_AVRO_SCHEMA)
+    os.makedirs(d, exist_ok=True)
+    for i, batch in enumerate(batches):
+        rows = [(A.encode_record(e, schema),) for e in batch]
+        spark.createDataFrame(rows, VALUE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+
+EVENTS_B1 = [
+    {"user": "u_aaa111", "event": "click", "amount": 1.5, "ts": 1700000000000},
+    {"user": "u_bbb222", "event": "purchase", "amount": 20.0, "ts": 1700000001000},
+]
+EVENTS_B2 = [
+    {"user": "u_aaa111", "event": "view", "amount": 0.0, "ts": 1700000002000},
+]
+
+
+class TestWordCount:
+    def test_socket_wordcount_shape(self, spark, tmp_path):
+        # T5/S17-S18: text lines → running counts, complete mode.
+        d = str(tmp_path / "lines")
+        os.makedirs(d)
+        with open(os.path.join(d, "a.txt"), "w") as f:
+            f.write("spark makes word count easy\nword count\n")
+        lines = spark.readStream.format("text").load(d)
+        q, table = run_to_memory(word_count(lines), "wc_test", "complete")
+        got = {r["word"]: r["n"] for r in table.collect()}
+        assert got["word"] == 2 and got["count"] == 2 and got["spark"] == 1
+        q.stop()
+
+
+class TestKafkaShapedIngest:
+    def test_decode_flatten_sink_checkpoint(self, spark, tmp_path):
+        # S14-S19 + T3/T6/T7: binary value stream → avro decode →
+        # foreachBatch parquet partitioned by batch_id, checkpointed.
+        src = str(tmp_path / "topic")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        _avro_event_files(spark, src, [EVENTS_B1, EVENTS_B2])
+
+        def decode(df):
+            return A.decode_avro_column(df, "value", KAFKA_EVENT_AVRO_SCHEMA)
+
+        stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+        q = kafka_shaped_ingest(stream, decode, sink, ckpt)
+        q.awaitTermination()
+        out = spark.read.parquet(sink)
+        assert out.count() == 3
+        assert {"user", "event", "amount", "ts", "batch_id", "ingest_ts"} <= set(
+            out.columns
+        )
+        users = {r["user"] for r in out.collect()}
+        assert users == {"u_aaa111", "u_bbb222"}
+
+        # T8: restart with same checkpoint + no new data → no dup rows.
+        stream2 = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+        q2 = kafka_shaped_ingest(stream2, decode, sink, ckpt)
+        q2.awaitTermination()
+        assert spark.read.parquet(sink).count() == 3
+
+
+FUEL_SCHEMA = T.StructType(
+    [
+        T.StructField("transaction_id", T.StringType()),
+        T.StructField("fuel_units", T.DoubleType()),
+    ]
+)
+
+
+class TestFileWatchIngest:
+    def test_incremental_upsert_with_quarantine(self, spark, tmp_path):
+        # S20-S23: file-watch source, valid/invalid split, keyed upsert.
+        src = str(tmp_path / "drops")
+        target = str(tmp_path / "table")
+        quarantine = str(tmp_path / "bad")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [("t1", 10.0), ("t2", -5.0), ("t1", 10.0)], FUEL_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(FUEL_SCHEMA).parquet(src)
+        q = file_watch_ingest(
+            stream,
+            target,
+            ckpt,
+            keys=("transaction_id",),
+            quarantine_dir=quarantine,
+            valid_predicate=F.col("fuel_units") >= 0,
+        )
+        q.awaitTermination()
+        good = spark.read.parquet(target)
+        assert good.count() == 1  # t1 deduped, t2 quarantined
+        bad = spark.read.parquet(quarantine)
+        assert bad.count() == 1
+        assert bad.collect()[0]["transaction_id"] == "t2"
+
+        # A later drop re-sends t1 (duplicate) + new t3 → only t3 lands.
+        spark.createDataFrame(
+            [("t1", 10.0), ("t3", 7.0)], FUEL_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(FUEL_SCHEMA).parquet(src)
+        q2 = file_watch_ingest(
+            stream2, target, ckpt, keys=("transaction_id",),
+            quarantine_dir=quarantine,
+            valid_predicate=F.col("fuel_units") >= 0,
+        )
+        q2.awaitTermination()
+        keys = sorted(
+            r["transaction_id"] for r in spark.read.parquet(target).collect()
+        )
+        assert keys == ["t1", "t3"]
+
+
+class TestWatermarkDedup:
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        d = str(tmp_path / "ev")
+        os.makedirs(d)
+        schema = T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+        spark.createDataFrame(
+            [("a", t0), ("a", t0), ("b", t0)], schema
+        ).coalesce(1).write.mode("append").parquet(d)
+        stream = spark.readStream.schema(schema).parquet(d)
+        deduped = dedup_within_watermark(stream, keys=("k",), watermark="1 hour")
+        q, table = run_to_memory(deduped, "dedup_test", "append")
+        assert table.count() == 2
+        q.stop()
