@@ -33,6 +33,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in headline:
         fn = REGISTRY[name].fn
+        # Steady-state timing: one warmup run (parquet footers, codegen,
+        # broadcast build), then the measured run.
+        fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

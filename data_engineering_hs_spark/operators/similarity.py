@@ -162,27 +162,23 @@ def lsh_bucket_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: sign bits of dots
-    with n_planes pseudo-random unit directions. The planes are
-    generated deterministically JVM-side from (seed, plane, dim) via
-    a hash-based uniform in [-1,1] — no driver-side randomness, so
-    the same bucket function is reproducible across jobs/clusters."""
-    def plane(p: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(2000001)).cast(
-                    "double"
-                )
-                / 1000000.0
-                - 1.0
-            ),
-        )
+    with n_planes pseudo-random unit directions. Plane weights are
+    derived Python-side from sha256(seed, plane, index) and embedded
+    as literal arrays — identical across jobs/clusters and free at
+    runtime (no per-row plane construction)."""
+    import hashlib
+
+    def weight(p: int, i: int) -> float:
+        h = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+        return int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0
 
     bit_terms = [
         F.when(
             F.aggregate(
                 F.zip_with(
-                    F.col(vec_col), plane(p), lambda x, w_: x.cast("double") * w_
+                    F.col(vec_col),
+                    F.array(*[F.lit(weight(p, i)) for i in range(dim)]),
+                    lambda x, w_: x.cast("double") * w_,
                 ),
                 F.lit(0.0),
                 lambda a, v: a + v,

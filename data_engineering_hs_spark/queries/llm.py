@@ -186,6 +186,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against exact Jaccard is pinned in tests
     doc="MinHash+LSH candidate pairs: shingle→32 minhashes→8 bands→"
     "bucket join (the 100 TB near-dup path)",
+    bench=True,
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -304,4 +305,4 @@ def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(e, threshold=0.9).orderBy("id_a", "id_b")
+    return S.embedding_near_dups(e, threshold=0.5).orderBy("id_a", "id_b")

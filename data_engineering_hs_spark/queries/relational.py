@@ -277,6 +277,7 @@ GROUP BY n.n_name, r.r_name
 ORDER BY n.n_name
 """,
     doc="broadcast equi-joins against small dims + group agg (J1,J2,J4)",
+    bench=True,
 )
 def j_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -567,6 +568,7 @@ SELECT * FROM (
 ORDER BY c_mktsegment, rn
 """,
     doc="top-k per group via row_number window (O4 generalized)",
+    bench=True,
 )
 def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
