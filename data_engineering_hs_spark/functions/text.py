@@ -40,7 +40,8 @@ def token_count(c: ColumnOrName) -> Column:
 
 def regex_token_count(c: ColumnOrName) -> Column:
     """BPE-ish token count: words + numbers + punctuation symbols."""
-    return F.size(F.regexp_extract_all(_col(c), F.lit(TOKEN_REGEX)))
+    # idx=0: whole-match extraction (the pattern has no capture group).
+    return F.size(F.regexp_extract_all(_col(c), F.lit(TOKEN_REGEX), 0))
 
 
 def char_count(c: ColumnOrName) -> Column:
@@ -127,8 +128,8 @@ def lang_id(c: ColumnOrName) -> Column:
     es = marker_count(["el", "la", "de", "que", "y", "los", "las", "por", "una", "es"])
     de = marker_count(["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "zu"])
     fr = marker_count(["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"])
-    # CJK detection by script range.
-    zh = F.size(F.regexp_extract_all(_col(c), F.lit(r"[一-鿿]")))
+    # CJK detection by script range (idx=0: whole-match, no group).
+    zh = F.size(F.regexp_extract_all(_col(c), F.lit(r"[一-鿿]"), 0))
     scores = F.array(
         F.struct(en.alias("n"), F.lit("en").alias("lang")),
         F.struct(es.alias("n"), F.lit("es").alias("lang")),

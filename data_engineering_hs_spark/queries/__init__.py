@@ -7,6 +7,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from data_engineering_hs_spark.queries import (  # noqa: F401
         relational,
+        relational2,
         scalars,
         llm,
         streaming_q,

@@ -153,7 +153,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM toks a JOIN toks b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.5
+        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.9
 """,
     doc="exact word-set Jaccard near-dup pairs (same-lang blocking); the "
     "verify stage of the MinHash pipeline, standalone at small n",
@@ -176,7 +176,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= 0.9)
     )
 
 

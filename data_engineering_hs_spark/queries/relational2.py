@@ -1,0 +1,364 @@
+"""Second wave of relational/analytic queries: log analytics, pivot,
+cube, classic join-heavy OLAP shapes, batch sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.functions.scalar import money_cents
+from data_engineering_hs_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------------------
+# lab02 log analytics (S7, P11, F9, F16, A9): the engine renders events
+# into nginx-style log lines, then parses them back with one regex and
+# aggregates error counts — the zgrep|awk map-reduce re-expressed.
+# Rendering and parsing both happen in-plan, so the oracle can replay
+# the identical round-trip in SQL.
+# ---------------------------------------------------------------------------
+
+LOG_REGEX = r'^(\S+) - - \[([^\]]+)\] "(\w+) ([^ ]+) HTTP/1\.1" (\d+) (\d+) level=(\w+)(?: error_type=ERROR:(\w+))?$'
+
+
+@register(
+    "log_error_counts",
+    oracle=r"""
+WITH rendered AS (
+  SELECT concat(
+    '10.0.', CAST(user_id % 256 AS VARCHAR), '.', CAST(event_id % 256 AS VARCHAR),
+    ' - - [', strftime(ts, '%d/%b/%Y:%H:%M:%S +0000'), '] "GET /',
+    event_type, '/', CAST(event_id AS VARCHAR), ' HTTP/1.1" ',
+    CASE WHEN event_type = 'error' THEN '500' ELSE '200' END, ' ',
+    CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+    ' level=', CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END,
+    CASE WHEN event_type = 'error'
+         THEN concat(' error_type=ERROR:TYPE_', CAST(event_id % 10 AS VARCHAR))
+         ELSE '' END
+  ) AS line
+  FROM events
+), parsed AS (
+  SELECT
+    regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "(\w+) ([^ ]+) HTTP/1\.1" (\d+) (\d+) level=(\w+)( error_type=ERROR:(\w+))?$', 7) AS level,
+    regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "(\w+) ([^ ]+) HTTP/1\.1" (\d+) (\d+) level=(\w+)( error_type=ERROR:(\w+))?$', 9) AS error_type,
+    CAST(regexp_extract(line, '^(\S+) - - \[([^\]]+)\] "(\w+) ([^ ]+) HTTP/1\.1" (\d+) (\d+) level=(\w+)( error_type=ERROR:(\w+))?$', 5) AS INT) AS status
+  FROM rendered
+)
+SELECT error_type, COUNT(*) AS n
+FROM parsed
+WHERE level = 'ERROR' AND status >= 500 AND error_type <> ''
+GROUP BY error_type
+ORDER BY n DESC, error_type
+""",
+    doc="lab02 log analytics round-trip: render nginx-format lines, "
+    "regex-parse, filter ERROR, count per error_type "
+    "(S7,P11,F9,F16,A9 — the zgrep|sort|uniq -c|awk map-reduce)",
+)
+def log_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(" - - ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        F.lit('] "GET /'),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit(' HTTP/1.1" '),
+        F.when(F.col("event_type") == "error", "500").otherwise("200"),
+        F.lit(" "),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.lit(" level="),
+        F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.lit(" error_type=ERROR:TYPE_"),
+                (F.col("event_id") % 10).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    rendered = e.select(line.alias("line"))
+    spark_regex = LOG_REGEX.replace("(?: error_type", "( error_type")
+    parsed = rendered.select(
+        F.regexp_extract("line", spark_regex, 7).alias("level"),
+        F.regexp_extract("line", spark_regex, 9).alias("error_type"),
+        F.regexp_extract("line", spark_regex, 5).cast("int").alias("status"),
+    )
+    return (
+        parsed.filter(
+            (F.col("level") == "ERROR")
+            & (F.col("status") >= 500)
+            & (F.col("error_type") != "")
+        )
+        .groupBy("error_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("error_type"))
+    )
+
+
+@register(
+    "p_substring_prefilter",
+    oracle="""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+FROM documents
+WHERE contains(text, 'dup')
+""",
+    doc="substring pre-filter before parse (P10) — the 3x-speedup trick "
+    "from lab01 fn3: cheap contains() gates the expensive tokenize",
+)
+def p_substring_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("text").contains("dup")).select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+
+
+@register(
+    "a_pivot_status_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="pivot (wide conditional aggregation) — engine extension over A4",
+)
+def a_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a_cube",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    doc="cube grouping-sets (engine extension beyond A4/rollup)",
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dim filter + 3-way join + agg + "
+    "top-k by revenue (J1-J4, A3, O4)",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev).cast("double") / 100.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'REGION_0'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+    doc="TPC-H Q5 shape: 6-way join with co-nation constraint + agg "
+    "(the join-reordering / broadcast-planning stress query)",
+    bench=True,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(rev).cast("double") / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@register(
+    "w_sessionize_batch",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session,
+         event_id
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+    doc="batch sessionization: lag-gap marking + running-sum session "
+    "ids + per-session agg (the window-function sessionize idiom)",
+)
+def w_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "a_median_percentile",
+    oracle="""
+SELECT l_returnflag,
+       median(CAST(round(l_quantity) AS BIGINT)) AS median_qty,
+       CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)
+            AS DOUBLE) AS p90_price_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="exact percentile/median per group (approx_percentile's exact "
+    "twin; sort-based agg)",
+)
+def a_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    cents = money_cents("l_extendedprice")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(cast(round(l_quantity) as bigint), 0.5)"
+            ).alias("median_qty"),
+            F.expr(
+                "percentile(cast(round(l_extendedprice * 100) as bigint), 0.9)"
+            ).alias("p90_price_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
