@@ -58,7 +58,12 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    include_missing: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of num_hashes minima.
 
@@ -87,9 +92,11 @@ def minhash_signatures(
         ]
     )
     sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    with_sig = minima.select(F.col(id_col), sig.alias("signature"))
+    if not include_missing:
+        return with_sig
     # Docs with no shingles never reach the groupBy (explode drops
     # them); rejoin to surface them with a null signature.
-    with_sig = minima.select(F.col(id_col), sig.alias("signature"))
     return df.select(id_col).join(with_sig, id_col, "left")
 
 
@@ -116,8 +123,10 @@ def minhash_lsh_pairs(
     rather than letting one reducer generate n² pairs.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).filter(
-        F.col("signature").isNotNull()
+    # include_missing=False: shingle-less docs can't pair anyway, and
+    # skipping the rejoin keeps the plan join-free.
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, include_missing=False
     )
     # Band bucket = hash of that band's signature slice. `signature`
     # is a cheap attribute here (the agg output), so referencing it
