@@ -11,4 +11,5 @@ def load_all() -> None:
         scalars,
         llm,
         streaming_q,
+        sql_api,
     )

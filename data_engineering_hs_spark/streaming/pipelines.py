@@ -53,6 +53,7 @@ def kafka_shaped_ingest(
     checkpoint_dir: str,
     carry_cols: tuple[str, ...] = (),
     available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """S14-S19: decode → flatten data.* (+ carried source metadata) →
     foreachBatch append parquet partitioned by batch_id, checkpointed.
@@ -60,7 +61,9 @@ def kafka_shaped_ingest(
     `decode` is sources.avro.decode_avro_column (or from_json) bound
     to the payload schema; `stream` is any streaming DF with a binary
     `value` column (Kafka in prod: .format("kafka") with
-    maxOffsetsPerTrigger for T1 batch sizing).
+    maxOffsetsPerTrigger for T1 batch sizing). `processing_time`
+    (e.g. "5 seconds") selects a periodic trigger for long-running
+    deployments (T9); tests default to availableNow drain.
     """
     decoded = decode(stream)
     flat = decoded.select(*carry_cols, "data.*")
@@ -78,7 +81,9 @@ def kafka_shaped_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(write_batch)
     )
-    if available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
