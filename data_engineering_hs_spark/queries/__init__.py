@@ -12,4 +12,5 @@ def load_all() -> None:
         llm,
         streaming_q,
         sql_api,
+        model_q,
     )
