@@ -260,12 +260,20 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, q, k=5)
 
 
+# Determinism: double sums depend on partial-agg merge order, so the
+# centroid components aggregate as exact scaled integers (2^40 — exact
+# for float32 values down to ulp 2^-40, deterministic rounding below
+# that) and divide once at the end. Bit-identical across engines AND
+# across Spark runs/partitionings.
+_SCALE_2_40 = 1 << 40
+
 @register(
     "s_centroids",
     oracle=f"""
 SELECT label, CAST(pos AS INT) - 1 AS pos,
-       CAST(SUM(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)) AS DOUBLE)
-         / COUNT(*) AS mean_val_r
+       CAST(SUM(CAST(round(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)
+                           * {_SCALE_2_40}) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / {_SCALE_2_40}.0 AS mean_val_r
 FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMBED_DIM + 1})) AS pos) p
 GROUP BY label, pos
 """,
@@ -274,10 +282,13 @@ GROUP BY label, pos
 def s_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pos = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    scaled = F.round(F.col("val").cast("double") * _SCALE_2_40).cast("long")
     return (
         pos.groupBy("label", "pos")
         .agg(
-            (F.sum(F.col("val").cast("double")) / F.count("*")).alias("mean_val_r")
+            (
+                F.sum(scaled).cast("double") / F.count("*") / float(_SCALE_2_40)
+            ).alias("mean_val_r")
         )
         .select("label", "pos", "mean_val_r")
     )
