@@ -1,0 +1,122 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row (per key) whose
+timestamp is <= the left row's timestamp. Two implementations:
+
+- asof_join: composition of built-ins (the scale path). Union-tag the
+  two sides, sort within key partitions, and carry the last-seen right
+  row forward with last(..., ignorenulls) over an unbounded-preceding
+  window. ONE shuffle on the key, no range-explosion join, no Python.
+  This is the classic "sort-merge as-of" expressed declaratively.
+- asof_join_pandas: applyInPandas + pandas.merge_asof per key group —
+  the fallback shape for semantics the window form can't express
+  (nearest/forward direction with tolerance), at Arrow-batch cost.
+
+Tie semantics: right rows with ts equal to the left ts DO match
+(inclusive, merge_asof default). Ordering among equal timestamps is
+broken by the right id column for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    ts_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join via union + window carry-forward.
+
+    Returns all left columns plus `value_cols` from the matched right
+    row (null when no right row precedes). `on` is the equi-key;
+    timestamps compared on their native type (caller aligns units).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            tagged_left.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if ts_tiebreak:
+        order.insert(1, F.col(f"__r_{ts_tiebreak}").asc_nulls_last())
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance=None,
+) -> DataFrame:
+    """merge_asof fallback: per-key pandas cogroup. Supports forward/
+    nearest directions and tolerances the window form doesn't."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = [left.schema[c] for c in left.columns] + [
+        T.StructField(f"asof_{c}", right.schema[c].dataType) for c in value_cols
+    ]
+    schema = T.StructType(fields)
+
+    def merge(key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values(left_ts)
+        rdf = rdf.sort_values(right_ts)[[right_ts, *value_cols]].rename(
+            columns={c: f"asof_{c}" for c in value_cols}
+        )
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction=direction,
+            tolerance=tolerance,
+        )
+        keep = list(ldf.columns) + [f"asof_{c}" for c in value_cols]
+        return merged[keep]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )

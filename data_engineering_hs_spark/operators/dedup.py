@@ -35,6 +35,55 @@ from pyspark.sql import functions as F
 from data_engineering_hs_spark.functions.text import fingerprint64, tokens, word_shingles
 
 
+def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → canonical
+    groups: (doc_id, component) where component = min doc id reachable.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are tiny, so a handful).
+    Each round is one join + one groupBy — all shuffles on the node id.
+    The driver loop only checks a scalar convergence count per round,
+    the data never leaves executors. This is the standard production
+    step after LSH: collapse candidate pairs into dedup clusters.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 def normalized_text(c) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(c) if isinstance(c, str) else c)), r"\s+", " ")
 

@@ -13,4 +13,5 @@ def load_all() -> None:
         streaming_q,
         sql_api,
         model_q,
+        advanced,
     )

@@ -1,0 +1,105 @@
+"""Advanced operators: as-of join (DuckDB ASOF JOIN oracle) and
+near-dup connected components (recursive-SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.functions import text as TX
+from data_engineering_hs_spark.operators.asof import asof_join
+from data_engineering_hs_spark.operators.dedup import dup_groups
+from data_engineering_hs_spark.queries.registry import register
+
+
+@register(
+    "j_asof_last_click",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+""",
+    doc="as-of join (temporal): for each purchase, the most recent "
+    "prior-or-simultaneous click of the same user — composed from "
+    "union + window carry-forward (one shuffle, no range join); "
+    "oracle is DuckDB's native ASOF JOIN",
+)
+def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # millisecond keys on both engines: identical truncation of the
+    # source nanos, so comparisons agree exactly.
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        value_cols=["click_id"],
+    ).select("event_id", "user_id", "asof_click_id")
+
+
+@register(
+    "d_dup_components",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+        FROM documents WHERE length(trim(text)) > 0) a
+  JOIN (SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+        FROM documents WHERE length(trim(text)) > 0) b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.9
+), undirected AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+""",
+    doc="near-dup connected components: collapse exact-Jaccard pairs "
+    "into canonical dedup clusters via iterative min-label propagation; "
+    "oracle is a recursive reachability query",
+)
+def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(TX.tokens("text")).alias("tok_set")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect("a.tok_set", "b.tok_set"))
+    union = F.size(F.array_distinct(F.concat("a.tok_set", "b.tok_set")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter.cast("double") / union >= 0.9)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dup_groups(pairs)

@@ -1,0 +1,93 @@
+"""Unit tests for the as-of join operator (both forms) and connected
+components over dup pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.operators.asof import asof_join, asof_join_pandas
+from data_engineering_hs_spark.operators.dedup import dup_groups
+
+
+def _fixture(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", 10, 100),
+            ("A", 25, 101),
+            ("B", 5, 102),
+            ("B", 50, 103),
+            ("C", 7, 104),  # no quotes for C at all
+        ],
+        ["sym", "t", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", 8, 99.5),
+            ("A", 10, 100.0),  # tie with trade A@10 → inclusive match
+            ("A", 20, 101.0),
+            ("B", 6, 50.0),
+            ("B", 49, 51.0),
+        ],
+        ["sym", "t", "px"],
+    )
+    return trades, quotes
+
+
+EXPECTED_BACKWARD = {
+    100: 100.0,  # A@10 matches quote A@10 (inclusive)
+    101: 101.0,  # A@25 → quote A@20
+    102: None,   # B@5 has no prior quote
+    103: 51.0,   # B@50 → quote B@49
+    104: None,   # C has no quotes
+}
+
+
+class TestAsofJoin:
+    def test_window_form(self, spark):
+        trades, quotes = _fixture(spark)
+        out = asof_join(
+            trades, quotes, on="sym", left_ts="t", right_ts="t", value_cols=["px"]
+        )
+        got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+        assert got == EXPECTED_BACKWARD
+        # all left rows survive (left-join semantics)
+        assert out.count() == trades.count()
+
+    def test_pandas_form_matches_window_form(self, spark):
+        trades, quotes = _fixture(spark)
+        out = asof_join_pandas(
+            trades, quotes, on="sym", left_ts="t", right_ts="t", value_cols=["px"]
+        )
+        got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+        assert got == EXPECTED_BACKWARD
+
+    def test_pandas_form_forward_direction(self, spark):
+        trades, quotes = _fixture(spark)
+        out = asof_join_pandas(
+            trades, quotes, on="sym", left_ts="t", right_ts="t",
+            value_cols=["px"], direction="forward",
+        )
+        got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+        assert got[100] == 100.0  # inclusive at tie
+        assert got[101] is None   # nothing after t=25 for A
+        assert got[102] == 50.0   # B@5 → next quote B@6
+
+
+class TestDupComponents:
+    def test_chain_collapses_to_one_component(self, spark):
+        # chain 1-2-3-4-5 plus isolated pair 10-11: diameter 4 needs
+        # several propagation rounds.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {r["doc_id"]: r["component"] for r in dup_groups(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_triangle_and_star(self, spark):
+        pairs = spark.createDataFrame(
+            [(7, 8), (8, 9), (7, 9), (20, 21), (20, 22), (20, 23)],
+            ["id_a", "id_b"],
+        )
+        got = {r["doc_id"]: r["component"] for r in dup_groups(pairs).collect()}
+        assert {got[7], got[8], got[9]} == {7}
+        assert {got[20], got[21], got[22], got[23]} == {20}
