@@ -335,6 +335,57 @@ def w_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+""",
+    doc="explicit GROUPING SETS (beyond rollup/cube): per-status, "
+    "per-priority, and grand-total groups in one pass",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@register(
+    "a_approx_quantiles",
+    oracle=None,  # approximate by design (GK sketch) → rows-only;
+    # bounded error vs exact percentile pinned in tests
+    doc="approx_percentile — the sketch-based scale twin of "
+    "a_median_percentile (single-pass, mergeable)",
+)
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(cast(round(l_quantity) as bigint), 0.5, 1000)"
+            ).alias("approx_median_qty"),
+            F.expr(
+                "approx_percentile(cast(round(l_extendedprice * 100) as bigint),"
+                " 0.9, 1000)"
+            ).alias("approx_p90_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "a_median_percentile",
     oracle="""
 SELECT l_returnflag,

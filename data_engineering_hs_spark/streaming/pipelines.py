@@ -184,6 +184,38 @@ def dedup_within_watermark(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (§2.9-adjacent capability).
+
+    Both sides carry watermarks so the join state is bounded: a right
+    row is retained only until `watermark` past its event time, and
+    the time-range condition (right within [left - max_lag, left])
+    lets Spark evict matched/expired state. The canonical
+    click-to-impression attribution shape.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    # drop the duplicate right-side key so downstream selects are
+    # unambiguous (USING-style output)
+    return l.join(r, cond, "inner").drop(F.col(f"r.{on}"))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a bounded streaming DF into an in-memory table and return
     (query, table_df) — the synchronous test/drive harness."""

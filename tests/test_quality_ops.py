@@ -130,6 +130,30 @@ class TestQualityScore:
         assert all(0.0 <= s <= 1.0 for s in scores.values())
 
 
+class TestApproxQuantiles:
+    def test_bounded_error_vs_exact(self, spark):
+        # approx_percentile(accuracy=1000) guarantees rank error
+        # ≤ n/1000; on ~15k rows per returnflag the value error at the
+        # median of 1..50 integer quantities is at most 1.
+        l = spark.read.parquet(f"{SF001}/lineitem.parquet")
+        from pyspark.sql import functions as F2
+
+        both = (
+            l.groupBy("l_returnflag")
+            .agg(
+                F2.expr(
+                    "percentile(cast(round(l_quantity) as bigint), 0.5)"
+                ).alias("exact"),
+                F2.expr(
+                    "approx_percentile(cast(round(l_quantity) as bigint), 0.5, 1000)"
+                ).alias("approx"),
+            )
+            .collect()
+        )
+        for r in both:
+            assert abs(float(r["exact"]) - float(r["approx"])) <= 1.0
+
+
 class TestIvfRecall:
     def test_recall_vs_brute_force(self, spark):
         # nprobe=2 of 10 label cells; measured recall@5 ≈ 0.36 on the
