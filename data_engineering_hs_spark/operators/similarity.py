@@ -88,6 +88,50 @@ def centroids(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column → (label, centroid).
+
+    Deterministic seeding: the k vectors with the smallest ids.
+    Each iteration = one broadcast assignment pass + one positional
+    mean aggregation (posexplode → groupBy(center, pos)); the driver
+    loop holds only the iteration counter. The IVF coarse quantizer
+    trainer — replaces the label-derived centroids when labels are
+    absent or uninformative.
+    """
+    init = df.orderBy(id_col).limit(k)
+    centers = (
+        init.select(F.col(vec_col).alias("centroid"))
+        .withColumn("label", (F.monotonically_increasing_id()).cast("int"))
+        .select("label", "centroid")
+        .localCheckpoint(eager=True)
+    )
+    data = df.select(F.col(id_col), F.col(vec_col))
+    for _ in range(iters):
+        scored = data.join(F.broadcast(centers)).select(
+            id_col,
+            vec_col,
+            "label",
+            cosine(vec_col, "centroid").alias("sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("label"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "label")
+        )
+        centers = (
+            centroids(assigned, label_col="label", vec_col=vec_col)
+            .localCheckpoint(eager=True)
+        )
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,6 +234,59 @@ def lsh_bucket_assign(
     ]
     bucket = sum(bit_terms[1:], bit_terms[0])
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with multi-probe.
+
+    Corpus vectors bucket once; each query probes its own bucket plus
+    every bucket within Hamming distance `multiprobe_bits` of it
+    (flip-one-bit neighbors), then exact-ranks the candidates. The
+    non-learned ANN alternative to IVF — no training pass, stable
+    under distribution shift, candidates ≈ corpus/2^planes × probes.
+    """
+    cb = lsh_bucket_assign(
+        corpus, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "bucket",
+    )
+    qb = lsh_bucket_assign(
+        queries, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket")
+    # Probe masks: own bucket + all buckets within `multiprobe_bits`
+    # Hamming distance (precomputed bit masks, applied via XOR).
+    import itertools
+
+    masks = [0]
+    for nbits in range(1, multiprobe_bits + 1):
+        for combo in itertools.combinations(range(n_planes), nbits):
+            masks.append(sum(1 << p for p in combo))
+    probes = [F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+    q_probes = qb.select(
+        "query_id", "q_vec", F.explode(F.array(*probes)).alias("bucket")
+    )
+    cand = cb.join(F.broadcast(q_probes), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
 
 
 def embedding_near_dups(

@@ -309,6 +309,19 @@ def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_lsh_topk",
+    oracle=None,  # approximate by design → rows-only; recall pinned
+    # in tests (multi-probe hyperplane LSH)
+    doc="hyperplane-LSH approximate top-k with multi-probe (the "
+    "non-learned ANN scale path alongside IVF)",
+)
+def s_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(e, q, k=5).drop("cos_sim")
+
+
+@register(
     "s_embedding_near_dup",
     oracle=None,  # LSH-bucketed candidates (xxhash64 planes) → rows-only
     doc="embedding-cosine near-duplicate pairs via random-hyperplane "

@@ -173,6 +173,42 @@ class TestIvfRecall:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.2, f"IVF recall@5 = {recall}"
 
+    def test_kmeans_centroids_beat_label_centroids(self, spark):
+        # Lloyd-refined coarse quantizer: measured recall@5 0.66 vs
+        # 0.36 with label-derived centroids (nprobe=2); pin the
+        # improvement direction and a conservative floor.
+        from data_engineering_hs_spark.operators.similarity import kmeans_centroids
+
+        e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 20)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=5).collect()
+        }
+        km = kmeans_centroids(e, k=10, iters=4)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(e, q, km, k=5, nprobe=2).collect()
+        }
+        assert len(truth & got) / len(truth) >= 0.5
+
+    def test_lsh_topk_recall_floor(self, spark):
+        # 4 planes, 1-bit multiprobe: measured recall@5 ≈ 0.44 while
+        # scanning ~30% of the corpus; pin a conservative floor.
+        from data_engineering_hs_spark.operators.similarity import lsh_topk
+
+        e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 20)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(e, q, k=5).collect()
+        }
+        assert len(truth & got) / len(truth) >= 0.3
+
     def test_more_probes_monotone_recall(self, spark):
         e = spark.read.parquet(f"{SF001}/embeddings.parquet")
         q = e.filter(F.col("vec_id") < 10)
