@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_engineering_hs_spark.functions.vector import cosine, dot, norm
+from data_engineering_hs_spark.functions.vector import cosine
 
 
 def brute_force_topk(

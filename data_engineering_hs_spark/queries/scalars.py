@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 from data_engineering_hs_spark.catalog import load_table
 from data_engineering_hs_spark.functions.scalar import (
     md5_identity,
-    money_cents,
     month_bucket,
     norm_name,
 )
