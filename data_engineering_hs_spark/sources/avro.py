@@ -161,7 +161,12 @@ def read_container_bytes(data: bytes) -> tuple[dict, list[dict]]:
     meta: dict[str, bytes] = {}
     n = _zigzag_decode(buf)
     while n:
-        for _ in range(abs(n)):
+        if n < 0:
+            # Avro map encoding: negative count → abs(count) entries,
+            # preceded by the block's byte size (skippable form).
+            _zigzag_decode(buf)
+            n = -n
+        for _ in range(n):
             klen = _zigzag_decode(buf)
             k = buf.read(klen).decode()
             vlen = _zigzag_decode(buf)
@@ -250,7 +255,10 @@ def read_avro(
                 meta_n = _zigzag_decode(buf)
                 file_schema = schema
                 while meta_n:
-                    for _ in range(abs(meta_n)):
+                    if meta_n < 0:
+                        _zigzag_decode(buf)  # skippable-form byte size
+                        meta_n = -meta_n
+                    for _ in range(meta_n):
                         k = buf.read(_zigzag_decode(buf)).decode()
                         v = buf.read(_zigzag_decode(buf))
                         if k == "avro.schema":

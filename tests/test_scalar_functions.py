@@ -1,0 +1,98 @@
+"""Unit tests for the scalar helper library (functions/scalar.py) —
+every helper the reference's SQL surface maps onto."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_hs_spark.functions import scalar as S
+
+
+class TestScalarHelpers:
+    def test_string_family(self, spark):
+        df = spark.createDataFrame(
+            [("  Ada LOVELACE ", "grace", "HOPPER")], ["raw", "first", "last"]
+        )
+        row = df.select(
+            S.norm_name("raw").alias("norm"),
+            S.md5_identity("raw").alias("digest"),
+            S.full_name("first", "last").alias("full"),
+            S.ilike("raw", "%lovelace%").alias("m"),
+        ).collect()[0]
+        assert row["norm"] == "ada lovelace"
+        import hashlib
+
+        assert row["digest"] == hashlib.md5(b"ada lovelace").hexdigest()
+        assert row["full"] == "Grace Hopper"
+        assert row["m"] is True
+
+    def test_packed_list_split(self, spark):
+        df = spark.createDataFrame([("a,b,c",)], ["items"])
+        got = df.select(S.split_packed_list("items").alias("arr")).collect()[0]
+        assert got["arr"] == ["a", "b", "c"]
+
+    def test_time_family(self, spark):
+        ts = dt.datetime(2025, 9, 1, 13, 7, 0)
+        df = spark.createDataFrame(
+            [(ts, "01/Sep/2025:13:07:00 +0000", 1756732020000)],
+            T.StructType(
+                [
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("log_ts", T.StringType()),
+                    T.StructField("millis", T.LongType()),
+                ]
+            ),
+        )
+        row = df.select(
+            S.to_log_timestamp("log_ts").alias("parsed"),
+            S.month_bucket("ts").alias("bucket"),
+            S.time_of_day_between("ts", "13:00", "13:15").alias("in_window"),
+            S.time_of_day_between("ts", "13:15", "13:30").alias("out_window"),
+            S.epoch_millis_to_ts("millis").alias("from_ms"),
+            S.ts_to_epoch_millis("ts").alias("to_ms"),
+        ).collect()[0]
+        assert row["parsed"] == ts
+        assert row["bucket"] == 202509
+        assert row["in_window"] is True and row["out_window"] is False
+        assert row["from_ms"] == dt.datetime(2025, 9, 1, 13, 7, 0)
+        assert row["to_ms"] == 1756732020000
+
+    def test_money_family(self, spark):
+        df = spark.createDataFrame(
+            [(12.34, Decimal("100.00"), Decimal("30.00"))],
+            T.StructType(
+                [
+                    T.StructField("amount", T.DoubleType()),
+                    T.StructField("total", T.DecimalType(12, 2)),
+                    T.StructField("paid", T.DecimalType(12, 2)),
+                ]
+            ),
+        )
+        row = df.select(
+            S.money_cents("amount").alias("cents"),
+            S.cents_to_amount(S.money_cents("amount")).alias("back"),
+            S.to_money("amount").alias("dec"),
+            S.outstanding("total", "paid").alias("due"),
+            S.outstanding("total", F.lit(None).cast("decimal(12,2)")).alias(
+                "due_null_paid"
+            ),
+        ).collect()[0]
+        assert row["cents"] == 1234
+        assert row["back"] == 12.34
+        assert row["dec"] == Decimal("12.34")
+        assert row["due"] == Decimal("70.00")
+        assert row["due_null_paid"] == Decimal("100.00")
+
+    def test_json_family(self, spark):
+        df = spark.createDataFrame([('{"price": 9.5, "tags": ["a"]}',)], ["props"])
+        schema = T.StructType([T.StructField("price", T.DoubleType())])
+        row = df.select(
+            S.json_get("props", "price").alias("raw"),
+            S.json_decode("props", schema).alias("parsed"),
+        ).collect()[0]
+        assert float(row["raw"]) == 9.5
+        assert row["parsed"]["price"] == 9.5
