@@ -292,6 +292,30 @@ def f_case_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_unpivot_stack",
+    oracle="""
+SELECT c_custkey, metric, value FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+  FROM customer
+) t
+""",
+    doc="unpivot (wide→long) via stack — the melt/UNPIVOT shape "
+    "(set-op family extension)",
+)
+def f_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nationkey', cast(c_nationkey as double)) AS (metric, value)"
+        ),
+    )
+
+
+@register(
     "f_array_ops",
     oracle="""
 SELECT p_partkey,

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from data_engineering_hs_spark.plans.inspect import plan_string, plan_summary
 from data_engineering_hs_spark.queries import REGISTRY, load_all
 from tests.conftest import SF001
 
@@ -14,16 +15,15 @@ load_all()
 
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF001)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_string(REGISTRY[name].fn(spark, SF001))
 
 
 class TestPlanShapes:
     def test_flagship_joins_are_broadcast(self, spark):
-        plan = _plan(spark, "flagship_daily_kpi")
-        assert "BroadcastHashJoin" in plan
+        summary = plan_summary(REGISTRY["flagship_daily_kpi"].fn(spark, SF001))
+        assert summary["broadcast_joins"] >= 3
         # no sort-merge join should appear at this scale
-        assert "SortMergeJoin" not in plan
+        assert summary["sort_merge_joins"] == 0
 
     def test_filter_pushdown_reaches_scan(self, spark):
         plan = _plan(spark, "p_compound_filter")
