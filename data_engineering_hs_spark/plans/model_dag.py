@@ -147,7 +147,18 @@ class ModelRunner:
             fresh.write.partitionBy(m.partition_by).mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         existing = self.spark.read.parquet(path)
-        touched = fresh.select(m.partition_by).distinct()
+        # Touched partitions = partitions the fresh rows land in PLUS
+        # partitions where refreshed keys currently live — a key whose
+        # partition value changed (e.g. corrected order_ts) must be
+        # deleted from its old partition, not just inserted anew.
+        old_parts = (
+            existing.join(
+                fresh.select(m.unique_key).distinct(), m.unique_key, "left_semi"
+            )
+            .select(m.partition_by)
+            .distinct()
+        )
+        touched = fresh.select(m.partition_by).distinct().union(old_parts).distinct()
         kept = (
             existing.join(F.broadcast(touched), m.partition_by, "left_semi")
             .join(fresh.select(m.unique_key), m.unique_key, "left_anti")

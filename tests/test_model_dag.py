@@ -107,6 +107,32 @@ class TestIncremental:
         assert fct[11]["amount_galleons"] == Decimal("60.00")  # refreshed
         assert fct[10]["amount_galleons"] == Decimal("100.00")  # untouched (old window)
 
+    def test_key_moving_partitions_leaves_no_duplicate(self, spark, tmp_path):
+        # A refreshed order whose order_ts month CHANGES must vanish
+        # from its old month partition (delete+insert by key, not just
+        # insert into the new partition).
+        wh = str(tmp_path / "wh_move")
+        runner = build_runner(spark, _raw(spark), warehouse_dir=wh, now_expr=NOW)
+        runner.run()
+        raw2 = _raw(spark)
+        raw2["orders"] = spark.createDataFrame(
+            [
+                ("10", "1", "2025-01-05 10:00:00", "wand", "Fulfilled", "100.00"),
+                # order 11 moved from June to May (still inside the
+                # 30-day window from NOW=June 15)
+                ("11", "1", "2025-05-20 09:00:00", "robe", "pending", "55.50"),
+                ("12", "2", "2025-06-10 12:00:00", "potion", "FULFILLED", "20.00"),
+            ],
+            ["order_id", "customer_id", "order_ts", "item", "status", "amount_galleons"],
+        )
+        runner2 = build_runner(spark, raw2, warehouse_dir=wh, now_expr=NOW)
+        runner2.run()
+        fct = spark.read.parquet(f"{wh}/fct_orders")
+        rows = fct.filter(F.col("order_id") == 11).collect()
+        assert len(rows) == 1  # no ghost left in the 202506 partition
+        assert rows[0]["order_month"] == 202505
+        assert fct.count() == 3
+
     def test_rerun_is_idempotent(self, spark, tmp_path):
         wh = str(tmp_path / "wh2")
         runner = build_runner(spark, _raw(spark), warehouse_dir=wh, now_expr=NOW)
