@@ -70,8 +70,13 @@ def kafka_shaped_ingest(
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         out = enrich_batch(batch, batch_id)
+        # Dynamic overwrite of THIS batch's partition: a replay after a
+        # mid-write failure (checkpoint not yet committed) rewrites the
+        # partition instead of appending duplicates — idempotent sink
+        # (T8), the parquet analog of ON CONFLICT DO NOTHING.
         (
-            out.write.mode("append")
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(sink_dir)
         )

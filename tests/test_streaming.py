@@ -86,6 +86,15 @@ class TestKafkaShapedIngest:
         q2.awaitTermination()
         assert spark.read.parquet(sink).count() == 3
 
+        # T8 harder: simulate a mid-write failure replay — re-running
+        # the SAME batch id (fresh checkpoint, same data) overwrites
+        # its partition instead of appending duplicates.
+        ckpt2 = str(tmp_path / "ckpt_replay")
+        stream3 = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+        q3 = kafka_shaped_ingest(stream3, decode, sink, ckpt2)
+        q3.awaitTermination()
+        assert spark.read.parquet(sink).count() == 3
+
 
 FUEL_SCHEMA = T.StructType(
     [
