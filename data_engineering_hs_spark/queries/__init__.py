@@ -14,4 +14,5 @@ def load_all() -> None:
         sql_api,
         model_q,
         advanced,
+        tpch_extra,
     )
