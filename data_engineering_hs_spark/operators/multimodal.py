@@ -104,6 +104,102 @@ def deterministic_fake_decode(content: bytes) -> list[float]:
     ]
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: (media_id, content) → (media_id, width, height,
+    content). The codec step is injectable; without a backend the
+    deterministic fake (sha256-stretched bytes of the requested size)
+    keeps the pipeline end-to-end testable — batch shape, schema and
+    partitioning are the real contract."""
+    if resizer is None:
+        resizer = deterministic_fake_resize
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": width,
+                    "height": height,
+                    "content": [resizer(bytes(b), width, height) for b in pdf["content"]],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def deterministic_fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Shape-correct fake: width*height bytes derived from the content
+    hash (a real backend would decode, resample, re-encode)."""
+    import hashlib
+
+    seed = hashlib.sha256(content).digest()
+    out = bytearray()
+    counter = 0
+    while len(out) < width * height:
+        out += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[: width * height])
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling plumbing: one video row → n_frames frame rows
+    (cardinality-changing mapInPandas). The decoder is injectable;
+    the deterministic fake slices the blob into n_frames chunks."""
+    if sampler is None:
+        sampler = deterministic_fake_frames
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, fr in enumerate(sampler(bytes(content), n_frames)):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def deterministic_fake_frames(content: bytes, n_frames: int) -> list[bytes]:
+    step = max(1, len(content) // n_frames)
+    return [content[i * step : (i + 1) * step] or b"\x00" for i in range(n_frames)]
+
+
 def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes], list[float]],

@@ -34,6 +34,34 @@ class TestMultimodal:
         first = {r["media_id"]: r["features"] for r in rows}
         assert again == first
 
+    def test_resize_plumbing(self, spark, tmp_path):
+        import os
+
+        d = str(tmp_path / "imgs2")
+        os.makedirs(d)
+        for i in range(3):
+            with open(os.path.join(d, f"i{i}.bin"), "wb") as f:
+                f.write(bytes([i]) * 64)
+        df = M.load_binary_dir(spark, d, kind="image")
+        out = M.resize_images(df, width=8, height=4)
+        rows = out.collect()
+        assert len(rows) == 3
+        assert all(len(bytes(r["content"])) == 32 for r in rows)
+        assert all((r["width"], r["height"]) == (8, 4) for r in rows)
+
+    def test_frame_sampling_changes_cardinality(self, spark, tmp_path):
+        import os
+
+        d = str(tmp_path / "vids")
+        os.makedirs(d)
+        with open(os.path.join(d, "v.bin"), "wb") as f:
+            f.write(bytes(range(100)))
+        df = M.load_binary_dir(spark, d, kind="video")
+        frames = M.sample_frames(df, n_frames=4)
+        rows = sorted(frames.collect(), key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in rows] == [0, 1, 2, 3]
+        assert bytes(rows[0]["frame"]) == bytes(range(25))
+
     def test_decode_image_is_explicit_stub(self, spark):
         with pytest.raises(NotImplementedError, match="codec backend"):
             M.decode_image(None)
