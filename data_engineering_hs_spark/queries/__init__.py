@@ -15,4 +15,5 @@ def load_all() -> None:
         model_q,
         advanced,
         tpch_extra,
+        windows_extra,
     )
