@@ -44,6 +44,11 @@ TEMPLATES = [
        ORDER BY k ASC NULLS FIRST, g ASC NULLS FIRST, v ASC NULLS FIRST
        LIMIT 5""",
     "SELECT COALESCE(k, 'missing') AS k2, COUNT(*) AS n FROM t GROUP BY COALESCE(k, 'missing')",
+    """SELECT k, g, v,
+       ROW_NUMBER() OVER (PARTITION BY k
+                          ORDER BY g ASC NULLS FIRST, v ASC NULLS FIRST) AS rn
+       FROM t""",
+    "SELECT k, v, CAST(SUM(v) OVER (PARTITION BY k) AS BIGINT) AS s FROM t",
 ]
 
 
