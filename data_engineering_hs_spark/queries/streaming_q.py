@@ -127,6 +127,42 @@ def st_wordcount_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_sliding_windows",
+    oracle="""
+WITH grids AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS window_start,
+       event_type, COUNT(*) AS n
+FROM grids GROUP BY 1, 2
+""",
+    doc="sliding event-time windows (1 h window, 30 min slide — each "
+    "event counts in exactly two windows), streamed and drained; "
+    "oracle is the two-offset tumbling-grid union",
+)
+def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_stream(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    out = _drain(windowed, spark, "complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
     "st_session_windows",
     oracle=None,  # session-window semantics have no clean single-pass
     # SQL equivalent → rows-only; behavior pinned in tests
