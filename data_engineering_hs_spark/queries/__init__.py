@@ -16,4 +16,5 @@ def load_all() -> None:
         advanced,
         tpch_extra,
         windows_extra,
+        agg_extra,
     )
