@@ -79,6 +79,97 @@ def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_argmin_join_back",
+    oracle="""
+WITH mins AS (
+  SELECT l_partkey, MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey, m.min_cents,
+       MIN(l.l_suppkey) AS cheapest_suppkey
+FROM lineitem l
+JOIN mins m ON l.l_partkey = m.l_partkey
+           AND CAST(round(l.l_extendedprice * 100) AS BIGINT) = m.min_cents
+GROUP BY l.l_partkey, m.min_cents
+""",
+    doc="argmin join-back (TPC-H Q2 / correlated MIN subquery shape): "
+    "per-group minimum computed once, joined back to recover the "
+    "row(s) attaining it, deterministic tie-break",
+)
+def j_argmin_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = money_cents("l_extendedprice")
+    base = l.select("l_partkey", "l_suppkey", cents.alias("cents")).alias("b")
+    mins = (
+        l.select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.min("cents").alias("min_cents"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        base.join(
+            mins,
+            (F.col("b.l_partkey") == F.col("m_partkey"))
+            & (F.col("b.cents") == F.col("min_cents")),
+        )
+        .groupBy(F.col("b.l_partkey").alias("l_partkey"), "min_cents")
+        .agg(F.min("l_suppkey").alias("cheapest_suppkey"))
+    )
+
+
+@register(
+    "o_date_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders WHERE o_custkey = 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start
+  FROM bounds
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey = 1
+  GROUP BY 1
+)
+SELECT strftime(CAST(date_trunc('month', s.month_start) AS DATE), '%Y-%m-%d')
+         AS month_start,
+       CAST(COALESCE(CAST(SUM(m.cents) AS BIGINT), 0) AS BIGINT) AS cents
+FROM spine s
+LEFT JOIN monthly m ON date_trunc('month', s.month_start) = m.month_start
+GROUP BY 1 ORDER BY 1
+""",
+    doc="date-spine gap fill: generate a continuous month sequence "
+    "(F.sequence + explode) and left-join sparse facts so empty "
+    "periods report zero — the BI calendar-spine operator",
+)
+def o_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 1)
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    ).select(F.trunc("month_start", "month").alias("month_start"))
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month_start")
+    ).agg(F.sum(money_cents("o_totalprice")).alias("cents"))
+    return (
+        spine.join(monthly, "month_start", "left")
+        .groupBy("month_start")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+        .select(
+            F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+            "cents",
+        )
+        .orderBy("month_start")
+    )
+
+
+@register(
     "w_share_of_total",
     oracle="""
 WITH agg AS (
