@@ -170,6 +170,62 @@ def o_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u_union_schema_evolution",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal, src FROM (
+  SELECT c_custkey, c_name, c_acctbal, 'full' AS src
+  FROM customer WHERE c_custkey <= 20
+  UNION ALL
+  SELECT c_custkey, c_name, NULL AS c_acctbal, 'slim' AS src
+  FROM customer WHERE c_custkey > 130
+) t
+""",
+    doc="schema-evolution union: unionByName(allowMissingColumns) fills "
+    "absent columns with NULL — the multi-vintage ingestion shape",
+)
+def u_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    full = c.filter(F.col("c_custkey") <= 20).select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("full").alias("src")
+    )
+    slim = c.filter(F.col("c_custkey") > 130).select(
+        "c_custkey", "c_name", F.lit("slim").alias("src")
+    )
+    return full.unionByName(slim, allowMissingColumns=True)
+
+
+@register(
+    "f_date_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE),
+                '%Y-%m-%d') AS plus_3_months,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS whole_months_since_95
+FROM orders WHERE o_orderkey <= 1000
+""",
+    doc="date arithmetic family: datediff, add_months, last_day, "
+    "whole-month difference (F11/F14 depth)",
+)
+def f_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    epoch95 = F.lit("1995-01-01").cast("date")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.datediff(d, epoch95).alias("days_since_95"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        # DuckDB's month date_diff counts month-boundary crossings.
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+        ).cast("long").alias("whole_months_since_95"),
+    )
+
+
+@register(
     "w_share_of_total",
     oracle="""
 WITH agg AS (
