@@ -189,7 +189,9 @@ WHERE l_quantity >= 45
   AND l_returnflag IN ('A', 'R')
   AND l_discount BETWEEN 0.05 AND 0.07
 """,
-    doc="compound boolean + isin + range predicates (P5-P8)",
+    doc="compound boolean + isin + range predicates (P5-P8) — the "
+    "lab01 full-scan-filter baseline shape (13.2 s pandas at 9.4M rows)",
+    bench=True,
 )
 def p_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")

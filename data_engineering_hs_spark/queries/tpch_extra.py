@@ -131,6 +131,58 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_share",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+             THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+             ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+              AS DOUBLE) AS promo_share,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+    doc="TPC-H Q14 shape: conditional-revenue ratio over a dim join "
+    "(promo share) — exact cents make the ratio deterministic",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("long"))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+            "promo_share"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS-filtered order counts by priority "
+    "(semi-join feeding an aggregate)",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "f_map_ops",
     oracle="""
 SELECT l_orderkey, l_linenumber,
