@@ -79,6 +79,59 @@ def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_from_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+       (CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)
+         AS has_k
+FROM events WHERE event_id < 300
+""",
+    doc="typed from_json decode into a struct column + field access "
+    "(S16 full parity — the schema-enforced path next to "
+    "get_json_object's stringly one)",
+)
+def f_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.filter(F.col("event_id") < 300).withColumn(
+        "data", F.from_json("props", schema)
+    )
+    return parsed.select(
+        "event_id",
+        F.col("data.k").alias("k_typed"),
+        F.col("data.k").isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "a_bool_aggs",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="boolean aggregate family: count_if / bool_and (every) / "
+    "bool_or (any)",
+)
+def a_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "j_argmin_join_back",
     oracle="""
 WITH mins AS (
