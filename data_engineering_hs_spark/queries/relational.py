@@ -79,11 +79,13 @@ def flagship_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
-    # customer/nation are broadcastable dims at any SF; orders-lineitem is
-    # the genuinely big join and shuffles on the key (AQE-managed).
+    # Only nation (25 rows, SF-invariant) gets a broadcast hint.
+    # customer GROWS with scale factor (150k×SF — tens of GB at the
+    # 100-TB target), so its join is left to AQE: small at test SFs it
+    # converts to broadcast at runtime, big in production it shuffles.
     base = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .filter(F.col("o_orderstatus") != "X")
         .select(

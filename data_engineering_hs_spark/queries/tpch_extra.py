@@ -77,7 +77,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg((F.sum(rev).cast("double") / 100.0).alias("revenue"))
@@ -118,7 +118,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big.select("l_orderkey"), o.o_orderkey == big.l_orderkey, "left_semi")
         .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -151,7 +151,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("long"))
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
             "promo_share"
         ),
