@@ -35,8 +35,31 @@ TESTDATA_TABLES = (
 )
 
 # Small dimensions safe to broadcast at any scale factor: their
-# cardinality is fixed (region=5, nation=25) or grows sub-linearly.
-BROADCASTABLE_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# cardinality is FIXED (region=5, nation=25). customer/supplier/part
+# grow linearly with SF and must NOT be force-broadcast — at the
+# 100-TB target they are tens of GB; size-based planning / AQE
+# decides their join strategy.
+BROADCASTABLE_TABLES = frozenset({"region", "nation"})
+
+# Optional per-session table cache for the driver's correctness sweep:
+# it runs ~90 queries back-to-back on the same tiny (sf≤0.01) tables,
+# so re-scanning parquet per query is pure fixed cost. OFF by default
+# (tests assert parquet-scan plan shapes like PushedFilters; bench
+# keeps scans honest); __spark_entry__ turns it on for the driver.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE_ENABLED = False
+
+
+def enable_table_cache(enabled: bool = True) -> None:
+    """Cache load_table results per (session, sf_dir, table).
+
+    Only sane for small scale factors (the cached frames pin memory);
+    the driver's sf0.01 correctness sweep is the intended user.
+    """
+    global _TABLE_CACHE_ENABLED
+    _TABLE_CACHE_ENABLED = enabled
+    if not enabled:
+        _TABLE_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,15 +73,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine's time semantics are UTC (SURVEY.md §1.2); pin it even
     # when the caller's session was built elsewhere (e.g. the driver).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark.sparkContext), sf_dir, name)
+    if _TABLE_CACHE_ENABLED and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(path).withColumn(
+        df = spark.read.parquet(path).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if _TABLE_CACHE_ENABLED:
+        df = df.cache()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

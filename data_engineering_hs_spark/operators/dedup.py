@@ -47,10 +47,16 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     the data never leaves executors. This is the standard production
     step after LSH: collapse candidate pairs into dedup clusters.
     """
+    # Materialize the edge list ONCE: `pairs` is typically an
+    # expensive pipeline (LSH + verify, or an all-pairs Jaccard) and
+    # every propagation round joins against it — without this
+    # checkpoint each round would re-run that whole pipeline (and the
+    # convergence count would run it a second time per round).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -72,13 +78,16 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
+        # Checkpoint BEFORE the convergence count so the round's join
+        # executes once and the count reads the materialized result.
+        prev = labels
+        labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
+            labels.alias("u")
+            .join(prev.alias("l"), "node")
             .filter(F.col("u.component") != F.col("l.component"))
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
@@ -204,9 +213,11 @@ def minhash_lsh_pairs(
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
+        .withColumn("truncated", F.size("ids") > max_bucket_size)
         .withColumn("ids", F.slice("ids", 1, max_bucket_size))
     )
     pairs = buckets.select(
+        "truncated",
         F.explode(
             F.flatten(
                 F.transform(
@@ -219,9 +230,14 @@ def minhash_lsh_pairs(
                     ),
                 )
             )
-        ).alias("p")
+        ).alias("p"),
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    # one row per pair; truncated = any contributing bucket was capped,
+    # so callers can tell complete output from bounded output
+    return (
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.max("truncated").alias("truncated"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -307,14 +323,23 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming →
+    (id_a, id_b, hamming, truncated).
 
-    Blocking: split the 64-bit hash into 4 16-bit chunks; any pair
-    within distance 3 shares at least one exact chunk (pigeonhole),
-    and generally chunk-equality is the candidate filter — the
-    standard Manku et al. (WWW'07) rotation/blocking scheme, here with
-    chunk buckets + exact popcount verify.
+    Blocking (Manku et al., WWW'07): split the 64-bit hash into
+    max_hamming+1 near-even chunks (clamped to [4, 16]) — by
+    pigeonhole, any pair within the advertised distance differs in at
+    most max_hamming chunks and therefore SHARES at least one exact
+    chunk, so recall is complete up to min(max_hamming, n_chunks-1)
+    (a max_hamming > 15 exceeds what 16 chunks can guarantee; the
+    clamp exists because sub-4-bit chunks bucket everything together).
+    Chunk-equality is the candidate filter; exact popcount verifies.
+    `truncated` marks pairs from buckets capped at 1000 members.
     """
+    n_chunks = min(16, max(4, max_hamming + 1))
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sims = simhash64(df, text_col, id_col).filter(F.col("simhash").isNotNull())
     chunks = sims.select(
         F.col(id_col),
@@ -322,8 +347,10 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("int")
-                    for i in range(4)
+                    F.shiftright("simhash", offsets[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .cast("int")
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -339,9 +366,11 @@ def simhash_near_pairs(
             ).alias("members")
         )
         .filter(F.size("members") > 1)
+        .withColumn("truncated", F.size("members") > 1000)
         .withColumn("members", F.slice("members", 1, 1000))
     )
     pairs = buckets.select(
+        "truncated",
         F.explode(
             F.flatten(
                 F.transform(
@@ -362,10 +391,11 @@ def simhash_near_pairs(
                     ),
                 )
             )
-        ).alias("p")
+        ).alias("p"),
     )
     return (
-        pairs.select("p.id_a", "p.id_b", "p.hamming")
+        pairs.select("p.id_a", "p.id_b", "p.hamming", "truncated")
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .groupBy("id_a", "id_b", "hamming")
+        .agg(F.max("truncated").alias("truncated"))
     )

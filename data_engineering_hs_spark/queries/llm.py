@@ -196,8 +196,8 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_simhash_pairs",
     oracle=None,  # hash-family-specific → rows-only; pinned in tests
-    doc="SimHash near-dup pairs: 64-bit signature, 16-bit chunk blocking, "
-    "Hamming ≤ 8 verify",
+    doc="SimHash near-dup pairs: 64-bit signature, 9-chunk Manku "
+    "blocking (complete recall at Hamming ≤ 8), popcount verify",
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -328,5 +328,9 @@ def s_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH buckets + exact verify",
 )
 def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic embeddings are isotropic (no true near-dups), so a
+    # production threshold like 0.95 returns nothing; 0.25 selects the
+    # top of the same-bucket cosine distribution so the check is
+    # non-vacuous (16 pairs at sf0.01).
     e = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(e, threshold=0.5).orderBy("id_a", "id_b")
+    return S.embedding_near_dups(e, threshold=0.25).orderBy("id_a", "id_b")

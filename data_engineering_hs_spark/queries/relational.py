@@ -209,14 +209,16 @@ def p_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey, p_name, p_type
 FROM part
-WHERE p_type ILIKE '%brass%' OR p_name ILIKE 'a%'
+WHERE p_type ILIKE '%promo%' OR p_name ILIKE 'red%'
 """,
-    doc="case-insensitive pattern match (P9, F6) — lab03 ILIKE parity",
+    doc="case-insensitive pattern match (P9, F6) — lab03 ILIKE parity; "
+    "'%promo%' only matches the uppercase PROMO types through ILIKE, "
+    "so the result is non-empty AND proves case-insensitivity",
 )
 def p_ilike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_type").ilike("%brass%") | F.col("p_name").ilike("a%")
+        F.col("p_type").ilike("%promo%") | F.col("p_name").ilike("red%")
     ).select("p_partkey", "p_name", "p_type")
 
 
@@ -350,13 +352,17 @@ def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_anti_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
 """,
-    doc="left-anti join: NOT EXISTS / upsert-dedup core (S21 extension)",
+    doc="left-anti join: NOT EXISTS / upsert-dedup core (S21 extension); "
+    "customers with no high-value order — every customer has SOME "
+    "order in the testdata, so the unfiltered version was vacuous",
 )
 def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return R.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
 
 
@@ -699,7 +705,8 @@ SELECT 'orders.o_orderkey.not_null' AS check_name,
 UNION ALL
 SELECT 'orders.o_orderkey.unique' AS check_name,
        CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS violations FROM (
-  SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+  SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+  GROUP BY o_orderkey HAVING COUNT(*) > 1
 ) d
 UNION ALL
 SELECT 'orders.o_orderstatus.accepted_values' AS check_name,

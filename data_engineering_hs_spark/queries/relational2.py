@@ -240,7 +240,7 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'REGION_0'
+WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, nation
 """,
@@ -254,7 +254,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
         "long"
     )

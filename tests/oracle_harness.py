@@ -77,6 +77,12 @@ def _canon_df(pdf):
     return cols, sorted(rows)
 
 
+# Queries where an empty result would be a finding in itself; for
+# everything else a 0-row "match" is vacuous (it only proves both
+# engines found nothing) and the harness flags it.
+EMPTINESS_OK: frozenset[str] = frozenset()
+
+
 def compare_query(spark, name: str, sf_dir: str) -> list[str]:
     """Returns a list of problems (empty = match)."""
     from data_engineering_hs_spark.queries import REGISTRY
@@ -84,6 +90,8 @@ def compare_query(spark, name: str, sf_dir: str) -> list[str]:
     q = REGISTRY[name]
     problems: list[str] = []
     spark_pdf = q.fn(spark, sf_dir).toPandas()
+    if len(spark_pdf) == 0 and name not in EMPTINESS_OK:
+        problems.append("vacuous: query returns 0 rows")
     if q.oracle is None:
         if len(spark_pdf.columns) == 0:
             problems.append("no columns")
