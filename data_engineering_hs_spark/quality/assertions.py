@@ -40,9 +40,14 @@ def not_null_violations(df: DataFrame, col: str, table: str = "t") -> DataFrame:
 
 def unique_violations(df: DataFrame, col: str, table: str = "t") -> DataFrame:
     """Count of surplus duplicate rows on `col` (dbt unique): sum(n-1)
-    over groups with n>1, so a clean column reports 0."""
+    over groups with n>1, so a clean column reports 0.
+
+    NULL keys are ignored, matching dbt's `unique` test — nullness is
+    not_null's job, and two NULLs are not equal to each other.
+    """
     dups = (
-        df.groupBy(col)
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
         .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations"))

@@ -41,13 +41,15 @@ def upsert_parquet(
         fresh = deduped.join(existing_keys, list(keys), "left_anti")
     else:
         fresh = deduped
-    # Materialize the anti-join BEFORE appending: the lazy plan would
-    # otherwise re-scan the target mid-write.
-    fresh = fresh.cache()
+    # Materialize the anti-join BEFORE appending. cache()+count() is
+    # NOT a correctness barrier — evicted partitions recompute lazily
+    # during the write and would re-scan the target mid-append;
+    # localCheckpoint truncates the lineage so the write can't see its
+    # own output.
+    fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(target_path)
-    fresh.unpersist()
     return n
 
 

@@ -115,8 +115,12 @@ def file_watch_ingest(
         spark = batch.sparkSession
         good = batch
         if valid_predicate is not None:
-            bad = batch.filter(~valid_predicate)
-            good = batch.filter(valid_predicate)
+            # NULL-safe split: `pred` and `~pred` both drop NULL rows
+            # (e.g. `col > 0` on a null column), which would silently
+            # lose data in a pipeline whose quarantine exists to keep
+            # bad rows. eqNullSafe routes every row to exactly one sink.
+            good = batch.filter(valid_predicate.eqNullSafe(True))
+            bad = batch.filter(~valid_predicate.eqNullSafe(True))
             if quarantine_dir is not None:
                 bad.withColumn("batch_id", F.lit(batch_id)).write.mode(
                     "append"

@@ -304,3 +304,19 @@ class TestEmbeddingNearDup:
         import re
 
         assert len(re.findall(r"collect_list", plan)) == 1
+
+
+class TestDbtAssertionSemantics:
+    def test_unique_ignores_nulls(self, spark):
+        # dbt `unique` semantics: NULL keys are not compared to each
+        # other; nullness is not_null's job.
+        from data_engineering_hs_spark.quality.assertions import (
+            not_null_violations,
+            unique_violations,
+        )
+
+        df = spark.createDataFrame(
+            [(None,), (None,), ("a",), ("a",), ("b",)], ["k"]
+        )
+        assert unique_violations(df, "k").collect()[0]["violations"] == 1
+        assert not_null_violations(df, "k").collect()[0]["violations"] == 2

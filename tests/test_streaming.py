@@ -112,8 +112,11 @@ class TestFileWatchIngest:
         quarantine = str(tmp_path / "bad")
         ckpt = str(tmp_path / "ckpt")
         os.makedirs(src)
+        # t0 has a NULL fuel_units: the predicate evaluates to NULL,
+        # which must route to quarantine, not vanish (every input row
+        # lands in exactly one sink).
         spark.createDataFrame(
-            [("t1", 10.0), ("t2", -5.0), ("t1", 10.0)], FUEL_SCHEMA
+            [("t1", 10.0), ("t2", -5.0), ("t1", 10.0), ("t0", None)], FUEL_SCHEMA
         ).coalesce(1).write.mode("append").parquet(src)
 
         stream = spark.readStream.schema(FUEL_SCHEMA).parquet(src)
@@ -127,10 +130,9 @@ class TestFileWatchIngest:
         )
         q.awaitTermination()
         good = spark.read.parquet(target)
-        assert good.count() == 1  # t1 deduped, t2 quarantined
+        assert good.count() == 1  # t1 deduped, t2 + null-t0 quarantined
         bad = spark.read.parquet(quarantine)
-        assert bad.count() == 1
-        assert bad.collect()[0]["transaction_id"] == "t2"
+        assert sorted(r["transaction_id"] for r in bad.collect()) == ["t0", "t2"]
 
         # A later drop re-sends t1 (duplicate) + new t3 → only t3 lands.
         spark.createDataFrame(
