@@ -1,0 +1,165 @@
+"""JDBC upsert sink: foreachBatch → staging table → MERGE.
+
+The reference's lab05 DAG loads each parquet drop into Postgres with
+`INSERT ... ON CONFLICT (transaction_id) DO NOTHING`, batched 1000
+rows per executemany (fuel_ingest_dag.py:169-182). The Spark-native
+shape of that pattern is:
+
+  foreachBatch(batch) →
+      batch.write.jdbc(staging table, overwrite, batchsize=N)
+    → one driver-side MERGE from staging into the target keyed on
+      the conflict columns (DO NOTHING ⇒ WHEN NOT MATCHED INSERT;
+      upsert ⇒ + WHEN MATCHED UPDATE)
+
+The bulk data path stays distributed (every executor writes its
+partitions over JDBC); only the constant-size MERGE statement runs on
+the driver. That is the standard warehouse pattern — per-row upserts
+from executors would serialize on row locks.
+
+Tested against the Derby embedded engine that ships with Spark (the
+Hive-metastore dependency), which supports standard MERGE since
+10.11; any JDBC URL whose driver jar is on the classpath works the
+same way. `sources.upsert.upsert_parquet` remains the no-JDBC
+fallback with identical idempotency semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _execute_driver_sql(spark: SparkSession, url: str, statements: Sequence[str]) -> None:
+    """Run DDL/DML on the driver through java.sql.DriverManager."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def _table_exists(spark: SparkSession, url: str, table: str) -> bool:
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+        found = rs.next()
+        rs.close()
+        return bool(found)
+    finally:
+        conn.close()
+
+
+def jdbc_upsert_batch(
+    batch: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    update_on_match: bool = False,
+    staging_table: str | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """Upsert one (micro)batch into a JDBC table.
+
+    insert-if-absent by default (the reference's ON CONFLICT DO
+    NOTHING); update_on_match=True also updates non-key columns
+    (full upsert). Batch rows are deduped on the keys first so the
+    MERGE source is conflict-free.
+    """
+    spark = batch.sparkSession
+    stage = staging_table or f"{table}_stage"
+    deduped = batch.dropDuplicates(list(keys))
+    writer = (
+        deduped.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", stage)
+        .option("batchsize", str(batch_size))
+        .option("truncate", "true")
+        .mode("overwrite")
+    )
+    # Spark's Derby dialect maps StringType to CLOB, which Derby can't
+    # compare in a MERGE join; force VARCHAR for string columns so the
+    # key equality binds (harmless for other backends' dialects).
+    string_cols = [f.name for f in deduped.schema.fields if f.dataType.typeName() == "string"]
+    if string_cols:
+        writer = writer.option(
+            "createTableColumnTypes",
+            ", ".join(f"{c} VARCHAR(1024)" for c in string_cols),
+        )
+    writer.save()
+    if not _table_exists(spark, url, table):
+        # Derby/ANSI: clone the staging schema without rows.
+        _execute_driver_sql(
+            spark,
+            url,
+            [f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA"],
+        )
+    # Spark's JDBC writer emits column names QUOTED (so Derby stores
+    # them case-sensitive lowercase) but table names unquoted; the
+    # driver-side SQL must match that convention.
+    def q(c: str) -> str:
+        return '"' + c + '"'
+
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    cols = deduped.columns
+    non_keys = [c for c in cols if c not in set(keys)]
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    merge = (
+        f"MERGE INTO {table} t USING {stage} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+    if update_on_match and non_keys:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+        merge = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+    _execute_driver_sql(spark, url, [merge])
+
+
+def foreach_batch_jdbc_upsert(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    update_on_match: bool = False,
+    batch_size: int = 1000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest → JDBC upsert, idempotent under batch replay.
+
+    foreachBatch + checkpoint gives at-least-once batch delivery; the
+    keyed MERGE makes redelivery a no-op, which upgrades the sink to
+    effectively-exactly-once — the same contract the reference's DAG
+    gets from ON CONFLICT DO NOTHING plus its filename watermark.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        jdbc_upsert_batch(
+            batch,
+            url,
+            table,
+            keys,
+            update_on_match=update_on_match,
+            batch_size=batch_size,
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_jdbc_table(spark: SparkSession, url: str, table: str) -> DataFrame:
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).load()

@@ -15,9 +15,12 @@ parquet dataset:
 
 At scale the anti-join reads only the key columns of the target
 (column pruning) and broadcasts the batch keys when small. True
-atomic MERGE needs a table format (Delta/Iceberg — jars absent here);
-the idempotency contract (re-running the same batch is a no-op) is
-what the reference actually relies on, and is tested.
+atomic MERGE needs a table format (Delta/Iceberg — jars absent here)
+or a JDBC target: sources/jdbc.py implements the real
+staging-table + MERGE path against any JDBC database (tested on the
+Derby engine Spark bundles). The idempotency contract (re-running
+the same batch is a no-op) is what the reference actually relies on,
+and is tested for both sinks.
 """
 
 from __future__ import annotations

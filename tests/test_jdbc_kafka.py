@@ -1,0 +1,120 @@
+"""JDBC upsert sink (Derby embedded) and real-Kafka reader seams.
+
+Derby ships with Spark (Hive-metastore dependency), so the
+foreachBatch → staging → MERGE path runs for real here. The
+spark-sql-kafka connector does NOT ship with PySpark, so the reader
+tests validate construction and gate the load on connector presence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_hs_spark.sources.jdbc import (
+    foreach_batch_jdbc_upsert,
+    jdbc_upsert_batch,
+    read_jdbc_table,
+)
+from data_engineering_hs_spark.sources.kafka import (
+    kafka_connector_available,
+    kafka_stream_reader,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("transaction_id", T.StringType()),
+        T.StructField("fuel_units", T.DoubleType()),
+    ]
+)
+
+
+class TestJdbcUpsert:
+    def test_insert_ignore_and_upsert(self, spark):
+        url = "jdbc:derby:memory:test_ins;create=true"
+        b1 = spark.createDataFrame(
+            [("t1", 10.0), ("t2", 5.0), ("t1", 10.0)], SCHEMA
+        )
+        jdbc_upsert_batch(b1, url, "fuel", ["transaction_id"])
+        rows = {
+            r["transaction_id"]: r["fuel_units"]
+            for r in read_jdbc_table(spark, url, "fuel").collect()
+        }
+        assert rows == {"t1": 10.0, "t2": 5.0}  # intra-batch dedup
+
+        # ON CONFLICT DO NOTHING: replayed t1 keeps its old value
+        b2 = spark.createDataFrame([("t1", 99.0), ("t3", 7.0)], SCHEMA)
+        jdbc_upsert_batch(b2, url, "fuel", ["transaction_id"])
+        rows = {
+            r["transaction_id"]: r["fuel_units"]
+            for r in read_jdbc_table(spark, url, "fuel").collect()
+        }
+        assert rows == {"t1": 10.0, "t2": 5.0, "t3": 7.0}
+
+        # full upsert: matched rows update
+        jdbc_upsert_batch(b2, url, "fuel", ["transaction_id"], update_on_match=True)
+        rows = {
+            r["transaction_id"]: r["fuel_units"]
+            for r in read_jdbc_table(spark, url, "fuel").collect()
+        }
+        assert rows == {"t1": 99.0, "t2": 5.0, "t3": 7.0}
+
+    def test_streaming_foreachbatch_replay_idempotent(self, spark, tmp_path):
+        # fuel_ingest_dag.py:169-182 shape: file-watch source →
+        # foreachBatch JDBC upsert; re-running the stream with a FRESH
+        # checkpoint replays batch 0 and must not duplicate rows.
+        url = "jdbc:derby:memory:test_stream;create=true"
+        src = str(tmp_path / "drops")
+        os.makedirs(src)
+        spark.createDataFrame([("t1", 10.0), ("t2", 5.0)], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        def run(ckpt: str) -> None:
+            stream = spark.readStream.schema(SCHEMA).parquet(src)
+            q = foreach_batch_jdbc_upsert(
+                stream, url, "fuel_s", ["transaction_id"], checkpoint_dir=ckpt
+            )
+            q.awaitTermination()
+
+        run(str(tmp_path / "ckpt1"))
+        run(str(tmp_path / "ckpt2"))  # full replay
+        rows = read_jdbc_table(spark, url, "fuel_s").collect()
+        assert sorted(r["transaction_id"] for r in rows) == ["t1", "t2"]
+
+
+class TestKafkaReaderSeam:
+    def test_reader_constructs_with_reference_options(self, spark):
+        reader = kafka_stream_reader(
+            spark,
+            "localhost:9092",
+            "fuel_topic",
+            starting_offsets="earliest",
+            max_offsets_per_trigger=1000,
+        )
+        if not kafka_connector_available(spark):
+            # Source resolution must fail on the MISSING CONNECTOR,
+            # proving the option path executed up to lookup — not on
+            # an option typo (those fail later, at option validation).
+            with pytest.raises(Exception, match="(?i)kafka"):
+                reader.load()
+            pytest.skip("spark-sql-kafka connector not on classpath")
+        df = reader.load()
+        # with the connector present, the standard kafka schema resolves
+        assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+        bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+        if not bootstrap:
+            pytest.skip("no broker: set KAFKA_BOOTSTRAP for the live test")
+        live = kafka_stream_reader(spark, bootstrap, "fuel_topic").load()
+        q = (
+            live.selectExpr("CAST(value AS STRING) AS v")
+            .writeStream.format("memory")
+            .queryName("kafka_live")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.sql("SELECT COUNT(*) FROM kafka_live").collect()[0][0] >= 0
