@@ -168,14 +168,110 @@ class ModelRunner:
         out.write.partitionBy(m.partition_by).mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    # -- graph / selectors -------------------------------------------------
+
+    def graph(self) -> dict[str, set[str]]:
+        """model -> direct ref() parents, discovered by a recording
+        dry-run. Model fns only BUILD DataFrames (lazy plans — no
+        Spark actions), so executing each once with a recording
+        context is cheap and needs no static dep declarations —
+        the same way dbt compiles Jinja to learn the graph."""
+        parents: dict[str, set[str]] = {name: set() for name in self.models}
+        built: dict[str, DataFrame] = {}
+        building: set[str] = set()
+        runner = self
+
+        class _Recorder(ModelContext):
+            def __init__(self, model: Model):
+                super().__init__(runner, model)
+                self._name = model.name
+
+            def ref(self, name: str) -> DataFrame:  # noqa: D102
+                parents[self._name].add(name)
+                return dry(name)
+
+        def dry(name: str) -> DataFrame:
+            if name in built:
+                return built[name]
+            if name in building:
+                raise ValueError(f"ref cycle at {name}")
+            if name not in self.models:
+                raise KeyError(f"unknown model {name}")
+            building.add(name)
+            try:
+                df = self.models[name].fn(_Recorder(self.models[name]))
+            finally:
+                building.discard(name)
+            built[name] = df
+            return df
+
+        for name in self.models:
+            dry(name)
+        return parents
+
+    def select_models(self, selectors: str | Sequence[str]) -> list[str]:
+        """dbt-style selection: `name` (the model), `+name` (model and
+        all ancestors), `name+` (model and all descendants), `+name+`
+        (both). Returns registration order, which run() resolves
+        dependency-first via ref() recursion anyway."""
+        if isinstance(selectors, str):
+            selectors = [selectors]
+        parents = self.graph()
+        children: dict[str, set[str]] = {n: set() for n in self.models}
+        for child, ps in parents.items():
+            for p in ps:
+                children[p].add(child)
+
+        def closure(start: str, edges: dict[str, set[str]]) -> set[str]:
+            out, stack = set(), [start]
+            while stack:
+                n = stack.pop()
+                if n in out:
+                    continue
+                out.add(n)
+                stack.extend(edges[n])
+            return out
+
+        chosen: set[str] = set()
+        for sel in selectors:
+            up = sel.startswith("+")
+            down = sel.endswith("+")
+            name = sel.strip("+")
+            if name not in self.models:
+                raise KeyError(f"unknown model {name}")
+            chosen.add(name)
+            if up:
+                chosen |= closure(name, parents)
+            if down:
+                chosen |= closure(name, children)
+        return [n for n in self.models if n in chosen]
+
+    def lineage(self) -> str:
+        """`dbt docs`-style lineage dump: one line per model with
+        materialization, direct parents, and check count."""
+        parents = self.graph()
+        lines = []
+        for name, m in self.models.items():
+            deps = ", ".join(sorted(parents[name])) or "(sources only)"
+            extras = ""
+            if m.materialization == "incremental":
+                extras = f" key={m.unique_key} partition={m.partition_by}"
+            lines.append(
+                f"{name} [{m.materialization}{extras}] <- {deps}"
+                + (f" ({len(m.checks)} checks)" if m.checks else "")
+            )
+        return "\n".join(lines)
+
     # -- runs --------------------------------------------------------------
 
-    def run(self, select: Sequence[str] | None = None) -> dict[str, DataFrame]:
+    def run(self, select: str | Sequence[str] | None = None) -> dict[str, DataFrame]:
         """`dbt run`: build selected models (default: all) in dependency
-        order (ref() recursion is the toposort)."""
+        order (ref() recursion is the toposort). `select` accepts
+        dbt-style selectors (`+name`, `name+`) or plain names."""
         self._built.clear()
+        names = self.select_models(select) if select else list(self.models)
         out = {}
-        for name in select or list(self.models):
+        for name in names:
             out[name] = self._resolve(name)
         return out
 

@@ -142,3 +142,33 @@ class TestIncremental:
         df = spark.read.parquet(f"{wh}/fct_orders")
         assert df.count() == 3
         assert df.groupBy("order_id").count().filter(F.col("count") > 1).count() == 0
+
+
+class TestSelectorsAndLineage:
+    def test_graph_discovers_ref_edges(self, spark):
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        g = runner.graph()
+        assert g["fct_orders"] == {"stg_orders", "stg_payments"}
+        assert g["dim_customers"] == {"stg_customers"}
+        assert g["stg_orders"] == set()  # sources only
+
+    def test_plus_selectors(self, spark):
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        assert set(runner.select_models("+fct_orders")) == {
+            "stg_orders", "stg_payments", "fct_orders",
+        }
+        assert set(runner.select_models("stg_orders+")) == {
+            "stg_orders", "fct_orders",
+        }
+        assert runner.select_models("stg_payments") == ["stg_payments"]
+
+    def test_run_with_selector_builds_only_selection(self, spark):
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        out = runner.run(select="+fct_orders")
+        assert set(out) == {"stg_orders", "stg_payments", "fct_orders"}
+
+    def test_lineage_dump(self, spark):
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        text = runner.lineage()
+        assert "fct_orders" in text and "stg_orders, stg_payments" in text
+        assert "[incremental" in text or "[table" in text or "[view" in text
