@@ -81,16 +81,32 @@ def quality_score(c: ColumnOrName) -> Column:
 
 
 def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
-    """Distinct k-word shingles → array<string>. The shingle set is
-    the MinHash input; built with sequence+transform (no explode)."""
+    """Distinct k-word shingles → array<string> (the MinHash input).
+
+    Built by zipping the token array with its k-1 shifted slices:
+    shingle[i] = concat(tok[i], tok[i+1], ..., tok[i+k-1]). The
+    slices are expression ARGUMENTS (evaluated once per row); an
+    earlier sequence+transform form put `slice(tokens(text), i+1, k)`
+    INSIDE the lambda, re-splitting the whole text per shingle index
+    — O(words²) per document, measured ~4× slower on the MinHash
+    signature stage at sf0.1.
+    """
     toks = tokens(c)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    sh = toks
+    for j in range(1, k):
+        # zip_with pads the shorter side with NULL and concat_ws
+        # skips NULLs, so the trailing (k-1) short shingles are
+        # cut by the final slice to exactly n-k+1 entries.
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
+    sh = F.slice(sh, 1, F.greatest(n - k + 1, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
