@@ -15,6 +15,7 @@ def load_all() -> None:
         model_q,
         advanced,
         tpch_extra,
+        tpch_extra2,
         windows_extra,
         agg_extra,
     )
