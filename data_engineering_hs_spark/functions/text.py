@@ -80,8 +80,9 @@ def quality_score(c: ColumnOrName) -> Column:
     return F.round((len_score + punct_score + F.greatest(sw_score, F.lit(0.0))) / 3.0, 6)
 
 
-def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
-    """Distinct k-word shingles → array<string> (the MinHash input).
+def word_shingle_seq(c: ColumnOrName, k: int = 3) -> Column:
+    """POSITIONAL k-word shingles → array<string> (index i = shingle
+    starting at word i; duplicates kept — the winnowing input).
 
     Built by zipping the token array with its k-1 shifted slices:
     shingle[i] = concat(tok[i], tok[i+1], ..., tok[i+k-1]). The
@@ -104,9 +105,12 @@ def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
             lambda acc, t: F.concat_ws(" ", acc, t),
         )
     sh = F.slice(sh, 1, F.greatest(n - k + 1, F.lit(0)))
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
+    """Distinct k-word shingles → array<string> (the MinHash input)."""
+    return F.array_distinct(word_shingle_seq(c, k))
 
 
 def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
@@ -155,3 +159,27 @@ def lang_id(c: ColumnOrName) -> Column:
     )
     best = F.array_max(scores)
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# Conservative PII patterns, restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB) so the scrub is
+# cross-engine reproducible: no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(c: ColumnOrName) -> Column:
+    """Redact emails / IPv4s / phone-shaped numbers with typed tokens.
+
+    The standard pre-training corpus hygiene pass. Order matters
+    (emails first, so their host part can't half-match as an IP);
+    patterns are global-replace and engine-portable (see
+    PII_PATTERNS). Pure Column expression — codegen'd, no UDF.
+    """
+    out = _col(c)
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

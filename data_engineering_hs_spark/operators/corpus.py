@@ -1,0 +1,132 @@
+"""Corpus-level text hygiene operators (training-data pipeline).
+
+- common_ngrams: the C4-style boilerplate table — word n-grams that
+  occur in ≥ min_docs DISTINCT documents. At 100 TB this is the
+  frequent-pattern side table the cleaning pass filters against;
+  the shuffle carries (ngram, doc_id) pairs pre-deduped per doc.
+- boilerplate_ratio: per-document fraction of distinct shingles that
+  are corpus-frequent — a quality signal alongside
+  functions.text.quality_score (high ratio ⇒ template/boilerplate
+  page, a standard pre-training drop criterion).
+- winnowing_fingerprints: MOSS-style winnowing (Schleimer et al.,
+  SIGMOD'03) over word k-gram hashes: keep the minimum hash of every
+  sliding window of w consecutive grams, distinct per doc. The
+  guarantee: any shared run of ≥ w+k-1 words between two documents
+  shares at least one fingerprint, with ~2/(w+1) of grams kept —
+  bounded-size positional fingerprints for passage-level overlap
+  detection (finer than MinHash's whole-doc Jaccard).
+
+Physical shapes: everything reduces to explode → groupBy/window on
+(doc_id | ngram) keys — map-side partial aggregation applies, no
+self-joins, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.functions.text import word_shingle_seq, word_shingles
+
+
+def common_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(ngram, n_docs) for word n-grams in ≥ min_docs distinct docs.
+
+    Shingles are deduped per document BEFORE the shuffle (explode of
+    the distinct-shingle array), so n_docs = COUNT(*) — no expensive
+    COUNT(DISTINCT) on the reduce side.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k=n)).alias("ngram")
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, n_shingles, n_common, boilerplate_ratio) per document.
+
+    ratio = fraction of the doc's DISTINCT n-grams that are
+    corpus-frequent. The frequent table is usually small (heavy-tail
+    cutoff) but not provably so — the join is a plain equi-join on
+    the ngram and AQE may broadcast it; no hint is forced.
+    """
+    freq = common_ngrams(df, text_col, id_col, n=n, min_docs=min_docs).select(
+        "ngram", F.lit(True).alias("is_common")
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k=n)).alias("ngram")
+    )
+    per_doc = (
+        exploded.join(freq, "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("is_common"), 1)).alias("n_common"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "boilerplate_ratio"
+        ),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) — distinct winnowed k-gram hashes per doc.
+
+    posexplode the positional shingle hashes, take the min over each
+    sliding window of `window` grams (a RANGE-free ROWS frame — pure
+    window aggregate, one shuffle on the doc id), keep distinct
+    minima. Documents shorter than k+window-1 words yield the min of
+    whatever grams exist (≥1 gram ⇒ ≥1 fingerprint), matching the
+    reference algorithm's behavior on short inputs.
+    """
+    hashes = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingle_seq(text_col, k=k)).alias("pos", "shingle"),
+    ).select(F.col(id_col), F.col("pos"), F.xxhash64("shingle").alias("h"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    windowed = hashes.select(
+        F.col(id_col),
+        "pos",
+        F.min("h").over(w).alias("win_min"),
+        F.max("pos").over(Window.partitionBy(id_col)).alias("max_pos"),
+    )
+    # Only complete windows emit (plus the degenerate short-doc case
+    # where no complete window exists: pos 0 emits the global min).
+    complete = windowed.filter(
+        (F.col("pos") <= F.col("max_pos") - window + 1)
+        | ((F.col("max_pos") < window - 1) & (F.col("pos") == 0))
+    )
+    return complete.select(
+        F.col(id_col), F.col("win_min").alias("fingerprint")
+    ).distinct()

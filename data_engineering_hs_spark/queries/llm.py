@@ -334,3 +334,118 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-vacuous (16 pairs at sf0.01).
     e = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dups(e, threshold=0.25).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: boilerplate detection, winnowing, PII scrub
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = r"""
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)]) AS shingles
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+@register(
+    "t_common_ngrams",
+    oracle=f"""
+WITH {_SHINGLE_CTE}
+SELECT ngram, COUNT(*) AS n_docs
+FROM sh, UNNEST(shingles) AS t(ngram)
+GROUP BY ngram
+HAVING COUNT(*) >= 5
+""",
+    doc="C4-style boilerplate table: word 3-grams present in >=5 "
+    "distinct documents (per-doc dedup BEFORE the shuffle, so the "
+    "reduce side is a plain COUNT)",
+)
+def t_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators import corpus as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.common_ngrams(d, "text", "doc_id", n=3, min_docs=5)
+
+
+@register(
+    "t_boilerplate_ratio",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+freq AS (
+  SELECT ngram FROM sh, UNNEST(shingles) AS t(ngram)
+  GROUP BY ngram HAVING COUNT(*) >= 5
+),
+ex AS (SELECT doc_id, ngram FROM sh, UNNEST(shingles) AS t(ngram))
+SELECT ex.doc_id, COUNT(*) AS n_shingles,
+       COUNT(f.ngram) AS n_common,
+       CAST(COUNT(f.ngram) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+FROM ex LEFT JOIN freq f ON ex.ngram = f.ngram
+GROUP BY ex.doc_id
+""",
+    doc="per-document boilerplate ratio: fraction of distinct 3-grams "
+    "that are corpus-frequent (a standard pre-training drop signal)",
+)
+def t_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators import corpus as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.boilerplate_ratio(d, "text", "doc_id", n=3, min_docs=5)
+
+
+@register(
+    "d_winnow_fingerprints",
+    oracle=None,  # xxhash64 fingerprints → golden-pinned (test_query_goldens)
+    doc="MOSS winnowing: distinct sliding-window minima over word "
+    "3-gram hashes — passage-level overlap fingerprints (any shared "
+    "run of >=6 words shares a fingerprint)",
+)
+def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators import corpus as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.winnowing_fingerprints(d, "text", "doc_id", k=3, window=4)
+
+
+@register(
+    "f_pii_scrub",
+    oracle="""
+SELECT doc_id,
+       substring(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               'contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com or 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR)
+                 || '.1 call 555-123-4567 ' || text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         1, 80) AS scrubbed
+FROM documents
+""",
+    doc="PII scrub (email/IPv4/phone -> typed tokens) over documents "
+    "salted with deterministic synthetic PII; patterns restricted to "
+    "the Java-regex/RE2 common subset so both engines rewrite "
+    "identically",
+)
+def f_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 call 555-123-4567 "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id", F.substring(TX.scrub_pii(salted), 1, 80).alias("scrubbed")
+    )

@@ -320,3 +320,67 @@ class TestDbtAssertionSemantics:
         )
         assert unique_violations(df, "k").collect()[0]["violations"] == 1
         assert not_null_violations(df, "k").collect()[0]["violations"] == 2
+
+
+class TestCorpusOps:
+    def test_winnowing_guarantee_shared_run(self, spark):
+        # Schleimer et al.: with k-gram size k and window w, any shared
+        # word run of length >= w+k-1 (here 6) must share at least one
+        # fingerprint. Distinct docs share the planted 8-word run.
+        from data_engineering_hs_spark.operators.corpus import (
+            winnowing_fingerprints,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                (1, f"one two three {shared} four five six"),
+                (2, f"{shared} nine ten eleven twelve thirteen fourteen"),
+                (3, "totally different words with no overlap at all here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps = winnowing_fingerprints(df, "text", "doc_id", k=3, window=4)
+        by_doc = {
+            i: {r["fingerprint"] for r in fps.filter(F.col("doc_id") == i).collect()}
+            for i in (1, 2, 3)
+        }
+        assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+        assert not (by_doc[1] & by_doc[3])
+        # sampling bound: far fewer fingerprints than grams
+        assert len(by_doc[1]) < 12
+
+    def test_short_doc_still_fingerprints(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            winnowing_fingerprints,
+        )
+
+        df = spark.createDataFrame([(1, "just three words"), (2, "a b")], ["doc_id", "text"])
+        rows = winnowing_fingerprints(df, "text", "doc_id", k=3, window=4).collect()
+        # doc 1 has exactly one 3-gram -> one fingerprint; doc 2 has none
+        assert [r["doc_id"] for r in rows] == [1]
+
+    def test_boilerplate_ratio_bounds_and_signal(self, spark):
+        from data_engineering_hs_spark.operators.corpus import boilerplate_ratio
+
+        common = "subscribe to our newsletter for updates today"
+        rows = [(i, f"{common} unique{i} content{i} words{i} here{i}") for i in range(5)]
+        rows.append((99, "completely original text with no template at all ok"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["boilerplate_ratio"]
+            for r in boilerplate_ratio(df, "text", "doc_id", min_docs=3).collect()
+        }
+        assert out[0] > 0.4  # template-heavy
+        assert out[99] == 0.0
+        assert all(0.0 <= v <= 1.0 for v in out.values())
+
+    def test_scrub_pii(self, spark):
+        from data_engineering_hs_spark.functions.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.co from 192.168.0.1 call 555-123-4567 ok")],
+            ["id", "t"],
+        )
+        out = df.select(scrub_pii("t").alias("s")).collect()[0]["s"]
+        assert out == "mail <EMAIL> from <IP> call <PHONE> ok"

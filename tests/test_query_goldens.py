@@ -40,6 +40,7 @@ GOLDENS = {
     "s_lsh_topk": (25, "51893cf9ec4ef936209eabb25a8c3986"),
     "s_embedding_near_dup": (40, "c776fad1ffa2f66491aa2e5fa0cc7b66"),
     "st_session_windows": (9549, "fde46ec19869239d8247e71de6c02bfb"),
+    "d_winnow_fingerprints": (10137, "64a9cf95b131fb48f37450a5437f4be9"),
 }
 
 
