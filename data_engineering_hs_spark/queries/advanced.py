@@ -103,3 +103,43 @@ def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return dup_groups(pairs)
+
+
+@register(
+    "j_range_ship_window",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+ AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="range (interval) join via bucketization: intervals explode "
+    "into covered week buckets, points map to one bucket, equi-join "
+    "on (key, bucket) + exact bounds filter — the Flink-interval-join "
+    "shape instead of Spark's nested-loop BETWEEN plan",
+)
+def j_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.range_join import range_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_timestamp(F.to_date("o_orderdate")).alias("w_start"),
+        (F.unix_timestamp(F.to_date("o_orderdate")) + 30 * 86400).alias("w_end"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.unix_timestamp(F.to_date("l_shipdate")).alias("ship_s"),
+    )
+    joined = range_join(
+        l, o, point_col="ship_s", start_col="w_start", end_col="w_end",
+        on="o_orderkey", bucket_width=7 * 86400,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy("o_orderpriority")
+    )

@@ -91,3 +91,55 @@ class TestDupComponents:
         got = {r["doc_id"]: r["component"] for r in dup_groups(pairs).collect()}
         assert {got[7], got[8], got[9]} == {7}
         assert {got[20], got[21], got[22], got[23]} == {20}
+
+
+class TestRangeJoin:
+    def _data(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 5), (1, 25), (1, 95), (2, 15), (3, 50)], ["k", "t"]
+        )
+        ivs = spark.createDataFrame(
+            [(1, 0, 30, "a"), (1, 20, 40, "b"), (2, 10, 15, "c"), (9, 0, 100, "z")],
+            ["k", "lo", "hi", "tag"],
+        )
+        return pts, ivs
+
+    def test_matches_naive_with_key(self, spark):
+        from data_engineering_hs_spark.operators.range_join import (
+            range_join,
+            range_join_naive,
+        )
+
+        pts, ivs = self._data(spark)
+        got = {
+            (r["k"], r["t"], r["tag"])
+            for r in range_join(
+                pts, ivs, "t", "lo", "hi", on="k", bucket_width=7
+            ).collect()
+        }
+        exp = {
+            (r["k"], r["t"], r["tag"])
+            for r in range_join_naive(pts, ivs, "t", "lo", "hi", on="k").collect()
+        }
+        assert got == exp == {(1, 5, "a"), (1, 25, "a"), (1, 25, "b"), (2, 15, "c")}
+
+    def test_no_key_and_bounds_inclusive(self, spark):
+        from data_engineering_hs_spark.operators.range_join import range_join
+
+        pts = spark.createDataFrame([(0,), (10,), (30,), (31,)], ["t"])
+        ivs = spark.createDataFrame([(10, 30, "win")], ["lo", "hi", "tag"])
+        got = sorted(
+            r["t"] for r in range_join(pts, ivs, "t", "lo", "hi", bucket_width=5).collect()
+        )
+        assert got == [10, 30]  # inclusive both ends, 0 and 31 excluded
+
+    def test_left_keeps_unmatched(self, spark):
+        from data_engineering_hs_spark.operators.range_join import range_join
+
+        pts, ivs = self._data(spark)
+        out = range_join(pts, ivs, "t", "lo", "hi", on="k", bucket_width=7, how="left")
+        rows = {(r["k"], r["t"]): r["tag"] for r in out.collect()}
+        assert rows[(1, 95)] is None and rows[(3, 50)] is None
+        assert rows[(2, 15)] == "c"
+        # row multiplicity: matched rows appear per interval
+        assert out.count() == 4 + 2
