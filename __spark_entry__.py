@@ -58,40 +58,51 @@ _R01_VERIFIED = frozenset({
 # Measured wall seconds per query at sf0.01 (Spark + DuckDB oracle,
 # tests/time_registry.py).
 _MEASURED_SEC = {
-    "f_initcap_fullname": 0.16, "f_unpivot_stack": 0.17, "f_epoch_millis": 0.17,
-    "o_global_topk": 0.20, "f_regexp_extract": 0.21, "f_date_arithmetic": 0.22,
-    "f_decimal_money": 0.22, "f_from_json_struct": 0.23, "f_array_ops": 0.23,
-    "f_datetime_buckets": 0.23, "f_string_identity": 0.23, "f_map_ops": 0.24,
-    "u_union_schema_evolution": 0.25, "p_substring_prefilter": 0.25,
-    "q6_forecast_revenue": 0.26, "f_split_explode_wordcount": 0.26,
-    "a_mode": 0.26, "f_higher_order_arrays": 0.27, "t_quality_score": 0.28,
-    "a_having": 0.28, "f_case_nullif": 0.29, "t_quality_components": 0.30,
-    "o_sample_deterministic": 0.31, "o_multikey_sort": 0.32,
-    "d_exact_dup_summary": 0.33, "w_analytic_extras": 0.34,
-    "f_numeric_family": 0.34, "w_share_of_total": 0.35, "a_bool_aggs": 0.35,
-    "s_centroids": 0.35, "t_text_stats": 0.35, "a_group_count": 0.35,
-    "w_range_frame": 0.36, "p_compound_filter": 0.36, "a_group_avg_cast": 0.38,
-    "j_using_inner": 0.38, "p_distinct_projection": 0.38, "a_string_agg": 0.39,
-    "j_anti_join": 0.40, "u_union_distinct": 0.42, "q14_promo_share": 0.43,
-    "f_json_props": 0.43, "w_rank_lag_family": 0.44, "a_approx_distinct": 0.44,
-    "a_stats_moments": 0.45, "j_semi_join": 0.45, "o_date_spine": 0.47,
-    "a_grouping_sets": 0.48, "q4_priority_exists": 0.50,
-    "a_approx_quantiles": 0.51, "a_pivot_status_priority": 0.51,
-    "t_langid": 0.52, "dq_checks": 0.52, "w_topk_per_group": 0.52,
-    "j_asof_last_click": 0.53, "a_cube": 0.54, "a_rollup": 0.59,
-    "sql_api_staged_views": 0.60, "a_median_percentile": 0.60,
-    "q5_region_volume": 0.60, "j_argmin_join_back": 0.63,
-    "a_conditional_multi": 0.63, "p_time_of_day": 0.65, "q10_returned_items": 0.67,
-    "w_sessionize_batch": 0.67, "j_left_join_coalesce": 0.68,
-    "q3_shipping_priority": 0.73, "u_intersect_except": 0.75,
-    "s_cosine_topk": 0.76, "log_error_counts": 0.79, "st_wordcount_stream": 0.81,
-    "j_broadcast_dim_join": 0.93, "q18_large_orders": 0.94,
-    "q1_pricing_summary": 0.99, "st_sliding_windows": 1.02,
-    "st_session_windows": 1.20, "s_ivf_topk": 1.26, "m_fct_order_totals": 1.27,
-    "p_ilike_scan": 1.43, "d_minhash_lsh": 1.63, "d_ngram_jaccard": 1.73,
-    "st_tumbling_hourly": 1.94, "st_kv_counter": 2.63, "d_simhash_pairs": 3.00,
-    "s_lsh_topk": 4.17, "s_embedding_near_dup": 4.67, "flagship_daily_kpi": 8.69,
-    "d_dup_components": 15.43,
+    "o_sample_deterministic": 0.07, "f_epoch_millis": 0.09,
+    "o_global_topk": 0.09, "p_ilike_scan": 0.09,
+    "p_substring_prefilter": 0.09, "f_array_ops": 0.1,
+    "f_initcap_fullname": 0.1, "f_unpivot_stack": 0.1,
+    "f_string_identity": 0.11, "j_anti_join": 0.13, "j_semi_join": 0.13,
+    "a_mode": 0.14, "f_datetime_buckets": 0.14, "f_pii_scrub": 0.14,
+    "f_regexp_extract": 0.14, "j_using_inner": 0.14,
+    "p_compound_filter": 0.14, "p_distinct_projection": 0.14,
+    "a_group_count": 0.16, "f_numeric_family": 0.16, "o_multikey_sort": 0.16,
+    "u_union_distinct": 0.16, "f_decimal_money": 0.17,
+    "t_quality_components": 0.17, "a_having": 0.18,
+    "f_split_explode_wordcount": 0.2, "f_case_nullif": 0.21,
+    "f_date_arithmetic": 0.22, "w_topk_per_group": 0.22,
+    "a_approx_distinct": 0.23, "a_group_avg_cast": 0.23,
+    "f_from_json_struct": 0.23, "f_map_ops": 0.24, "p_time_of_day": 0.24,
+    "w_rank_lag_family": 0.24, "a_grouping_sets": 0.25,
+    "u_union_schema_evolution": 0.25, "q6_forecast_revenue": 0.26,
+    "t_text_stats": 0.26, "f_higher_order_arrays": 0.27,
+    "t_quality_score": 0.28, "a_pivot_status_priority": 0.3,
+    "j_left_join_coalesce": 0.3, "a_rollup": 0.31,
+    "d_exact_dup_summary": 0.33, "dq_checks": 0.33, "f_json_props": 0.33,
+    "w_analytic_extras": 0.34, "a_bool_aggs": 0.35,
+    "a_conditional_multi": 0.35, "a_cube": 0.35, "j_broadcast_dim_join": 0.35,
+    "s_centroids": 0.35, "w_share_of_total": 0.35, "a_approx_quantiles": 0.36,
+    "w_range_frame": 0.36, "a_string_agg": 0.39, "q3_shipping_priority": 0.39,
+    "q1_pricing_summary": 0.42, "q14_promo_share": 0.43,
+    "q17_small_quantity_revenue": 0.43, "u_intersect_except": 0.43,
+    "t_common_ngrams": 0.44, "a_stats_moments": 0.45,
+    "q5_region_volume": 0.46, "o_date_spine": 0.47,
+    "q13_order_count_distribution": 0.48, "t_langid": 0.49,
+    "q4_priority_exists": 0.5, "q19_bracketed_revenue": 0.51,
+    "j_asof_last_click": 0.53, "q15_top_supplier": 0.53,
+    "log_error_counts": 0.54, "w_sessionize_batch": 0.54,
+    "a_median_percentile": 0.55, "d_winnow_fingerprints": 0.55,
+    "q22_idle_rich_customers": 0.56, "sql_api_staged_views": 0.6,
+    "j_argmin_join_back": 0.63, "q7_nation_volume": 0.65,
+    "q10_returned_items": 0.67, "q8_market_share": 0.73,
+    "s_cosine_topk": 0.76, "j_range_ship_window": 0.77,
+    "st_wordcount_stream": 0.81, "t_boilerplate_ratio": 0.86,
+    "q18_large_orders": 0.94, "st_sliding_windows": 1.02,
+    "flagship_daily_kpi": 1.11, "st_session_windows": 1.2,
+    "st_tumbling_hourly": 1.24, "s_ivf_topk": 1.26,
+    "m_fct_order_totals": 1.27, "d_ngram_jaccard": 1.6, "d_minhash_lsh": 1.63,
+    "st_kv_counter": 2.63, "d_simhash_pairs": 3.0, "s_lsh_topk": 3.89,
+    "s_embedding_near_dup": 4.54, "d_dup_components": 6.21,
 }
 
 
