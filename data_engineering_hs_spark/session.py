@@ -53,8 +53,14 @@ def get_spark(
         # (the reference projects 9 of ~15 nested order fields,
         # client_async.py:32-42).
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
-        # Local mode: no point spilling tiny test partitions to many files.
-        "spark.sql.files.maxPartitionBytes": "128m",
+        # Spill-aware scan sizing. 128m is right when files dwarf the
+        # core count (production); at test SFs a single 11 MB parquet
+        # would scan as ONE task while 31 cores idle, so the local
+        # default splits small files across the machine. Override with
+        # SPARK_GRAFT_MAX_PARTITION_BYTES (use 128m+ on a cluster).
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+        ),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }
