@@ -80,16 +80,95 @@ def repartition_for_media(
     return df.repartition(n)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """Real decode entry point — requires a codec backend.
+class CodecRegistry:
+    """Pluggable codec backends per (kind, operation).
 
-    STUB (container has no image libs): fail loudly rather than fake
-    silently; tests exercise deterministic_fake_decode instead.
+    The Spark-side plumbing (schema, batching, partition sizing) is
+    fixed; what varies by environment is the per-blob codec. Backends
+    register callables under (kind, op) — e.g. ("image", "decode") →
+    bytes -> list[float] — and operators resolve at call time, so a
+    cluster with pillow/ffmpeg installed picks up real codecs with no
+    operator changes while this container runs the deterministic
+    fakes.
     """
-    raise NotImplementedError(
-        "image decode requires a codec backend (e.g. pillow); "
-        "use extract_features(df, deterministic_fake_decode) for plumbing tests"
-    )
+
+    def __init__(self) -> None:
+        self._codecs: dict[tuple[str, str], Callable] = {}
+        self._backend: dict[tuple[str, str], str] = {}
+
+    def register(self, kind: str, op: str, fn: Callable, backend: str = "custom") -> None:
+        self._codecs[(kind, op)] = fn
+        self._backend[(kind, op)] = backend
+
+    def available(self, kind: str, op: str) -> bool:
+        return (kind, op) in self._codecs
+
+    def backend(self, kind: str, op: str) -> str | None:
+        return self._backend.get((kind, op))
+
+    def resolve(self, kind: str, op: str) -> Callable:
+        try:
+            return self._codecs[(kind, op)]
+        except KeyError:
+            raise NotImplementedError(
+                f"no codec registered for ({kind!r}, {op!r}); "
+                f"registered: {sorted(self._codecs)} — install a backend "
+                "(pillow/ffmpeg) and call autodetect_codecs(), or "
+                "CODECS.register() your own"
+            ) from None
+
+
+CODECS = CodecRegistry()
+
+
+def _pil_decode(content: bytes) -> list[float]:
+    """Real image decode → FEATURE_DIM block-luma features (pillow)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("L").resize((4, 4))
+    arr = np.asarray(img, dtype="float32") / 255.0
+    return [float(v) for v in arr.reshape(-1)]  # 4×4 = FEATURE_DIM
+
+
+def _pil_resize(content: bytes, width: int, height: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def autodetect_codecs() -> list[str]:
+    """Probe the environment and register every available real
+    backend; returns the backend names registered. Safe to call
+    anywhere — absence of a library is not an error."""
+    found: list[str] = []
+    try:
+        import PIL  # noqa: F401
+
+        CODECS.register("image", "decode", _pil_decode, backend="pillow")
+        CODECS.register("image", "resize", _pil_resize, backend="pillow")
+        found.append("pillow")
+    except ImportError:
+        pass
+    return found
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Decode images to feature vectors via the registered backend.
+
+    Resolves ("image", "decode") from CODECS — real codec when a
+    backend registered (autodetect_codecs() / CODECS.register()),
+    NotImplementedError otherwise; tests exercise the plumbing with
+    deterministic_fake_decode explicitly.
+    """
+    return extract_features(df, CODECS.resolve("image", "decode"))
 
 
 def deterministic_fake_decode(content: bytes) -> list[float]:

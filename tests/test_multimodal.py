@@ -62,9 +62,29 @@ class TestMultimodal:
         assert [r["frame_no"] for r in rows] == [0, 1, 2, 3]
         assert bytes(rows[0]["frame"]) == bytes(range(25))
 
-    def test_decode_image_is_explicit_stub(self, spark):
-        with pytest.raises(NotImplementedError, match="codec backend"):
+    def test_decode_image_requires_registered_codec(self, spark):
+        # no backend in this container and autodetect finds none
+        assert M.autodetect_codecs() == []
+        with pytest.raises(NotImplementedError, match="no codec registered"):
             M.decode_image(None)
+
+    def test_registered_codec_drives_decode_image(self, spark, tmp_path):
+        import os
+
+        d = tmp_path / "imgs"
+        os.makedirs(d)
+        (d / "a.bin").write_bytes(bytes(range(64)))
+        df = M.load_binary_dir(spark, str(d), "image")
+        M.CODECS.register("image", "decode", M.deterministic_fake_decode,
+                          backend="test-fake")
+        try:
+            assert M.CODECS.backend("image", "decode") == "test-fake"
+            rows = M.decode_image(df).collect()
+            assert len(rows) == 1
+            assert len(rows[0]["features"]) == M.FEATURE_DIM
+        finally:
+            M.CODECS._codecs.clear()
+            M.CODECS._backend.clear()
 
     def test_repartition_by_byte_budget(self, spark):
         df = spark.range(10).withColumnRenamed("id", "media_id")
