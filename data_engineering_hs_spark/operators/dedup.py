@@ -399,3 +399,92 @@ def simhash_near_pairs(
         .groupBy("id_a", "id_b", "hamming")
         .agg(F.max("truncated").alias("truncated"))
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (PPJoin
+    family) → (id_a, id_b, jaccard, truncated).
+
+    Unlike MinHash-LSH this is COMPLETE by construction, not
+    probabilistically: order tokens by ascending global frequency,
+    keep each doc's first p = n - ceil(t*n) + 1 rarest tokens, and
+    any pair with Jaccard >= t MUST share a prefix token (if not,
+    their overlap is at most n - p = ceil(t*n) - 1 < t*|A| <= t*|A∪B|,
+    contradiction). Candidates therefore come from grouping on prefix
+    tokens — the rarest tokens, so groups are small by construction —
+    and the exact Jaccard verify runs only on candidates.
+
+    Physical shape mirrors minhash_lsh_pairs: prefix tokens explode,
+    (token) groups collect capped sorted id arrays, pairs generate
+    array-side (no self-join), then token SETS re-join by id for the
+    verify. Shuffles: token-count agg, prefix grouping, two verify
+    joins — all on small keys. The frequency ordering makes hot
+    groups rare; the cap + `truncated` flag bounds adversarial cases.
+    """
+    import math
+
+    base = df.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(tokens(text_col)).alias("__toks"),
+    )
+    tok = base.select("__id", F.explode("__toks").alias("__tok"))
+    # Global frequency rank per token: rarest first; ties broken by
+    # token string so the prefix choice is deterministic.
+    freq = tok.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ranked = tok.join(freq, "__tok").select(
+        "__id", F.struct(F.col("__df"), F.col("__tok")).alias("__key")
+    )
+    by_rarity = ranked.groupBy("__id").agg(
+        F.array_sort(F.collect_list("__key")).alias("__ordered")
+    )
+    n = F.size("__ordered")
+    p = n - F.ceil(n.cast("double") * threshold).cast("int") + 1
+    prefix = by_rarity.select(
+        "__id", F.explode(F.slice("__ordered", 1, p)).alias("__key")
+    ).select("__id", F.col("__key.__tok").alias("__tok"))
+    groups = (
+        prefix.groupBy("__tok")
+        .agg(F.array_sort(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("truncated", F.size("ids") > max_bucket_size)
+        .withColumn("ids", F.slice("ids", 1, max_bucket_size))
+    )
+    cand = (
+        groups.select(
+            "truncated",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.max("truncated").alias("truncated"))
+    )
+    ta = base.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__toks_a"))
+    tb = base.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__toks_b"))
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
+    union = F.size(F.array_union("__toks_a", "__toks_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"), "truncated")
+        .filter(F.col("jaccard") >= threshold)
+    )

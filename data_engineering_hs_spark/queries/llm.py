@@ -449,3 +449,28 @@ def f_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.substring(TX.scrub_pii(salted), 1, 80).alias("scrubbed")
     )
+
+
+@register(
+    "d_setsim_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS jaccard,
+       false AS truncated
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.7
+""",
+    doc="EXACT set-similarity join via prefix filtering (PPJoin "
+    "family): complete by construction — the oracle is the full "
+    "all-pairs Jaccard and must match EXACTLY, which proves the "
+    "prefix-pruning loses nothing (unlike LSH's probabilistic recall)",
+)
+def d_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.set_similarity_join(d, "text", "doc_id", threshold=0.7)

@@ -384,3 +384,60 @@ class TestCorpusOps:
         )
         out = df.select(scrub_pii("t").alias("s")).collect()[0]["s"]
         assert out == "mail <EMAIL> from <IP> call <PHONE> ok"
+
+
+class TestSetSimilarityJoin:
+    def _truth(self, spark, df, t):
+        toks = df.select(
+            "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("s")
+        )
+        a, b = toks.alias("a"), toks.alias("b")
+        jac = (
+            F.size(F.array_intersect("a.s", "b.s")).cast("double")
+            / F.size(F.array_union("a.s", "b.s"))
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                jac.alias("j"),
+            )
+            .filter(F.col("j") >= t)
+            .collect()
+        }
+
+    def test_complete_at_multiple_thresholds(self, spark):
+        # Prefix filtering must be EXACT: identical pair set as the
+        # all-pairs join at every threshold — not a recall floor.
+        from data_engineering_hs_spark.operators.dedup import set_similarity_join
+
+        docs = spark.read.parquet(f"{SF001}/documents.parquet")
+        for t in (0.5, 0.7, 0.9):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in set_similarity_join(docs, "text", "doc_id", threshold=t).collect()
+            }
+            assert got == self._truth(spark, docs, t), f"threshold {t}"
+
+    def test_jaccard_values_exact(self, spark):
+        from data_engineering_hs_spark.operators.dedup import set_similarity_join
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),
+                (2, "a b c e"),   # J(1,2) = 3/5
+                (3, "a b c d"),   # J(1,3) = 1.0
+                (4, "x y z w"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in set_similarity_join(df, "text", "doc_id", threshold=0.6).collect()
+        }
+        assert rows[(1, 3)] == 1.0
+        assert abs(rows[(1, 2)] - 0.6) < 1e-12
+        assert abs(rows[(2, 3)] - 0.6) < 1e-12
+        assert len(rows) == 3
