@@ -1,0 +1,126 @@
+"""Time-series resample / gap-fill / interpolation operators.
+
+The hypertable-rollup family: regularize irregular event streams onto
+a fixed grid, then fill the gaps. All pure window/join plans:
+
+- resample: per-key time-bucket aggregate LEFT-JOINED onto a per-key
+  dense spine (sequence+explode of each key's [min, max] bucket
+  range) so silent periods appear as rows. The spine is generated
+  from a per-key bounds AGGREGATE — one row per key exploding into
+  its own range — so no global cross join materializes.
+- fill_forward (LOCF): last non-null value carried forward per key —
+  one window pass, one shuffle on the key.
+- interpolate_linear: gaps get v_prev + (v_next - v_prev) *
+  (t - t_prev)/(t_next - t_prev); edges (before first / after last
+  observation) stay LOCF / backfill-able by choice. Two window
+  passes over the SAME (key × time) partitioning, so Catalyst reuses
+  one exchange.
+
+At 100 TB the spine explode is bounded by (keys × buckets-per-key),
+i.e. the OUTPUT size — there is no way to emit a dense grid smaller
+than itself; the operator never shuffles more than input + output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    bucket_seconds: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Aggregate onto a dense per-key grid of `bucket_seconds` buckets.
+
+    Returns key_cols + `bucket_start` (epoch seconds) + one column per
+    aggs entry (null on empty buckets — apply coalesce/fills after).
+    """
+    keys = list(key_cols)
+    bucket = (
+        F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
+    facts = (
+        df.withColumn("bucket_start", bucket)
+        .groupBy(*keys, "bucket_start")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    spine = (
+        facts.groupBy(*keys)
+        .agg(F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(bucket_seconds))
+            ).alias("bucket_start"),
+        )
+    )
+    return spine.join(facts, keys + ["bucket_start"], "left")
+
+
+def fill_forward(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """LOCF: null values take the latest preceding non-null per key."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str],
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of null values between observations per key.
+
+    Gap rows get the line between the surrounding observations; rows
+    before the first / after the last observation fall back to the
+    nearest observation (flat extrapolation). Observed rows pass
+    through untouched. `ts_col` must be numeric (epoch seconds /
+    bucket index).
+    """
+    keys = list(key_cols)
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(back)
+    next_v = F.first(value_col, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(fwd)
+    t = F.col(ts_col).cast("double")
+    interp = prev_v + (next_v - prev_v) * (t - prev_t.cast("double")) / (
+        next_t.cast("double") - prev_t.cast("double")
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(prev_v.isNull(), next_v)  # before first observation
+        .when(next_v.isNull(), prev_v)  # after last observation
+        .otherwise(interp)
+    )
+    return df.withColumn(out_col, filled)

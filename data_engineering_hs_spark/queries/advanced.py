@@ -143,3 +143,82 @@ def j_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "ts_resample_interpolate",
+    oracle="""
+WITH facts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 100.0 AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+  FROM facts GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS bucket_start
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.bucket_start, f.n_events, f.v
+  FROM spine s LEFT JOIN facts f
+    ON s.event_type = f.event_type AND s.bucket_start = f.bucket_start
+), w AS (
+  SELECT event_type, bucket_start, n_events, v,
+    LAST_VALUE(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_start END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_start END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket_start
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid
+)
+SELECT event_type, bucket_start,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(bucket_start AS DOUBLE) - pt)
+                                  / (CAST(nt AS DOUBLE) - pt)
+       END AS value_interp
+FROM w
+""",
+    doc="time-series regularization: per-key hourly resample onto a "
+    "dense spine, then linear interpolation of silent buckets "
+    "(hypertable-rollup + gap-fill family; flat extrapolation at "
+    "series edges)",
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.timeseries import (
+        interpolate_linear,
+        resample,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    exact_avg = (
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+        / F.count("*")
+        / 100.0
+    )
+    grid = resample(
+        e.withColumn("ts", F.unix_timestamp("ts")),
+        "ts",
+        ["event_type"],
+        3600,
+        {"n_events": F.count("*"), "v": exact_avg},
+    )
+    out = interpolate_linear(grid, "bucket_start", "v", ["event_type"])
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("value_interp"),
+    )

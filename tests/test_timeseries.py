@@ -1,0 +1,63 @@
+"""Unit tests for resample / fill_forward / interpolate_linear."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.operators.timeseries import (
+    fill_forward,
+    interpolate_linear,
+    resample,
+)
+
+
+class TestResample:
+    def test_dense_grid_with_empty_buckets(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 25, 2.0), ("b", 10, 5.0)],
+            ["k", "ts", "v"],
+        )
+        out = resample(df, "ts", ["k"], 10, {"n": F.count("*")}).collect()
+        grid = {(r["k"], r["bucket_start"]): r["n"] for r in out}
+        # a spans buckets 0,10,20 — bucket 10 is an empty gap row
+        assert grid[("a", 0)] == 1 and grid[("a", 20)] == 1
+        assert grid[("a", 10)] is None
+        assert grid[("b", 10)] == 1
+        assert len(grid) == 4  # b has a single bucket
+
+    def test_interpolation_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", 0, 10.0),
+                ("a", 10, None),
+                ("a", 20, None),
+                ("a", 30, 40.0),
+                ("a", 40, None),   # after last obs → flat 40
+                ("b", 0, None),    # before first obs → flat 7
+                ("b", 10, 7.0),
+            ],
+            ["k", "ts", "v"],
+        )
+        out = {
+            (r["k"], r["ts"]): r["value_interp"]
+            for r in interpolate_linear(df, "ts", "v", ["k"]).collect()
+        }
+        assert out[("a", 0)] == 10.0 and out[("a", 30)] == 40.0
+        assert out[("a", 10)] == 20.0 and out[("a", 20)] == 30.0
+        assert out[("a", 40)] == 40.0
+        assert out[("b", 0)] == 7.0
+
+    def test_fill_forward(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, None), ("a", 2, None), ("a", 3, 4.0)],
+            ["k", "ts", "v"],
+        )
+        out = [r["v"] for r in fill_forward(df, "ts", "v", ["k"]).orderBy("ts").collect()]
+        assert out == [1.0, 1.0, 1.0, 4.0]
+
+    def test_interpolate_reuses_one_exchange(self, spark):
+        # both window passes partition on the same key → one shuffle
+        df = spark.createDataFrame([("a", 0, 1.0)], ["k", "ts", "v"])
+        plan = interpolate_linear(df, "ts", "v", ["k"])._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
