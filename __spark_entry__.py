@@ -103,6 +103,7 @@ _MEASURED_SEC = {
     "m_fct_order_totals": 1.27, "d_ngram_jaccard": 1.6, "d_minhash_lsh": 1.63,
     "st_kv_counter": 2.63, "d_simhash_pairs": 3.0, "s_lsh_topk": 3.89,
     "s_embedding_near_dup": 4.54, "d_dup_components": 6.21,
+    "ts_resample_interpolate": 2.5, "d_setsim_pairs": 8.0,
 }
 
 
