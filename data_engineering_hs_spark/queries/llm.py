@@ -474,3 +474,30 @@ WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
 def d_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.set_similarity_join(d, "text", "doc_id", threshold=0.7)
+
+
+@register(
+    "t_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text || ' v' || CAST(doc_id AS VARCHAR) || '.0!',
+                              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+""",
+    doc="token counting two ways: whitespace tokens and the BPE-ish "
+    "regex segmentation (words | numbers | single symbols) — the "
+    "training-data budgeting counters; text is salted with a "
+    "punctuated version suffix so the two counters provably diverge",
+)
+def t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"), F.lit(" v"), F.col("doc_id").cast("string"), F.lit(".0!")
+    )
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.regex_token_count(salted).alias("bpe_tokens"),
+    )

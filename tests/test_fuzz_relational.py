@@ -80,3 +80,95 @@ class TestRelationalFuzz:
                 pass
             assert s_rows == o_rows, (sql, data, s_rows[:5], o_rows[:5])
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Operator fuzz: bucketized range join and prefix-filtered set-sim
+# must equal their naive/all-pairs baselines on random inputs.
+# ---------------------------------------------------------------------------
+
+pts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=-50, max_value=50),  # point
+    ),
+    min_size=0,
+    max_size=20,
+)
+ivs_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=-50, max_value=50),  # lo
+        st.integers(min_value=0, max_value=30),    # width
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(pts=pts_rows, ivs=ivs_rows, width=st.sampled_from([1, 7, 100]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_range_join_matches_naive(spark, pts, ivs, width):
+    from pyspark.sql import functions as F
+
+    from data_engineering_hs_spark.operators.range_join import (
+        range_join,
+        range_join_naive,
+    )
+
+    pdf = spark.createDataFrame(
+        [(k, t) for k, t in pts] or [(None, None)], "k int, t int"
+    ).filter(F.col("k").isNotNull())
+    idf = spark.createDataFrame(
+        [(k, lo, lo + w) for k, lo, w in ivs] or [(None, None, None)],
+        "k int, lo int, hi int",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        (r["k"], r["t"], r["lo"], r["hi"])
+        for r in range_join(pdf, idf, "t", "lo", "hi", on="k", bucket_width=width).collect()
+    }
+    exp = {
+        (r["k"], r["t"], r["lo"], r["hi"])
+        for r in range_join_naive(pdf, idf, "t", "lo", "hi", on="k").collect()
+    }
+    assert got == exp
+
+
+doc_rows = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(docs=doc_rows, t=st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_setsim_complete_vs_all_pairs(spark, docs, t):
+    from pyspark.sql import functions as F
+
+    from data_engineering_hs_spark.operators.dedup import set_similarity_join
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "")], ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(df, "text", "doc_id", threshold=t).collect()
+    }
+    sets = {i: set(w.split()) for i, w in rows if w.strip()}
+    exp = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= t:
+                exp.add((a, b))
+    assert got == exp
