@@ -46,7 +46,7 @@ BROADCASTABLE_TABLES = frozenset({"region", "nation"})
 # so re-scanning parquet per query is pure fixed cost. OFF by default
 # (tests assert parquet-scan plan shapes like PushedFilters; bench
 # keeps scans honest); __spark_entry__ turns it on for the driver.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _TABLE_CACHE_ENABLED = False
 
 
@@ -55,10 +55,16 @@ def enable_table_cache(enabled: bool = True) -> None:
 
     Only sane for small scale factors (the cached frames pin memory);
     the driver's sf0.01 correctness sweep is the intended user.
+    Disabling unpersists live cached frames and clears the map.
     """
     global _TABLE_CACHE_ENABLED
     _TABLE_CACHE_ENABLED = enabled
     if not enabled:
+        for df in _TABLE_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
         _TABLE_CACHE.clear()
 
 
@@ -73,7 +79,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine's time semantics are UTC (SURVEY.md §1.2); pin it even
     # when the caller's session was built elsewhere (e.g. the driver).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark.sparkContext), sf_dir, name)
+    # applicationId (not id(sc)) keys the cache: a stopped+rebuilt
+    # context gets a fresh app id, while a reused CPython address
+    # would silently hand back frames bound to the dead JVM context.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if _TABLE_CACHE_ENABLED and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")

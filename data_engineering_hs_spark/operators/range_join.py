@@ -85,14 +85,13 @@ def range_join_naive(
     on: str | None = None,
 ) -> DataFrame:
     """BETWEEN-condition join — the parity baseline (nested-loop plan)."""
-    cond = (F.col(point_col) >= F.col(start_col)) & (
+    bounds = (F.col(point_col) >= F.col(start_col)) & (
         F.col(point_col) <= F.col(end_col)
     )
     if on:
-        cond = (points[on] == intervals[on]) & cond
-        joined = points.join(intervals.withColumnRenamed(on, f"__r_{on}"),
-                             (points[on] == F.col(f"__r_{on}")) &
-                             (F.col(point_col) >= F.col(start_col)) &
-                             (F.col(point_col) <= F.col(end_col)))
+        joined = points.join(
+            intervals.withColumnRenamed(on, f"__r_{on}"),
+            (points[on] == F.col(f"__r_{on}")) & bounds,
+        )
         return joined.drop(f"__r_{on}")
-    return points.join(intervals, cond)
+    return points.join(intervals, bounds)

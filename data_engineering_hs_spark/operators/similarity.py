@@ -146,15 +146,19 @@ def kmeans_centroids(
     def sim() -> Column:
         return cosine_from(dot(vec_col, "centroid"), F.col("v_norm"), F.col("c_norm"))
 
-    centers = (
-        data.orderBy(id_col)
-        .limit(1)
-        .select(F.lit(0).alias("label"), F.col(vec_col).alias("centroid"))
-        .localCheckpoint(eager=True)
-    )
+    first = data.orderBy(id_col).limit(1).localCheckpoint(eager=True)
+    centers = first.select(
+        F.lit(0).alias("label"), F.col(vec_col).alias("centroid")
+    ).localCheckpoint(eager=True)
+    # Already-chosen seeds are EXCLUDED from later rounds by id, not
+    # by similarity: cosine defines cos(zero-vector, x) = 0 including
+    # x = itself, so a zero embedding (padding/failed encode) would
+    # otherwise stay the argmin forever and be re-picked k-1 times.
+    seed_ids = first.select(F.col(id_col))
     for j in range(1, k):
         nearest = (
-            data.join(F.broadcast(with_cnorm(centers)))
+            data.join(F.broadcast(seed_ids), id_col, "left_anti")
+            .join(F.broadcast(with_cnorm(centers)))
             .groupBy(id_col)
             .agg(
                 F.max(sim()).alias("max_sim"),
@@ -165,9 +169,12 @@ def kmeans_centroids(
         far = (
             nearest.orderBy(F.asc("max_sim"), F.asc(id_col))
             .limit(1)
-            .select(F.lit(j).alias("label"), F.col("vec").alias("centroid"))
+            .localCheckpoint(eager=True)
         )
-        centers = centers.unionByName(far).localCheckpoint(eager=True)
+        centers = centers.unionByName(
+            far.select(F.lit(j).alias("label"), F.col("vec").alias("centroid"))
+        ).localCheckpoint(eager=True)
+        seed_ids = seed_ids.unionByName(far.select(F.col(id_col)))
     for _ in range(iters):
         scored = data.join(F.broadcast(with_cnorm(centers))).select(
             id_col,

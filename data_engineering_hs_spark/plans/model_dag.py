@@ -216,6 +216,14 @@ class ModelRunner:
         dependency-first via ref() recursion anyway."""
         if isinstance(selectors, str):
             selectors = [selectors]
+        # Plain names need no graph — only '+' selectors traverse it,
+        # so one unbuildable model elsewhere can't break a selective
+        # run of an unrelated healthy model.
+        if not any("+" in sel for sel in selectors):
+            for sel in selectors:
+                if sel not in self.models:
+                    raise KeyError(f"unknown model {sel}")
+            return [n for n in self.models if n in set(selectors)]
         parents = self.graph()
         children: dict[str, set[str]] = {n: set() for n in self.models}
         for child, ps in parents.items():

@@ -46,10 +46,16 @@ def _execute_driver_sql(spark: SparkSession, url: str, statements: Sequence[str]
 def _table_exists(spark: SparkSession, url: str, table: str) -> bool:
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
     try:
-        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
-        found = rs.next()
-        rs.close()
-        return bool(found)
+        # Unquoted identifiers fold per backend: Derby/H2 store them
+        # UPPER, PostgreSQL lower — probe every folding.
+        meta = conn.getMetaData()
+        for candidate in {table, table.upper(), table.lower()}:
+            rs = meta.getTables(None, None, candidate, None)
+            found = rs.next()
+            rs.close()
+            if found:
+                return True
+        return False
     finally:
         conn.close()
 
@@ -62,13 +68,17 @@ def jdbc_upsert_batch(
     update_on_match: bool = False,
     staging_table: str | None = None,
     batch_size: int = 1000,
+    string_type: str = "VARCHAR(4096)",
 ) -> None:
     """Upsert one (micro)batch into a JDBC table.
 
     insert-if-absent by default (the reference's ON CONFLICT DO
     NOTHING); update_on_match=True also updates non-key columns
     (full upsert). Batch rows are deduped on the keys first so the
-    MERGE source is conflict-free.
+    MERGE source is conflict-free. `string_type` is the SQL type
+    string columns are created as (Derby can't MERGE-compare the
+    CLOBs Spark maps strings to); widen it for long text payloads —
+    a value longer than the cap fails the staging write loudly.
     """
     spark = batch.sparkSession
     stage = staging_table or f"{table}_stage"
@@ -88,7 +98,7 @@ def jdbc_upsert_batch(
     if string_cols:
         writer = writer.option(
             "createTableColumnTypes",
-            ", ".join(f"{c} VARCHAR(1024)" for c in string_cols),
+            ", ".join(f"{c} {string_type}" for c in string_cols),
         )
     writer.save()
     if not _table_exists(spark, url, table):
@@ -132,6 +142,7 @@ def foreach_batch_jdbc_upsert(
     update_on_match: bool = False,
     batch_size: int = 1000,
     available_now: bool = True,
+    string_type: str = "VARCHAR(4096)",
 ) -> StreamingQuery:
     """Streaming ingest → JDBC upsert, idempotent under batch replay.
 
@@ -149,6 +160,7 @@ def foreach_batch_jdbc_upsert(
             keys,
             update_on_match=update_on_match,
             batch_size=batch_size,
+            string_type=string_type,
         )
 
     writer = (

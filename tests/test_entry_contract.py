@@ -26,3 +26,12 @@ def test_never_driver_verified_queries_come_first():
 
 def test_measured_table_has_no_stale_names():
     assert set(E._MEASURED_SEC) <= set(REGISTRY)
+
+
+def test_import_does_not_enable_table_cache():
+    # the cache must switch on only when a driver callable RUNS —
+    # an import-time enable leaks InMemoryRelations into every later
+    # test module and breaks the parquet plan-shape assertions
+    from data_engineering_hs_spark import catalog
+
+    assert not catalog._TABLE_CACHE_ENABLED

@@ -14,6 +14,16 @@ from tests.conftest import SF001
 load_all()
 
 
+@pytest.fixture(autouse=True)
+def _raw_scans():
+    # plan assertions require real parquet scans — force the
+    # driver-path table cache off regardless of test ordering
+    from data_engineering_hs_spark.catalog import enable_table_cache
+
+    enable_table_cache(False)
+    yield
+
+
 def _plan(spark, name: str) -> str:
     return plan_string(REGISTRY[name].fn(spark, SF001))
 

@@ -441,3 +441,24 @@ class TestSetSimilarityJoin:
         assert abs(rows[(1, 2)] - 0.6) < 1e-12
         assert abs(rows[(2, 3)] - 0.6) < 1e-12
         assert len(rows) == 3
+
+
+class TestKmeansDegenerateInputs:
+    def test_zero_vector_cannot_be_reselected_as_seed(self, spark):
+        # cos(zero, x) = 0 for every x INCLUDING itself, so without
+        # id-based exclusion a low-id zero vector stays the argmin and
+        # seeds every cluster; k seeds must be k distinct vectors.
+        from data_engineering_hs_spark.operators.similarity import kmeans_centroids
+
+        zero = [0.0] * 64
+        def unit(i):
+            v = [0.0] * 64
+            v[i] = 1.0
+            return v
+
+        rows = [(0, zero)] + [(i, unit(i % 64)) for i in range(1, 30)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = kmeans_centroids(df, k=4, iters=1).collect()
+        assert len(cents) == 4
+        distinct = {tuple(round(x, 6) for x in r["centroid"]) for r in cents}
+        assert len(distinct) == 4, "collapsed/duplicate centroids"
