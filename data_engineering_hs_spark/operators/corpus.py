@@ -23,6 +23,8 @@ self-joins, no collect.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -130,3 +132,50 @@ def winnowing_fingerprints(
     return complete.select(
         F.col(id_col), F.col("win_min").alias("fingerprint")
     ).distinct()
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "v1",
+    buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic content-keyed train/val/test assignment.
+
+    bucket = first 8 hex digits of md5(seed:id) mod `buckets`;
+    cumulative weight thresholds map buckets to split names. The
+    assignment is a pure function of (seed, id) — stable under
+    repartitioning, reordering, incremental appends, and engine
+    choice (md5 is bit-identical everywhere, unlike sample()/rand(),
+    whose results depend on partitioning) — the property a training
+    pipeline needs so examples never migrate between splits across
+    runs. Change `seed` to draw a fresh independent assignment.
+    """
+    total = sum(w for _, w in splits)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

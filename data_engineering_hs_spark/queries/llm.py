@@ -501,3 +501,29 @@ def t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").alias("ws_tokens"),
         TX.regex_token_count(salted).alias("bpe_tokens"),
     )
+
+
+@register(
+    "t_hash_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    doc="deterministic content-keyed train/val/test split: "
+    "md5(seed:id)-bucketed thresholds — stable under repartitioning/"
+    "appends and bit-identical across engines (unlike rand()/sample)",
+)
+def t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.corpus import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")

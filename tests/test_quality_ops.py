@@ -462,3 +462,36 @@ class TestKmeansDegenerateInputs:
         assert len(cents) == 4
         distinct = {tuple(round(x, 6) for x in r["centroid"]) for r in cents}
         assert len(distinct) == 4, "collapsed/duplicate centroids"
+
+
+class TestHashSplit:
+    def test_partition_properties(self, spark):
+        from data_engineering_hs_spark.operators.corpus import hash_split
+
+        df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id")
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 10_000          # exhaustive + disjoint
+        assert abs(counts["train"] / 10_000 - 0.9) < 0.02
+        assert abs(counts["val"] / 10_000 - 0.05) < 0.01
+
+    def test_assignment_independent_of_other_rows(self, spark):
+        # content-keyed: an id's split never changes when the corpus
+        # grows — the anti-leakage property rand()-splits lack
+        from data_engineering_hs_spark.operators.corpus import hash_split
+
+        small = spark.range(100).withColumnRenamed("id", "doc_id")
+        big = spark.range(5_000).withColumnRenamed("id", "doc_id")
+        s = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id").collect()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
+        assert all(b[i] == s[i] for i in s)
+
+    def test_seed_changes_assignment(self, spark):
+        from data_engineering_hs_spark.operators.corpus import hash_split
+
+        df = spark.range(1_000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", seed="v1").collect()}
+        c = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", seed="v2").collect()}
+        assert any(a[i] != c[i] for i in a)
