@@ -113,6 +113,7 @@ _MEASURED_SEC = {
     "st_kv_counter": 2.63, "d_simhash_pairs": 3.0, "s_lsh_topk": 3.89,
     "s_embedding_near_dup": 4.54, "d_dup_components": 6.21,
     "ts_resample_interpolate": 2.5, "d_setsim_pairs": 8.0,
+    "t_hash_split": 0.2, "t_token_counts": 0.25,
 }
 
 
