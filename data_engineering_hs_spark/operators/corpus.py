@@ -179,3 +179,29 @@ def hash_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota: int,
+    seed: str = "v1",
+) -> DataFrame:
+    """EXACTLY `quota` rows per stratum (fewer if the stratum is
+    smaller), chosen by md5(seed:id) order — a deterministic
+    pseudo-random draw.
+
+    sampleBy() gives probabilistic per-stratum counts and
+    partitioning-dependent membership; eval-set construction needs
+    exact quotas and run-to-run stability. One window shuffle on the
+    stratum; ties are impossible (md5 of distinct ids collides with
+    negligible probability, and the id itself tiebreaks).
+    """
+    rank_key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

@@ -527,3 +527,28 @@ def t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "t_stratified_sample",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('v1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) t WHERE rn <= 20
+""",
+    doc="exact-quota stratified sampling: 20 docs per language chosen "
+    "by md5(seed:id) order — deterministic across runs/partitionings "
+    "(sampleBy quotas are probabilistic; eval sets need exact counts)",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.corpus import stratified_quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_quota_sample(d, "lang", "doc_id", quota=20).select(
+        "doc_id", "lang"
+    )

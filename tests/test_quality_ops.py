@@ -495,3 +495,27 @@ class TestHashSplit:
         a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", seed="v1").collect()}
         c = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", seed="v2").collect()}
         assert any(a[i] != c[i] for i in a)
+
+
+class TestStratifiedQuotaSample:
+    def test_exact_quotas_and_stability(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            stratified_quota_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 90 else "small") for i in range(100)],
+            ["doc_id", "stratum"],
+        )
+        out = stratified_quota_sample(df, "stratum", "doc_id", quota=5)
+        counts = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(
+            F.count("*").alias("n")).collect()}
+        assert counts == {"big": 5, "small": 5}
+        # short stratum returns all its rows
+        tiny = stratified_quota_sample(df.filter("doc_id >= 97"), "stratum", "doc_id", 5)
+        assert tiny.count() == 3
+        # deterministic across partitionings
+        a = {r["doc_id"] for r in out.collect()}
+        b = {r["doc_id"] for r in stratified_quota_sample(
+            df.repartition(7), "stratum", "doc_id", quota=5).collect()}
+        assert a == b
