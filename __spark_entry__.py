@@ -114,7 +114,7 @@ _MEASURED_SEC = {
     "s_embedding_near_dup": 4.54, "d_dup_components": 6.21,
     "ts_resample_interpolate": 2.5, "d_setsim_pairs": 8.0,
     "t_hash_split": 0.2, "t_token_counts": 0.25,
-    "t_stratified_sample": 0.3,
+    "t_stratified_sample": 0.3, "d_dup_components_lsh": 3.0,
 }
 
 

@@ -552,3 +552,33 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_quota_sample(d, "lang", "doc_id", quota=20).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "d_dup_components_lsh",
+    oracle=None,  # xxhash-seeded LSH candidates → golden-pinned
+    doc="the PRODUCTION dedup composition end-to-end: MinHash-LSH "
+    "candidates → exact SHINGLE-Jaccard verify (>=0.7, above the "
+    "b=8/r=4 S-curve where recall is test-pinned) → connected "
+    "components. The verify measure matches what LSH indexes — "
+    "token-SET Jaccard (d_dup_components) is orderless and would "
+    "count shuffled word-soup as dups that shingle-LSH rightly "
+    "never buckets",
+)
+def d_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_pairs(d, "text", "doc_id").select("id_a", "id_b")
+    sh = d.select("doc_id", TX.word_shingles("text").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= 0.7)
+        .select("id_a", "id_b")
+    )
+    return D.dup_groups(verified).orderBy("doc_id")

@@ -41,6 +41,7 @@ GOLDENS = {
     "s_embedding_near_dup": (40, "c776fad1ffa2f66491aa2e5fa0cc7b66"),
     "st_session_windows": (9549, "fde46ec19869239d8247e71de6c02bfb"),
     "d_winnow_fingerprints": (10137, "64a9cf95b131fb48f37450a5437f4be9"),
+    "d_dup_components_lsh": (47, "2da4aae7ea87bbf8629e1aab66d58e6d"),
 }
 
 
