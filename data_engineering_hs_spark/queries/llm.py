@@ -582,3 +582,31 @@ def d_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return D.dup_groups(verified).orderBy("doc_id")
+
+
+@register(
+    "t_heavy_hitters",
+    oracle="""
+SELECT token, n FROM (
+  SELECT token, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+  FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE length(trim(text)) > 0
+  )
+  GROUP BY token
+) t WHERE rk <= 20
+""",
+    doc="exact corpus heavy hitters: top-20 tokens by frequency "
+    "(explode -> count -> top-k; the exact baseline whose sketch "
+    "twins — approx_top_k / count_min_sketch — are pinned against "
+    "it in tests)",
+)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(F.explode(TX.tokens("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("token")))
+    return counts.withColumn("rk", rk).filter(F.col("rk") <= 20).select("token", "n")

@@ -519,3 +519,37 @@ class TestStratifiedQuotaSample:
         b = {r["doc_id"] for r in stratified_quota_sample(
             df.repartition(7), "stratum", "doc_id", quota=5).collect()}
         assert a == b
+
+
+class TestSketchTwins:
+    def test_approx_top_k_contains_exact_heavy_hitters(self, spark):
+        # DataSketches frequent-items guarantees no false negatives for
+        # items above the error band; on this corpus the approx top-20
+        # must contain every exact top-10 token with exact-ish counts.
+        docs = spark.read.parquet(f"{SF001}/documents.parquet")
+        toks = docs.filter(F.length(F.trim("text")) > 0).select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+        exact = {
+            r["token"]: r["n"]
+            for r in toks.groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(10).collect()
+        }
+        approx = {
+            row["item"]: row["count"]
+            for row in toks.agg(
+                F.expr("approx_top_k(token, 20)").alias("tk")
+            ).collect()[0]["tk"]
+        }
+        for token, n in exact.items():
+            assert token in approx
+            assert abs(approx[token] - n) <= max(1, n // 100)
+
+    def test_hll_sketch_close_to_exact_distinct(self, spark):
+        docs = spark.read.parquet(f"{SF001}/documents.parquet")
+        toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        exact = toks.agg(F.countDistinct("t").alias("n")).collect()[0]["n"]
+        est = toks.agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(t))").alias("e")
+        ).collect()[0]["e"]
+        assert abs(est - exact) / exact < 0.05
