@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF001
 from data_engineering_hs_spark.operators.scale import (
     read_table,
     salted_join,
@@ -103,3 +104,45 @@ class TestSaltedJoin:
             for r in salted_join(fact, dim, "k", how="left").collect()
         }
         assert out == {(1, "d1"), (2, "d2"), (99, None)}
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_join_injects_bloom_filter(self, spark):
+        # Runtime row-level filtering: with broadcast disabled (the
+        # big-cluster regime where both sides shuffle), a selective
+        # dim filter should inject a bloom_filter_agg on the dim side
+        # and a might_contain probe into the fact scan — rows that
+        # can't join are dropped BEFORE the shuffle.
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            l = spark.read.parquet(f"{SF001}/lineitem.parquet")
+            o = spark.read.parquet(f"{SF001}/orders.parquet").filter(
+                F.col("o_totalprice") > 450000
+            )
+            j = l.join(o, l.l_orderkey == o.o_orderkey)
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+            # and the filtered join still returns correct rows
+            n = j.count()
+            exact = (
+                l.join(o.select("o_orderkey").distinct(), l.l_orderkey == F.col("o_orderkey"))
+                .count()
+            )
+            assert n == exact
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
