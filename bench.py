@@ -34,10 +34,12 @@ def main() -> None:
     for name in headline:
         fn = REGISTRY[name].fn
         # Steady-state timing: one warmup run (parquet footers, codegen,
-        # broadcast build), then best of two measured runs (JIT/GC noise).
+        # broadcast build), then best of three measured runs — this box
+        # shows ±25% load noise between identical runs, and the driver
+        # records a single bench per round.
         fn(spark, sf_dir).count()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
