@@ -115,7 +115,7 @@ _MEASURED_SEC = {
     "ts_resample_interpolate": 2.5, "d_setsim_pairs": 8.0,
     "t_hash_split": 0.2, "t_token_counts": 0.25,
     "t_stratified_sample": 0.3, "d_dup_components_lsh": 3.0,
-    "t_heavy_hitters": 0.4,
+    "t_heavy_hitters": 0.4, "t_curate_training_set": 2.0,
 }
 
 

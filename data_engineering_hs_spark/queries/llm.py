@@ -610,3 +610,52 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("token")))
     return counts.withColumn("rk", rk).filter(F.col("rk") <= 20).select("token", "n")
+
+
+@register(
+    "t_curate_training_set",
+    oracle=None,  # composes engine-defined scores (quality, langid) →
+    # golden-pinned; each stage is separately oracled/pinned
+    doc="the end-to-end curation pipeline: exact-dup collapse (keep "
+    "min doc_id per fingerprint) → quality floor → language filter → "
+    "boilerplate ceiling → deterministic train/val/test split. One "
+    "query composing six operators — the flagship LLM-training-data "
+    "use case this engine exists for",
+)
+def t_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from data_engineering_hs_spark.operators.corpus import (
+        boilerplate_ratio,
+        hash_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # exact-dup collapse: keep the smallest doc_id per normalized text
+    rep = F.row_number().over(
+        W.partitionBy(TX.fingerprint64("text")).orderBy("doc_id")
+    )
+    deduped = d.withColumn("__rep", rep).filter(F.col("__rep") == 1).drop("__rep")
+    scored = deduped.select(
+        "doc_id",
+        "text",
+        "lang",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("pred_lang"),
+    )
+    bp = boilerplate_ratio(d, "text", "doc_id", min_docs=5).select(
+        "doc_id", "boilerplate_ratio"
+    )
+    kept = (
+        scored.join(bp, "doc_id", "left")
+        .filter(
+            (F.col("quality") >= 0.4)
+            & (F.col("pred_lang") == F.col("lang"))
+            & (F.coalesce("boilerplate_ratio", F.lit(0.0)) <= 0.8)
+        )
+    )
+    return (
+        hash_split(kept, "doc_id")
+        .select("doc_id", "lang", F.round("quality", 6).alias("quality"), "split")
+        .orderBy("doc_id")
+    )
