@@ -80,7 +80,8 @@ def w_analytic_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_higher_order_arrays",
     oracle="""
 SELECT p_partkey,
-       list_transform(string_split(p_name, ' '), x -> length(x)) AS word_lens,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                                      x -> length(x)), ',') AS word_lens,
        len(list_filter(string_split(p_name, ' '), x -> length(x) > 4))
          AS n_long_words,
        CAST(list_sum(list_transform(string_split(p_name, ' '),
@@ -89,14 +90,18 @@ FROM part WHERE p_partkey <= 100
 """,
     doc="higher-order array lambdas as user surface: transform/filter/"
     "aggregate (F7 family; engine hot paths avoid these — see SCALE.md "
-    "— but the API parity with list_transform/list_filter stands)",
+    "— but the API parity with list_transform/list_filter stands). "
+    "word_lens is serialized to CSV: the driver's comparer canonicalizes "
+    "via pandas sort, which cannot hash array-typed cells.",
 )
 def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.filter(F.col("p_partkey") <= 100).select(
         "p_partkey",
-        F.transform(words, lambda x: F.length(x)).alias("word_lens"),
+        F.array_join(
+            F.transform(words, lambda x: F.length(x).cast("string")), ","
+        ).alias("word_lens"),
         F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long_words"),
         F.aggregate(
             F.transform(words, lambda x: F.length(x)),
