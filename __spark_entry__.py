@@ -128,6 +128,10 @@ _MEASURED_SEC = {
     "t_hash_split": 0.2, "t_token_counts": 0.25,
     "t_stratified_sample": 0.3, "d_dup_components_lsh": 3.0,
     "t_heavy_hitters": 0.4, "t_curate_training_set": 2.0,
+    "q2_min_offer_supplier": 3.0, "q9_product_type_profit": 1.5,
+    "q11_important_parts": 2.2, "q12_priority_by_returnflag": 1.4,
+    "q16_supplier_count": 1.9, "q20_heavy_shippers": 1.5,
+    "q21_waiting_suppliers": 2.7,
 }
 
 

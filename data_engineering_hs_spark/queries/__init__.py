@@ -16,6 +16,7 @@ def load_all() -> None:
         advanced,
         tpch_extra,
         tpch_extra2,
+        tpch_extra3,
         windows_extra,
         agg_extra,
     )

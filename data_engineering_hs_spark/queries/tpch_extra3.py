@@ -1,0 +1,414 @@
+"""Third batch of classic TPC-H shapes (Q2/Q9/Q11/Q12/Q16/Q20/Q21
+analogs), completing the 22-query suite on the trimmed testdata
+schema.
+
+The testdata has no partsupp table and no l_receiptdate /
+l_commitdate / l_shipmode / c_phone columns, so the five queries that
+depend on them (Q2, Q9, Q11, Q16, Q20 → partsupp; Q12 → shipmode;
+Q21 → receipt/commit dates) are re-expressed as honest SHAPE analogs:
+the join topology, subquery decorrelation pattern, and aggregate
+structure match the original, with the missing column replaced by a
+documented stand-in (lineitem as the part↔supplier relationship,
+l_returnflag as the lateness/shipmode proxy). Reference parity:
+lab03-sql-queries/sql exercises the same correlated-subquery and
+multi-join shapes against PostgreSQL.
+
+Determinism: money via exact BIGINT cents (one double division at the
+end); l_shipdate/o_orderdate are timestamps — always to_date before
+comparing; every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.queries.registry import register
+
+_REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+def _rev_cents() -> F.Column:
+    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+
+
+@register(
+    "q2_min_offer_supplier",
+    oracle="""
+WITH europe_offers AS (
+  SELECT l.l_partkey AS ep_partkey, l.l_suppkey AS ep_suppkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS offer_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+min_offer AS (
+  SELECT ep_partkey, MIN(offer_cents) AS min_cents
+  FROM europe_offers GROUP BY ep_partkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+       CAST(e.offer_cents AS DOUBLE) / 100.0 AS offer_price
+FROM europe_offers e
+JOIN min_offer m ON m.ep_partkey = e.ep_partkey
+                AND m.min_cents = e.offer_cents
+JOIN part p ON p.p_partkey = e.ep_partkey
+JOIN supplier s ON s.s_suppkey = e.ep_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 25 AND p.p_type = 'LARGE'
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+""",
+    doc="TPC-H Q2 shape: correlated-MIN subquery (min offer per part "
+    "within a region) decorrelated to an aggregate joined back on "
+    "(key, min_value), then dims re-joined for output. partsupp is "
+    "absent from the testdata; lineitem extendedprice plays "
+    "ps_supplycost (same join topology).",
+)
+def q2_min_offer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    )
+    # supplier→nation→region prune first: 100×SF suppliers but only
+    # 1/5 in EUROPE; nation/region are fixed-size → safe broadcasts.
+    europe_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = l.join(
+        europe_supp.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey")
+    ).select(
+        F.col("l_partkey").alias("ep_partkey"),
+        F.col("l_suppkey").alias("ep_suppkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("offer_cents"),
+    )
+    min_offer = (
+        offers.groupBy("ep_partkey")
+        .agg(F.min("offer_cents").alias("min_cents"))
+        .select(F.col("ep_partkey").alias("mo_partkey"), "min_cents")
+    )
+    return (
+        offers.join(
+            min_offer,
+            (F.col("ep_partkey") == F.col("mo_partkey"))
+            & (F.col("offer_cents") == F.col("min_cents")),
+        )
+        .join(p, F.col("ep_partkey") == p.p_partkey)
+        .join(europe_supp, F.col("ep_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("offer_cents").cast("double") / 100.0).alias("offer_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT) AS o_year,
+       -- profit in exact tenths-of-cents: 10*rev_cents - retail_cents*qty
+       -- (avoids any division until the final scale-down)
+       CAST(SUM(10 * {_REV_CENTS}
+                - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) / 1000.0
+         AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 shape: profit per (supplier nation, year) over a "
+    "5-way join with a LIKE filter on p_name. ps_supplycost is absent; "
+    "cost proxied as p_retailprice*qty/10, computed in exact integer "
+    "tenths-of-cents with a single final division.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cost_tenths = F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    profit_tenths = F.lit(10).cast("long") * _rev_cents() - cost_tenths
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("l_shipdate")).alias("o_year"),
+        )
+        .agg((F.sum(profit_tenths).cast("double") / 1000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH europe_value AS (
+  SELECT l.l_partkey AS pv_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT pv_partkey AS p_partkey,
+       CAST(SUM(value_cents) AS DOUBLE) / 100.0 AS part_value
+FROM europe_value
+GROUP BY pv_partkey
+HAVING SUM(value_cents) > (SELECT SUM(value_cents) FROM europe_value) / 1000
+ORDER BY part_value DESC, p_partkey
+""",
+    doc="TPC-H Q11 shape: grouped value per part with a HAVING bound "
+    "tied to a scalar subquery over the SAME derived relation "
+    "(fraction-of-global-total). partsupp absent; lineitem value by "
+    "EUROPE suppliers plays ps_supplycost*ps_availqty.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe_value = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("l_partkey").alias("pv_partkey"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    per_part = europe_value.groupBy("pv_partkey").agg(
+        F.sum("value_cents").alias("part_cents")
+    )
+    # The global total re-aggregates the per-part sums (one extra tiny
+    # agg over ~200k rows at SF1k) instead of re-scanning lineitem —
+    # the exchange output is reused, not the 100-TB fact scan.
+    total = per_part.agg((F.sum("part_cents") / 1000).alias("threshold_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_cents") > F.col("threshold_cents"))
+        .select(
+            F.col("pv_partkey").alias("p_partkey"),
+            (F.col("part_cents").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape: fact-fact join with a date-range filter and "
+    "conditional counts split by a priority class. l_shipmode is "
+    "absent; l_returnflag is the grouping stand-in.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, one).otherwise(zero)).alias("high_line_count"),
+            F.sum(F.when(~is_high, one).otherwise(zero)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape: distinct-supplier count per part attribute "
+    "triple, excluding a blacklist via NOT IN subquery (anti-join). "
+    "partsupp absent; lineitem is the part↔supplier relationship and "
+    "negative-balance suppliers play the complaints blacklist.",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(blacklist, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_8')
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    )
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY l.l_suppkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 50
+  )
+ORDER BY s.s_name
+""",
+    doc="TPC-H Q20 shape: nested IN subqueries — parts by name prefix "
+    "→ per-supplier shipped quantity over a year with a HAVING bound "
+    "→ semi-join back to suppliers of chosen nations. partsupp "
+    "availqty absent; the 50%-of-availqty bound becomes a fixed "
+    "quantity threshold (same nesting).",
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        l.join(small_parts, l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name IN ('NATION_0', 'NATION_5', 'NATION_10')
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+""",
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS correlated subqueries "
+    "against the SAME fact table (multi-supplier order where only this "
+    "supplier failed), decorrelated to a per-order profile aggregate "
+    "joined once. l_receiptdate/l_commitdate absent; l_returnflag='R' "
+    "is the 'failed delivery' proxy.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_5", "NATION_10")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    # Decorrelate both EXISTS probes into ONE per-order profile pass
+    # (supplier count, late-supplier count) instead of two correlated
+    # self-joins — a single extra shuffle of the fact keyed by order,
+    # which AQE can co-locate with the main join at scale.
+    profile = l.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    late = l.filter(F.col("l_returnflag") == "R")
+    return (
+        late.join(o, late.l_orderkey == o.o_orderkey, "left_semi")
+        .join(profile, F.col("l_orderkey") == F.col("po_orderkey"))
+        # ≥2 suppliers in the order, and every 'R' line belongs to this
+        # supplier ⇔ exactly one late supplier overall.
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
