@@ -131,7 +131,7 @@ _MEASURED_SEC = {
     "q2_min_offer_supplier": 3.0, "q9_product_type_profit": 1.5,
     "q11_important_parts": 2.2, "q12_priority_by_returnflag": 1.4,
     "q16_supplier_count": 1.9, "q20_heavy_shippers": 1.5,
-    "q21_waiting_suppliers": 2.7,
+    "q21_waiting_suppliers": 2.7, "g_radius_join": 2.0,
 }
 
 

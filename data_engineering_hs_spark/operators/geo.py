@@ -1,0 +1,118 @@
+"""Spatial radius join — points matched to centers within a distance.
+
+Spark has no native spatial join; a plain `dist(p, c) <= r` condition
+plans as a broadcast-nested-loop (O(points×centers) compares). The
+scale path is the same bucketization family as
+`operators/range_join.py`, lifted to two dimensions:
+
+- the plane is tiled into square cells of side `cell_deg` (chosen
+  >= the search radius, so a match can only lie in the 3×3 cell
+  neighborhood);
+- each CENTER explodes into its 3×3 neighbor cells (9× expansion of
+  the small side, never the big one);
+- each POINT maps to exactly ONE cell;
+- the join becomes an equi-join on (cell_x, cell_y) — hash
+  partitioned, AQE skew-splittable — with the exact distance check as
+  a post-join filter.
+
+This is the standard grid/geohash spatial-join strategy (PostGIS
+ST_DWithin over a grid index and Sedona's partitioned spatial join
+use the same shape). Reference parity: the reference's lab03 SQL
+exercises proximity predicates row-wise; this operator re-expresses
+them as a distributed equi-join.
+
+Distance metrics:
+- `planar_sq_deg` (default for oracles): squared euclidean distance
+  in degree space. Pure IEEE multiply/add — bit-identical across
+  engines, so results hash-match a DuckDB oracle exactly.
+- `haversine_km`: great-circle km. Uses libm trig whose last-ulp
+  behavior differs across runtimes — fine for applications, excluded
+  from bit-exact oracles (pytest covers it with a tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def planar_sq_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Squared planar distance in degree space (deterministic)."""
+    dlat = lat1 - lat2
+    dlon = lon1 - lon2
+    return dlat * dlat + dlon * dlon
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in kilometres (application metric)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def _cell(col: Column, cell_deg: float) -> Column:
+    return F.floor(col / F.lit(cell_deg)).cast("long")
+
+
+def radius_join(
+    points: DataFrame,
+    centers: DataFrame,
+    radius_deg: float,
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    center_lat: str = "c_lat",
+    center_lon: str = "c_lon",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Inner-join each point to every center within `radius_deg`
+    (planar degree metric, inclusive boundary).
+
+    The output carries all columns of both inputs; lat/lon column
+    names must not collide between the two sides. `cell_deg` defaults
+    to the radius (the smallest width for which 3×3 neighbors are
+    sufficient); raise it when centers are sparse to cut the 9×
+    explosion's constant.
+    """
+    if cell_deg is None:
+        cell_deg = radius_deg
+    if cell_deg < radius_deg:
+        raise ValueError(
+            f"cell_deg={cell_deg} < radius_deg={radius_deg}: a match "
+            "could lie outside the 3x3 neighborhood"
+        )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    # centers explode 9×; points (the big side at scale) map 1:1.
+    c = (
+        centers.withColumn("__dx", off)
+        .withColumn("__dy", off)
+        .withColumn("__cx", _cell(F.col(center_lat), cell_deg) + F.col("__dx"))
+        .withColumn("__cy", _cell(F.col(center_lon), cell_deg) + F.col("__dy"))
+        .drop("__dx", "__dy")
+    )
+    p = points.withColumn("__cx", _cell(F.col(point_lat), cell_deg)).withColumn(
+        "__cy", _cell(F.col(point_lon), cell_deg)
+    )
+    within = planar_sq_deg(
+        F.col(point_lat), F.col(point_lon), F.col(center_lat), F.col(center_lon)
+    ) <= F.lit(radius_deg) * F.lit(radius_deg)
+    return p.join(c, ["__cx", "__cy"]).filter(within).drop("__cx", "__cy")
+
+
+def radius_join_naive(
+    points: DataFrame,
+    centers: DataFrame,
+    radius_deg: float,
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    center_lat: str = "c_lat",
+    center_lon: str = "c_lon",
+) -> DataFrame:
+    """Distance-condition join — parity baseline (nested-loop plan)."""
+    within = planar_sq_deg(
+        F.col(point_lat), F.col(point_lon), F.col(center_lat), F.col(center_lon)
+    ) <= F.lit(radius_deg) * F.lit(radius_deg)
+    return points.join(centers, within)

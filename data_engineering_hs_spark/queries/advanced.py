@@ -222,3 +222,61 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.col("value_interp"),
     )
+
+
+@register(
+    "g_radius_join",
+    oracle="""
+WITH points AS (
+  SELECT event_id, user_id,
+         CAST((user_id * 79) % 144 AS DOUBLE) / 4.0 - 18.0 AS lat,
+         CAST((user_id * 131) % 288 AS DOUBLE) / 4.0 - 36.0 AS lon
+  FROM events
+), centers AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 37) % 144 AS DOUBLE) / 4.0 - 18.0 AS c_lat,
+         CAST((s_suppkey * 53) % 288 AS DOUBLE) / 4.0 - 36.0 AS c_lon
+  FROM supplier
+)
+SELECT c.s_suppkey, COUNT(*) AS n_events,
+       COUNT(DISTINCT p.user_id) AS n_users
+FROM points p JOIN centers c
+  ON (p.lat - c.c_lat) * (p.lat - c.c_lat)
+   + (p.lon - c.c_lon) * (p.lon - c.c_lon) <= 0.25
+GROUP BY c.s_suppkey
+ORDER BY c.s_suppkey
+""",
+    doc="spatial radius join: events (deterministic synthetic "
+    "coordinates, exact quarter-degree grid) matched to supplier "
+    "'store' locations within 0.5 degrees, counted per store. Spark "
+    "side is the grid-cell bucketized equi-join "
+    "(operators/geo.py:radius_join); the oracle is the naive "
+    "all-pairs distance join — same result, different plan. "
+    "Quarter-degree coordinates are exact binary doubles, so the "
+    "boundary comparison is bit-identical across engines.",
+)
+def g_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.geo import radius_join
+
+    e = load_table(spark, sf_dir, "events")
+    s = load_table(spark, sf_dir, "supplier")
+    points = e.select(
+        "event_id",
+        "user_id",
+        ((F.col("user_id") * 79 % 144).cast("double") / 4.0 - 18.0).alias("lat"),
+        ((F.col("user_id") * 131 % 288).cast("double") / 4.0 - 36.0).alias("lon"),
+    )
+    centers = s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37 % 144).cast("double") / 4.0 - 18.0).alias("c_lat"),
+        ((F.col("s_suppkey") * 53 % 288).cast("double") / 4.0 - 36.0).alias("c_lon"),
+    )
+    return (
+        radius_join(points, centers, radius_deg=0.5)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("s_suppkey")
+    )
