@@ -76,3 +76,74 @@ class TestStreamStreamJoin:
         got = {(r["ad_id"], r["click_id"], r["imp_id"]) for r in table.collect()}
         assert got == {("ad1", 100, 1)}
         q.stop()
+
+    def test_per_key_watermark_skew(self, spark, tmp_path):
+        """Watermarks are GLOBAL, not per-key: a lagging key's rows
+        join fine while they arrive within the global watermark delay,
+        but once OTHER keys advance event time past the delay, the
+        slow key's still-pending matches are dropped (its join state
+        is evicted and its late rows are filtered). This pins the
+        skew semantics a per-key-lag user must size the watermark for.
+        """
+        t = dt.datetime(2025, 1, 1, 10, 0, 0)
+        imp_dir = str(tmp_path / "imps")
+        click_dir = str(tmp_path / "clicks")
+        os.makedirs(imp_dir)
+        os.makedirs(click_dir)
+
+        def write(dirname, name, rows, schema):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dirname, name))
+            import time as _time
+
+            _time.sleep(1.1)  # distinct mtimes → deterministic order
+
+        m = dt.timedelta(minutes=1)
+        h = dt.timedelta(hours=1)
+        # trigger 1: three impressions, fast key clicks 5 min later
+        write(imp_dir, "f1", [("fast", 1, t), ("slow", 2, t), ("slow2", 3, t)], IMP_SCHEMA)
+        write(click_dir, "f1", [("fast", 100, t + 5 * m)], CLICK_SCHEMA)
+        # trigger 2: slow key's click lags 8 min behind its impression
+        # but the global watermark (30 min) hasn't passed → joins.
+        write(imp_dir, "f2", [("fast2", 4, t + 3 * h)], IMP_SCHEMA)
+        write(click_dir, "f2", [("slow", 200, t + 8 * m)], CLICK_SCHEMA)
+        # trigger 3: fast keys advance event time to 13:00-14:00,
+        # dragging the global watermark to ~12:35.
+        write(imp_dir, "f3", [("filler", 5, t + 4 * h)], IMP_SCHEMA)
+        write(click_dir, "f3", [("fast2", 300, t + 3 * h + 5 * m)], CLICK_SCHEMA)
+        # trigger 4: pure filler — state eviction runs one batch AFTER
+        # the watermark advances (eviction is best-effort, not a hard
+        # late-filter), so an extra trigger must pass before the late
+        # arrival for the drop to be observable.
+        write(click_dir, "f4", [("filler2", 500, t + 4 * h + 30 * m)], CLICK_SCHEMA)
+        # trigger 5: slow2's click arrives at event time 10:10 — within
+        # ITS OWN key's lag, but far behind the global watermark; its
+        # impression's join state is evicted → no match (no per-key
+        # watermark exists to save it).
+        write(click_dir, "f5", [("slow2", 400, t + 10 * m)], CLICK_SCHEMA)
+
+        imps = (
+            spark.readStream.schema(IMP_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(imp_dir + "/*/")
+        )
+        clicks = (
+            spark.readStream.schema(CLICK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(click_dir + "/*/")
+            .withColumnRenamed("ts", "click_ts")
+        )
+        joined = stream_stream_join(
+            clicks,
+            imps,
+            on="ad_id",
+            left_ts="click_ts",
+            right_ts="ts",
+            watermark="30 minutes",
+            max_lag="30 minutes",
+        ).select("ad_id", "click_id", "imp_id")
+        q, table = run_to_memory(joined, "ss_skew", "append")
+        got = {(r["ad_id"], r["click_id"], r["imp_id"]) for r in table.collect()}
+        assert got == {("fast", 100, 1), ("slow", 200, 2), ("fast2", 300, 4)}
+        q.stop()
