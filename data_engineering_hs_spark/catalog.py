@@ -68,13 +68,37 @@ def enable_table_cache(enabled: bool = True) -> None:
         _TABLE_CACHE.clear()
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to session-zoned TimestampType (UTC).
+
+    The driver has shipped `events.parquet` with two different physical
+    types across rounds — TIMESTAMP(NANOS) (read as long nanos under
+    `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
+    (read natively as TIMESTAMP_NTZ). Branch on what the scan actually
+    produced instead of assuming either, so a future regeneration
+    doesn't break the loader again:
+      * bigint        → nanos-as-long: floor to micros, build timestamp
+      * timestamp_ntz → reinterpret wall-clock as UTC instant (session
+                        timezone is pinned to UTC, so the cast is the
+                        identity on displayed values and matches
+                        DuckDB's naive-timestamp reading)
+      * timestamp     → already correct
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    (microseconds) rejects by default; read it as long nanos and floor
-    to micros — the same truncation DuckDB applies at millis, so
-    cross-engine time bucketing agrees.
+    `events.ts` physical type varies by testdata generation (nanos vs
+    micros); see normalize_event_ts.
     """
     # The engine's time semantics are UTC (SURVEY.md §1.2); pin it even
     # when the caller's session was built elsewhere (e.g. the driver).
@@ -87,12 +111,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Harmless for micros files; required to scan legacy nanos ones.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = normalize_event_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
     if _TABLE_CACHE_ENABLED:

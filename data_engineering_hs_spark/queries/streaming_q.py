@@ -18,16 +18,41 @@ from data_engineering_hs_spark.streaming.pipelines import (
     tumbling_counts,
 )
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_ts_type(sf_dir: str) -> T.DataType:
+    """Physical `ts` type of this generation's events.parquet.
+
+    The streaming file source needs the schema declared up front, and
+    the driver has shipped events.ts as both TIMESTAMP(NANOS) (long
+    under nanosAsLong) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ) across
+    rounds — read the footer instead of guessing.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    arrow_t = (
+        pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+        .field("ts")
+        .type
+    )
+    if str(arrow_t) == "int64" or "ns" in str(arrow_t):
+        return T.LongType()  # nanos (nanosAsLong)
+    if getattr(arrow_t, "tz", None):
+        return T.TimestampType()
+    return T.TimestampNTZType()
+
+
+def _events_raw_schema(sf_dir: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", _events_raw_ts_type(sf_dir)),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_dir_for(sf_dir: str, table: str) -> str:
@@ -50,10 +75,12 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+    raw = spark.readStream.schema(_events_raw_schema(sf_dir)).parquet(
         _stream_dir_for(sf_dir, "events")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from data_engineering_hs_spark.catalog import normalize_event_ts
+
+    return normalize_event_ts(raw)
 
 
 def _drain(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
