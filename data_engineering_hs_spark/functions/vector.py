@@ -32,6 +32,10 @@ operators/similarity.py).
 
 from __future__ import annotations
 
+# Module-level so pandas_udf can resolve the stringified type hints
+# ('pd.Series') that `from __future__ import annotations` produces.
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -95,8 +99,6 @@ def dot_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
     use this where approximate equality is fine (ANN candidate
     scoring, near-dup verify at loose thresholds).
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import DoubleType
 
     @F.pandas_udf(DoubleType())
@@ -110,8 +112,6 @@ def dot_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def cosine_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Vectorized cosine (see dot_pandas caveats); 0.0 for zero norms."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import DoubleType
 
     @F.pandas_udf(DoubleType())

@@ -260,6 +260,30 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, q, k=5)
 
 
+# Rank-only oracle: the Arrow dot is not bit-exact (SIMD summation),
+# so the oracle compares the top-k NEIGHBOR SETS, not cos_sim doubles.
+# Distinct 64-dim cosines differ by far more than a few ulp, so ranks
+# are stable across the two summation orders.
+S_COSINE_ARROW_ORACLE = S_COSINE_ORACLE.replace(
+    "SELECT query_id, rank, neighbor_id, cos_sim FROM (",
+    "SELECT query_id, rank, neighbor_id FROM (",
+)
+
+
+@register(
+    "s_cosine_topk_arrow",
+    oracle=S_COSINE_ARROW_ORACLE,
+    doc="brute-force cosine top-k on the Arrow-batched numpy dot — "
+    "the 100-TB scoring path (rank-parity oracle; value-hashed "
+    "cos_sim parity is s_cosine_topk's job)",
+    bench=True,
+)
+def s_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(e, q, k=5, dot_strategy="arrow").drop("cos_sim")
+
+
 # Determinism: double sums depend on partial-agg merge order, so the
 # centroid components aggregate as exact scaled integers (2^40 — exact
 # for float32 values down to ulp 2^-40, deterministic rounding below

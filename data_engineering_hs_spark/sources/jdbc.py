@@ -31,6 +31,86 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _q(c: str) -> str:
+    """Quote an identifier the way Spark's JDBC writer does (double
+    quotes), so driver-side SQL binds to the columns the writer
+    created regardless of the backend's unquoted-identifier folding
+    (Derby/H2 fold UPPER, PostgreSQL lower)."""
+    return '"' + c + '"'
+
+
+def dialect_for_url(url: str) -> str:
+    """Infer the SQL dialect from a JDBC URL. 'postgresql' gets the
+    reference's native INSERT ... ON CONFLICT form
+    (fuel_ingest_dag.py:169-182); everything else uses ANSI MERGE
+    (Derby, H2, SQL Server, Oracle...)."""
+    sub = url.split(":", 2)[1].lower() if url.count(":") >= 2 else ""
+    return "postgresql" if sub in ("postgresql", "postgres") else "ansi"
+
+
+def create_target_statements(
+    dialect: str, table: str, stage: str, keys: Sequence[str]
+) -> list[str]:
+    """DDL cloning the staging schema into the (absent) target.
+
+    PostgreSQL's ON CONFLICT needs a unique index on the conflict
+    target, so the postgres form also adds the UNIQUE constraint —
+    the reference's table has the same PK (001_create_table.sql).
+    ANSI MERGE matches on an arbitrary predicate, no index required.
+    """
+    key_list = ", ".join(_q(k) for k in keys)
+    if dialect == "postgresql":
+        return [
+            f"CREATE TABLE {table} (LIKE {stage} INCLUDING ALL)",
+            f"ALTER TABLE {table} ADD CONSTRAINT {table}_upsert_key "
+            f"UNIQUE ({key_list})",
+        ]
+    return [f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA"]
+
+
+def upsert_statements(
+    dialect: str,
+    table: str,
+    stage: str,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    update_on_match: bool = False,
+) -> list[str]:
+    """The driver-side upsert DML, staged rows → target.
+
+    postgresql: INSERT ... ON CONFLICT (keys) DO NOTHING / DO UPDATE
+    SET c = EXCLUDED.c — the exact semantics of the reference DAG's
+    batched execute_values load.
+    ansi: MERGE INTO ... WHEN [NOT] MATCHED.
+    """
+    non_keys = [c for c in cols if c not in set(keys)]
+    insert_cols = ", ".join(_q(c) for c in cols)
+    if dialect == "postgresql":
+        key_list = ", ".join(_q(k) for k in keys)
+        conflict = "DO NOTHING"
+        if update_on_match and non_keys:
+            sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in non_keys)
+            conflict = f"DO UPDATE SET {sets}"
+        return [
+            f"INSERT INTO {table} ({insert_cols}) "
+            f"SELECT {insert_cols} FROM {stage} "
+            f"ON CONFLICT ({key_list}) {conflict}"
+        ]
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    insert_vals = ", ".join(f"s.{_q(c)}" for c in cols)
+    if update_on_match and non_keys:
+        sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
+        return [
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        ]
+    return [
+        f"MERGE INTO {table} t USING {stage} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    ]
+
+
 def _execute_driver_sql(spark: SparkSession, url: str, statements: Sequence[str]) -> None:
     """Run DDL/DML on the driver through java.sql.DriverManager."""
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
@@ -69,19 +149,23 @@ def jdbc_upsert_batch(
     staging_table: str | None = None,
     batch_size: int = 1000,
     string_type: str = "VARCHAR(4096)",
+    dialect: str | None = None,
 ) -> None:
     """Upsert one (micro)batch into a JDBC table.
 
     insert-if-absent by default (the reference's ON CONFLICT DO
     NOTHING); update_on_match=True also updates non-key columns
     (full upsert). Batch rows are deduped on the keys first so the
-    MERGE source is conflict-free. `string_type` is the SQL type
+    upsert source is conflict-free. `string_type` is the SQL type
     string columns are created as (Derby can't MERGE-compare the
     CLOBs Spark maps strings to); widen it for long text payloads —
     a value longer than the cap fails the staging write loudly.
+    `dialect` overrides URL-based detection (see dialect_for_url);
+    PostgreSQL gets native INSERT ... ON CONFLICT, others ANSI MERGE.
     """
     spark = batch.sparkSession
     stage = staging_table or f"{table}_stage"
+    dialect = dialect or dialect_for_url(url)
     deduped = batch.dropDuplicates(list(keys))
     writer = (
         deduped.write.format("jdbc")
@@ -102,35 +186,19 @@ def jdbc_upsert_batch(
         )
     writer.save()
     if not _table_exists(spark, url, table):
-        # Derby/ANSI: clone the staging schema without rows.
         _execute_driver_sql(
-            spark,
-            url,
-            [f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA"],
+            spark, url, create_target_statements(dialect, table, stage, keys)
         )
     # Spark's JDBC writer emits column names QUOTED (so Derby stores
     # them case-sensitive lowercase) but table names unquoted; the
-    # driver-side SQL must match that convention.
-    def q(c: str) -> str:
-        return '"' + c + '"'
-
-    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-    cols = deduped.columns
-    non_keys = [c for c in cols if c not in set(keys)]
-    insert_cols = ", ".join(q(c) for c in cols)
-    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
-    merge = (
-        f"MERGE INTO {table} t USING {stage} s ON {on} "
-        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    # driver-side SQL (_q) matches that convention.
+    _execute_driver_sql(
+        spark,
+        url,
+        upsert_statements(
+            dialect, table, stage, keys, deduped.columns, update_on_match
+        ),
     )
-    if update_on_match and non_keys:
-        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
-        merge = (
-            f"MERGE INTO {table} t USING {stage} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-        )
-    _execute_driver_sql(spark, url, [merge])
 
 
 def foreach_batch_jdbc_upsert(
@@ -143,6 +211,7 @@ def foreach_batch_jdbc_upsert(
     batch_size: int = 1000,
     available_now: bool = True,
     string_type: str = "VARCHAR(4096)",
+    dialect: str | None = None,
 ) -> StreamingQuery:
     """Streaming ingest → JDBC upsert, idempotent under batch replay.
 
@@ -161,6 +230,7 @@ def foreach_batch_jdbc_upsert(
             update_on_match=update_on_match,
             batch_size=batch_size,
             string_type=string_type,
+            dialect=dialect,
         )
 
     writer = (
