@@ -125,7 +125,8 @@ _MEASURED_SEC = {
     "q22_idle_rich_customers": 0.56, "sql_api_staged_views": 0.6,
     "j_argmin_join_back": 0.63, "q7_nation_volume": 0.65,
     "q10_returned_items": 0.67, "q8_market_share": 0.73,
-    "s_cosine_topk": 0.76, "j_range_ship_window": 0.77,
+    "s_cosine_topk": 0.76, "s_cosine_topk_arrow": 0.76,
+    "j_range_ship_window": 0.77,
     "st_wordcount_stream": 0.81, "t_boilerplate_ratio": 0.86,
     "q18_large_orders": 0.94, "st_sliding_windows": 1.02,
     "flagship_daily_kpi": 1.11, "st_session_windows": 1.2,

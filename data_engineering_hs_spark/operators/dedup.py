@@ -136,9 +136,11 @@ def minhash_signatures(
     partial aggregation reduces each map task to one row of
     num_hashes minima per doc before the exchange.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # No partition-count probe here: touching df.rdd forces an RDD
+    # conversion of the analyzed plan per call. Scan parallelism is
+    # the session's job (the factory caps files.maxPartitionBytes
+    # locally; a real corpus scans as many splits by construction),
+    # and AQE re-balances post-shuffle stages.
     exploded = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, k=shingle_k)).alias("__shingle"),
@@ -291,9 +293,8 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # bit-vote sums + a count. Higher-order array lambdas would run
     # interpreted; these sums stay in whole-stage codegen and reduce
     # map-side via partial aggregation.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # No df.rdd partition probe (forces plan→RDD conversion); see
+    # minhash_signatures for the rationale.
     exploded = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).select(F.col(id_col), F.xxhash64("__tok").alias("__h"))

@@ -296,3 +296,72 @@ class ModelRunner:
                 except AssertionError as e:
                     failures.append(f"{name}: {e}")
         return failures
+
+    # -- declarative config / docs ----------------------------------------
+
+    def apply_schema_config(self, config) -> int:
+        """Attach schema.yml-declared column tests to registered models.
+
+        `config` is a parsed dbt schema.yml dict or a path to one
+        (magic_shop/models/schema.yml: models[].columns[].tests with
+        not_null / unique / accepted_values{values}; the starter
+        project's `data_tests:` spelling is accepted too). Returns the
+        number of checks attached. Unknown models raise — a typo'd
+        schema.yml silently testing nothing is the dbt failure mode
+        this avoids; unknown test names raise for the same reason.
+        """
+        from data_engineering_hs_spark.quality.assertions import (
+            expect_accepted_values,
+            expect_not_null,
+            expect_unique,
+        )
+
+        if isinstance(config, (str, os.PathLike)):
+            import yaml
+
+            with open(config) as f:
+                config = yaml.safe_load(f)
+
+        def make_check(test, model: str, col: str):
+            if test == "not_null":
+                return lambda df: expect_not_null(df, col, table=model)
+            if test == "unique":
+                return lambda df: expect_unique(df, col, table=model)
+            if isinstance(test, dict) and "accepted_values" in test:
+                vals = list(test["accepted_values"]["values"])
+                return lambda df: expect_accepted_values(
+                    df, col, vals, table=model
+                )
+            raise ValueError(f"unknown test {test!r} on {model}.{col}")
+
+        attached = 0
+        for entry in config.get("models", []):
+            name = entry["name"]
+            if name not in self.models:
+                raise KeyError(f"schema config for unknown model {name}")
+            for coldef in entry.get("columns", []):
+                col = coldef["name"]
+                tests = coldef.get("tests", coldef.get("data_tests", []))
+                for t in tests:
+                    self.models[name].checks.append(make_check(t, name, col))
+                    attached += 1
+        return attached
+
+    def manifest(self) -> dict:
+        """`dbt docs`-style machine-readable artifact: per model, its
+        materialization, direct parents, and check count — the JSON
+        twin of lineage(). json.dump(runner.manifest(), ...) is the
+        docs-export path."""
+        parents = self.graph()
+        return {
+            "models": {
+                name: {
+                    "materialization": m.materialization,
+                    "unique_key": m.unique_key,
+                    "partition_by": m.partition_by,
+                    "depends_on": sorted(parents[name]),
+                    "checks": len(m.checks),
+                }
+                for name, m in self.models.items()
+            }
+        }

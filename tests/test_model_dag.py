@@ -172,3 +172,76 @@ class TestSelectorsAndLineage:
         text = runner.lineage()
         assert "fct_orders" in text and "stg_orders, stg_payments" in text
         assert "[incremental" in text or "[table" in text or "[view" in text
+
+
+class TestSchemaConfigAndDocs:
+    """schema.yml-style declarative tests + docs artifact
+    (magic_shop/models/schema.yml:6-28, dbt_project.yml docs flow)."""
+
+    SCHEMA_YML = """
+version: 2
+models:
+  - name: stg_customers
+    columns:
+      - name: customer_id
+        tests: [not_null, unique]
+  - name: stg_orders
+    columns:
+      - name: status
+        tests:
+          - accepted_values:
+              values: ["fulfilled", "returned", "pending", "cancelled"]
+"""
+
+    def test_yaml_config_attaches_passing_checks(self, spark, tmp_path):
+        p = tmp_path / "schema.yml"
+        p.write_text(self.SCHEMA_YML)
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        before = len(runner.models["stg_customers"].checks)
+        attached = runner.apply_schema_config(str(p))
+        assert attached == 3
+        assert len(runner.models["stg_customers"].checks) == before + 2
+        runner.run()  # declared checks all pass on clean fixture data
+        assert runner.test() == []
+
+    def test_declared_check_fails_on_bad_data(self, spark):
+        raw = _raw(spark, orders_extra=[
+            ("13", "2", "2025-06-11 00:00:00", "hat", "EXPLODED", "5.00"),
+        ])
+        runner = build_runner(spark, raw, now_expr=NOW)
+        runner.apply_schema_config({
+            "models": [{"name": "stg_orders", "columns": [
+                {"name": "status", "tests": [{"accepted_values": {
+                    "values": ["fulfilled", "returned", "pending", "cancelled"]}}]},
+            ]}],
+        })
+        with pytest.raises(AssertionError_):
+            runner.run()
+
+    def test_data_tests_spelling_and_unknowns_raise(self, spark):
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        n = runner.apply_schema_config({
+            "models": [{"name": "stg_payments", "columns": [
+                {"name": "payment_id", "data_tests": ["unique"]},
+            ]}],
+        })
+        assert n == 1
+        with pytest.raises(KeyError):
+            runner.apply_schema_config({"models": [{"name": "nope", "columns": []}]})
+        with pytest.raises(ValueError):
+            runner.apply_schema_config({
+                "models": [{"name": "stg_orders", "columns": [
+                    {"name": "status", "tests": ["is_sparkly"]},
+                ]}],
+            })
+
+    def test_manifest_is_json_roundtrippable(self, spark):
+        import json
+
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        m = json.loads(json.dumps(runner.manifest()))
+        assert m["models"]["fct_orders"]["depends_on"] == ["stg_orders", "stg_payments"]
+        assert m["models"]["fct_orders"]["materialization"] in (
+            "incremental", "view",
+        )
+        assert set(m["models"]) == set(runner.models)
