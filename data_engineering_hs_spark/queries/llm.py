@@ -274,7 +274,8 @@ S_COSINE_ARROW_ORACLE = S_COSINE_ORACLE.replace(
     "s_cosine_topk_arrow",
     oracle=S_COSINE_ARROW_ORACLE,
     doc="brute-force cosine top-k on the Arrow-batched numpy dot — "
-    "the 100-TB scoring path (rank-parity oracle; value-hashed "
+    "the alternate scoring path, benched to keep the fold-vs-arrow "
+    "tradeoff measured every round (rank-parity oracle; value-hashed "
     "cos_sim parity is s_cosine_topk's job)",
     bench=True,
 )

@@ -38,9 +38,9 @@ GOLDENS = {
     "d_simhash_pairs": (964, "3186563ccbcf275eaa7bce66123ff93c"),
     "s_ivf_topk": (25, "eb7290e7dc44a1aa02b16d5450061348"),
     "s_lsh_topk": (25, "51893cf9ec4ef936209eabb25a8c3986"),
-    # re-pinned after the arrow dot_strategy default (ulp drift in
-    # cos_sim vs the fold; pair SET unchanged — 40 rows both ways)
-    "s_embedding_near_dup": (40, "0131fda17d982354c53ab25f43cc3fff"),
+    # fold-path hash; the arrow dot_strategy shifts cos_sim by ulps
+    # (pair SET unchanged — 40 rows both ways, hash 0131fda1...)
+    "s_embedding_near_dup": (40, "c776fad1ffa2f66491aa2e5fa0cc7b66"),
     "st_session_windows": (9549, "fde46ec19869239d8247e71de6c02bfb"),
     "d_winnow_fingerprints": (10137, "64a9cf95b131fb48f37450a5437f4be9"),
     "d_dup_components_lsh": (47, "2da4aae7ea87bbf8629e1aab66d58e6d"),
