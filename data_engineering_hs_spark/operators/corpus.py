@@ -205,3 +205,95 @@ def stratified_quota_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al.
+    2021 §A1.1 repetition filters), per document:
+
+    - ``top_{top_n}gram_frac``: occurrences of the single most
+      frequent word top_n-gram / all top_n-gram occurrences — high
+      when one phrase loops.
+    - ``dup_{dup_n}gram_frac``: occurrences of dup_n-grams that
+      appear more than once / all dup_n-gram occurrences — high for
+      templated/spun text even when no single phrase dominates.
+
+    Docs with fewer than n words score 0.0 (nothing repeated).
+
+    Physical shape: explode the shingle SEQUENCE (not distinct) →
+    groupBy(doc, gram) count → groupBy(doc) max/sum — both
+    aggregations reduce map-side; no self-joins, no windows. The
+    standard pre-training drop criterion pairs this with
+    functions.text.quality_score.
+    """
+
+    def per_doc(n: int, out: str) -> DataFrame:
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_shingle_seq(text_col, n)).alias("__g"),
+        )
+        counts = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+        return counts.groupBy(id_col).agg(
+            F.max("__c").alias(f"__top_{out}"),
+            F.sum("__c").alias(f"__tot_{out}"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+                f"__dup_{out}"
+            ),
+        )
+
+    top = per_doc(top_n, "a")
+    dup = per_doc(dup_n, "b")
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("__top_a").cast("double") / F.col("__tot_a"), F.lit(0.0)
+            ).alias(f"top_{top_n}gram_frac"),
+            F.coalesce(
+                F.col("__dup_b").cast("double") / F.col("__tot_b"), F.lit(0.0)
+            ).alias(f"dup_{dup_n}gram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    one word n-gram with the benchmark set → (doc_id, n_shared),
+    n_shared = DISTINCT shared n-grams. Inner-join semantics: clean
+    documents don't appear — the caller anti-joins this against the
+    corpus to drop or flag contaminated docs.
+
+    Production pipelines use n=8..13 (the GPT-3/PaLM convention);
+    the registry query uses n=4 so the synthetic 31-word-vocabulary
+    corpus yields a non-vacuous oracle.
+
+    Scale shape: the benchmark side is a test SET (MBs, bounded) —
+    its distinct grams broadcast; the corpus side explodes distinct
+    grams per doc and equi-joins, so the big side never shuffles.
+    """
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("__g")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__g")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

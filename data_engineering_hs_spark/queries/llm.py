@@ -439,6 +439,78 @@ def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_repetition_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+g2 AS (
+  SELECT doc_id, UNNEST([array_to_string(w[i:i+1], ' ')
+                         for i in range(1, len(w))]) AS g
+  FROM toks WHERE len(w) >= 2
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, UNNEST([array_to_string(w[i:i+2], ' ')
+                         for i in range(1, len(w) - 1)]) AS g
+  FROM toks WHERE len(w) >= 3
+),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+s3 AS (SELECT doc_id,
+              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+              SUM(c) AS tot
+       FROM c3 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(CAST(s2.topc AS DOUBLE) / s2.tot, 0.0) AS top_2gram_frac,
+       COALESCE(CAST(s3.dupc AS DOUBLE) / s3.tot, 0.0) AS dup_3gram_frac
+FROM documents d
+LEFT JOIN s2 ON d.doc_id = s2.doc_id
+LEFT JOIN s3 ON d.doc_id = s3.doc_id
+""",
+    doc="Gopher-style intra-document repetition filters: most-frequent-"
+    "2gram fraction + duplicated-3gram fraction per doc (the "
+    "templated/spun-text drop signal)",
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators import corpus as C
+
+    d = load_table(spark, sf_dir, "documents")
+    return C.repetition_stats(d, "text", "doc_id", top_n=2, dup_n=3)
+
+
+@register(
+    "d_decontam_overlap",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(w[i:i+3], ' ')
+                                       for i in range(1, len(w) - 2)])) AS g
+  FROM toks WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM g JOIN bench USING (g)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+""",
+    doc="benchmark decontamination: corpus docs sharing any word "
+    "4-gram with the held-out benchmark partition (doc_id % 97 = 0 "
+    "stand-in; production uses n=8..13 against real eval sets), "
+    "n_shared = distinct shared grams",
+)
+def d_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators import corpus as C
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_side = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return C.decontaminate(corpus_side, benchmark, "text", "doc_id", n=4)
+
+
+@register(
     "f_pii_scrub",
     oracle="""
 SELECT doc_id,

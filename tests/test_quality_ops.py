@@ -553,3 +553,69 @@ class TestSketchTwins:
             F.expr("hll_sketch_estimate(hll_sketch_agg(t))").alias("e")
         ).collect()[0]["e"]
         assert abs(est - exact) / exact < 0.05
+
+
+class TestRepetitionStats:
+    def test_looping_phrase_scores_high(self, spark):
+        from data_engineering_hs_spark.operators.corpus import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "buy now " * 10),          # one 2-gram loops
+                (2, "a b c d e f g h i j"),    # all distinct
+                (3, "x"),                      # shorter than n → 0.0
+                (4, ""),                       # empty → 0.0
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert rows[1].top_2gram_frac > 0.5
+        assert rows[1].dup_3gram_frac > 0.9
+        # doc 2: every 2-gram unique → top frac = 1/9, dup frac 0
+        assert abs(rows[2].top_2gram_frac - 1 / 9) < 1e-12
+        assert rows[2].dup_3gram_frac == 0.0
+        assert rows[3].top_2gram_frac == 0.0 and rows[3].dup_3gram_frac == 0.0
+        assert rows[4].top_2gram_frac == 0.0 and rows[4].dup_3gram_frac == 0.0
+
+    def test_all_docs_present(self, spark):
+        from data_engineering_hs_spark.operators.corpus import repetition_stats
+
+        from data_engineering_hs_spark.catalog import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        assert repetition_stats(d).count() == d.count()
+
+
+class TestDecontaminate:
+    def test_shared_ngram_detected_distinctly(self, spark):
+        from data_engineering_hs_spark.operators.corpus import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains 'quick brown fox jumps' (n=4) twice → counts ONCE
+                (1, "quick brown fox jumps and quick brown fox jumps again"),
+                (2, "totally different words here entirely unrelated text"),
+                (3, "over the lazy dog"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench, n=4).collect()}
+        # doc 1 shares exactly 'quick brown fox jumps' — repeated in the
+        # doc, but distinct grams count once
+        assert got[1] == 1
+        assert 2 not in got  # clean docs absent (inner-join contract)
+        assert got[3] == 1   # exactly the one shared 4-gram
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        from data_engineering_hs_spark.catalog import load_table
+        from data_engineering_hs_spark.operators.corpus import decontaminate
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = decontaminate(
+            d, d.limit(20), "text", "doc_id", n=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
