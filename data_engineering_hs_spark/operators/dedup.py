@@ -489,3 +489,66 @@ def set_similarity_join(
         .select("id_a", "id_b", jac.alias("jaccard"), "truncated")
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: batch-over-batch corpus growth
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a NEW batch against an append-only fingerprint
+    store: rows whose content fingerprint is absent from the store
+    AND first of its fingerprint within the batch (lowest id wins).
+    Output keeps the `fingerprint` column so the caller can
+    append_fingerprints() the survivors.
+
+    This is the corpus-growth shape — a 100-TB corpus is built batch
+    by batch, and re-fingerprinting the whole corpus per increment is
+    a non-starter; only the new batch is scanned, and the join keys
+    are 8-byte fingerprints, never text.
+
+    Scale notes: the anti-join shuffles batch + store on the
+    fingerprint. Keep the store as a table bucketed on `fingerprint`
+    (operators.scale.write_bucketed) and the store side reads
+    Exchange-free; the batch side (the small one) pays the only
+    shuffle. Emission is at-least-once under retries — wrap in
+    foreachBatch + checkpoint (streaming/pipelines) for
+    effectively-exactly-once, same contract as the JDBC upsert sink.
+    """
+    from pyspark.sql import Window
+
+    fp = batch.withColumn("fingerprint", fingerprint64(text_col))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    first = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if store is None:
+        return first
+    return first.join(
+        store.select("fingerprint"), "fingerprint", "left_anti"
+    )
+
+
+def read_fingerprint_store(spark, path: str) -> DataFrame | None:
+    """The persistent store (parquet dir of `fingerprint` longs);
+    None if no increment has been committed yet."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def append_fingerprints(survivors: DataFrame, path: str) -> None:
+    """Commit one increment's fingerprints. Append-only; survivors
+    are already distinct on fingerprint by construction
+    (incremental_exact_dedup keeps one row per fingerprint)."""
+    survivors.select("fingerprint").write.mode("append").parquet(path)

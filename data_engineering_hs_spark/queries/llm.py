@@ -140,6 +140,42 @@ def d_exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_incremental_dedup",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+store AS (SELECT DISTINCT norm FROM n WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, norm FROM n WHERE doc_id % 2 = 1),
+first AS (
+  SELECT doc_id, norm FROM (
+    SELECT doc_id, norm,
+           ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM batch) t
+  WHERE rn = 1
+)
+SELECT doc_id FROM first WHERE norm NOT IN (SELECT norm FROM store)
+""",
+    doc="incremental exact dedup: new-batch survivors (odd doc_ids) "
+    "against an existing fingerprint store (even doc_ids) — the "
+    "batch-over-batch corpus-growth path; anti-join on 8-byte "
+    "fingerprints, only the increment is scanned "
+    "(oracle compares normalized text directly since xxhash64 is "
+    "Spark-specific; collision-free at these cardinalities)",
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") % 2 == 0).select(
+        TX.fingerprint64("text").alias("fingerprint")
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_exact_dedup(batch, store, "text", "doc_id").select(
+        "doc_id"
+    )
+
+
+@register(
     "d_ngram_jaccard",
     oracle="""
 WITH toks AS (

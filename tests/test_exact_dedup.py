@@ -28,3 +28,50 @@ class TestExactDuplicates:
             [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
         )
         assert exact_duplicates(docs, "text", "doc_id").count() == 0
+
+
+class TestIncrementalDedup:
+    """Batch-over-batch growth: only the new increment is scanned;
+    the store is append-only fingerprints."""
+
+    def test_two_increment_round_trip(self, spark, tmp_path):
+        from data_engineering_hs_spark.operators.dedup import (
+            append_fingerprints,
+            incremental_exact_dedup,
+            read_fingerprint_store,
+        )
+
+        store_path = str(tmp_path / "fp_store")
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")],
+            ["doc_id", "text"],
+        )
+        s1 = incremental_exact_dedup(b1, read_fingerprint_store(spark, store_path))
+        # doc 3 normalizes to doc 1's text → intra-batch dup, min id wins
+        assert sorted(r.doc_id for r in s1.collect()) == [1, 2]
+        append_fingerprints(s1, store_path)
+
+        b2 = spark.createDataFrame(
+            [(10, "gamma delta"), (11, "epsilon zeta"), (12, "epsilon zeta")],
+            ["doc_id", "text"],
+        )
+        s2 = incremental_exact_dedup(b2, read_fingerprint_store(spark, store_path))
+        # 10 is a cross-increment dup; 12 an intra-batch dup
+        assert sorted(r.doc_id for r in s2.collect()) == [11]
+        append_fingerprints(s2, store_path)
+
+        # replaying increment 2 yields nothing new (idempotent growth)
+        s2_replay = incremental_exact_dedup(
+            b2, read_fingerprint_store(spark, store_path)
+        )
+        assert s2_replay.count() == 0
+
+    def test_empty_store_passes_all_distinct(self, spark):
+        from data_engineering_hs_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        b = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+        out = incremental_exact_dedup(b, None)
+        assert out.count() == 2
+        assert "fingerprint" in out.columns
