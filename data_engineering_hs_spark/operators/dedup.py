@@ -160,7 +160,7 @@ def minhash_signatures(
     return df.select(id_col).join(with_sig, id_col, "left")
 
 
-def minhash_lsh_pairs(
+def lsh_band_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -168,20 +168,11 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over MinHash signatures.
-
-    rows_per_band = num_hashes // bands. Docs agreeing on all rows of
-    any band land in the same bucket. With b=8, r=4 the S-curve
-    threshold is (1/b)^(1/r) ≈ 0.59 Jaccard.
-
-    Physical shape: signatures compute ONCE, then groupBy
-    (band, bucket) collects the member ids and pairs are generated
-    array-side — no self-join, so the expensive signature pipeline is
-    never evaluated twice and the only shuffle carries (band, bucket,
-    id) triples. Hot buckets (boilerplate) are the skew risk; bucket
-    membership is capped at max_bucket_size with a truncation marker
-    rather than letting one reducer generate n² pairs.
-    """
+    """(id, band, bucket) triples: one row per doc per band, bucket =
+    xxhash64 of that band's signature slice. The shared banding step
+    of batch LSH (minhash_lsh_pairs) and incremental LSH
+    (incremental_minhash_lsh) — and the exact rows an LSH band store
+    persists between increments."""
     r = num_hashes // bands
     # include_missing=False: shingle-less docs can't pair anyway, and
     # skipping the rejoin keeps the plan join-free.
@@ -206,9 +197,36 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(band_buckets).alias("band", "bucket"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    rows_per_band = num_hashes // bands. Docs agreeing on all rows of
+    any band land in the same bucket. With b=8, r=4 the S-curve
+    threshold is (1/b)^(1/r) ≈ 0.59 Jaccard.
+
+    Physical shape: signatures compute ONCE, then groupBy
+    (band, bucket) collects the member ids and pairs are generated
+    array-side — no self-join, so the expensive signature pipeline is
+    never evaluated twice and the only shuffle carries (band, bucket,
+    id) triples. Hot buckets (boilerplate) are the skew risk; bucket
+    membership is capped at max_bucket_size with a truncation marker
+    rather than letting one reducer generate n² pairs.
+    """
+    banded = lsh_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k
     )
     max_bucket_size = 1000
     buckets = (
@@ -552,3 +570,79 @@ def append_fingerprints(survivors: DataFrame, path: str) -> None:
     are already distinct on fingerprint by construction
     (incremental_exact_dedup keeps one row per fingerprint)."""
     survivors.select("fingerprint").write.mode("append").parquet(path)
+
+
+def incremental_minhash_lsh(
+    batch: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup CANDIDATE pairs of a new batch: within the batch AND
+    against the existing corpus's persisted band-bucket store —
+    without re-signaturing the corpus. Returns (pairs, new_bands);
+    the caller appends new_bands (the batch's (id, band, bucket)
+    triples — exactly what lsh_band_buckets emits) to the store after
+    downstream verification commits.
+
+    pairs: (id_a, id_b, truncated), id_a < id_b, deduped across
+    bands. Cross pairs join the batch's bands against the store on
+    (band, bucket); the store side groups to capped member arrays
+    first so a hot boilerplate bucket is bounded, same contract as
+    minhash_lsh_pairs. At scale keep the store bucketed on
+    (band, bucket) (operators.scale.write_bucketed) so the per-
+    increment groupBy reads Exchange-free. Feed the pairs to
+    ngram_jaccard_pairs/verify + dup_groups exactly as in the batch
+    path.
+    """
+    new_bands = lsh_band_buckets(
+        batch, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    within = minhash_lsh_pairs(
+        batch, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    if store is None:
+        return within, new_bands
+    old = (
+        store.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("old_ids"))
+        .withColumn("truncated", F.size("old_ids") > max_bucket_size)
+        .withColumn("old_ids", F.slice("old_ids", 1, max_bucket_size))
+    )
+    cross = (
+        new_bands.join(old, ["band", "bucket"])
+        .select(F.col(id_col).alias("__new"), "old_ids", "truncated")
+        .select(
+            "__new", F.explode("old_ids").alias("__old"), "truncated"
+        )
+        .filter(F.col("__new") != F.col("__old"))
+        .select(
+            F.least("__new", "__old").alias("id_a"),
+            F.greatest("__new", "__old").alias("id_b"),
+            "truncated",
+        )
+    )
+    pairs = (
+        within.unionByName(cross)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("truncated").alias("truncated"))
+    )
+    return pairs, new_bands
+
+
+def read_lsh_store(spark, path: str) -> DataFrame | None:
+    """Persisted band-bucket store (parquet of id/band/bucket rows);
+    None before the first committed increment."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
+    new_bands.write.mode("append").parquet(path)

@@ -176,6 +176,22 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_incremental_lsh",
+    oracle=None,  # xxhash64 banding → golden-pinned (test_query_goldens)
+    doc="incremental MinHash-LSH: near-dup candidate pairs of the odd-"
+    "doc_id batch within itself AND against the even-doc_id corpus's "
+    "persisted band-bucket store — no corpus re-signaturing",
+)
+def d_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    store = D.lsh_band_buckets(store_docs, "text", "doc_id")
+    pairs, _ = D.incremental_minhash_lsh(batch, store, "text", "doc_id")
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
     "d_ngram_jaccard",
     oracle="""
 WITH toks AS (

@@ -75,3 +75,52 @@ class TestIncrementalDedup:
         out = incremental_exact_dedup(b, None)
         assert out.count() == 2
         assert "fingerprint" in out.columns
+
+
+class TestIncrementalLsh:
+    def test_cross_increment_near_dup_found(self, spark, tmp_path):
+        from data_engineering_hs_spark.operators.dedup import (
+            append_lsh_bands,
+            incremental_minhash_lsh,
+            lsh_band_buckets,
+            read_lsh_store,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill every single day")
+        b1 = spark.createDataFrame(
+            [(1, base), (2, "completely unrelated text about spark "
+                            "shuffles partitions and adaptive query execution")],
+            ["doc_id", "text"],
+        )
+        store_path = str(tmp_path / "lsh_store")
+        pairs1, bands1 = incremental_minhash_lsh(
+            b1, read_lsh_store(spark, store_path)
+        )
+        assert pairs1.count() == 0  # nothing near-dup within b1
+        append_lsh_bands(bands1, store_path)
+
+        # b2 doc 10 is b1 doc 1 with one word changed → near-dup ACROSS
+        # increments; detected without re-signaturing b1
+        b2 = spark.createDataFrame(
+            [(10, base.replace("lazy", "sleepy")),
+             (11, "yet another unrelated document entirely about parquet "
+                  "row groups and min max pruning statistics")],
+            ["doc_id", "text"],
+        )
+        pairs2, bands2 = incremental_minhash_lsh(
+            b2, read_lsh_store(spark, store_path)
+        )
+        got = [(r.id_a, r.id_b) for r in pairs2.collect()]
+        assert (1, 10) in got
+        assert all(a < b for a, b in got)
+
+        # band triples in the store match what lsh_band_buckets emits
+        append_lsh_bands(bands2, store_path)
+        store = read_lsh_store(spark, store_path)
+        direct = lsh_band_buckets(
+            b1.unionByName(b2), "text", "doc_id"
+        )
+        assert sorted(map(tuple, store.collect())) == sorted(
+            map(tuple, direct.collect())
+        )

@@ -44,6 +44,7 @@ GOLDENS = {
     "st_session_windows": (9549, "fde46ec19869239d8247e71de6c02bfb"),
     "d_winnow_fingerprints": (10137, "64a9cf95b131fb48f37450a5437f4be9"),
     "d_dup_components_lsh": (47, "2da4aae7ea87bbf8629e1aab66d58e6d"),
+    "d_incremental_lsh": (19, "45d39582841ab37dbdafa3d10da289ba"),
     "t_curate_training_set": (160, "61395cfaca53fecd1bdae6179734332e"),
 }
 
