@@ -48,3 +48,53 @@ def read_pruned(
     for col, val in partition_filters.items():
         df = df.filter(df[col] == val)
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ~target-size files. The maintenance twin of the many-small-files
+    scan (S1): streaming sinks and per-batch appends accrete KB-scale
+    files whose per-file open/footer cost eventually dominates scans.
+
+    n_out = ceil(on-disk bytes / target_file_bytes). Default path is
+    coalesce (no shuffle — each output file concatenates input splits;
+    row order within files may differ run-to-run but content is
+    identical); shuffle=True uses repartition for evenly-sized files
+    when the inputs are skewed. Two-phase: write to `<path>.__compact`
+    then swap, so a crash mid-write leaves the original intact.
+
+    Returns {"files_before", "files_after", "bytes"}. NOT for
+    partitioned layouts (compact each partition directory); the swap
+    is not concurrent-reader-safe — run in the maintenance window,
+    like any non-transactional lakehouse compaction.
+    """
+    import math
+    import os
+    import shutil
+
+    def data_files(d: str) -> list[str]:
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+
+    before = data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    tmp = path.rstrip("/") + ".__compact"
+    sized.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return {
+        "files_before": len(before),
+        "files_after": len(data_files(path)),
+        "bytes": total,
+    }

@@ -146,3 +146,33 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestBucketedIncrementalStores:
+    """The incremental dedup stores at scale: persisted as tables
+    bucketed on their join/groupBy keys, the per-increment store-side
+    work reads Exchange-free (NEXT.md §6)."""
+
+    def test_bucketed_lsh_store_groupby_has_no_exchange(self, spark):
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import lsh_band_buckets
+
+        spark.sql("DROP TABLE IF EXISTS b_lsh_store")
+        shutil.rmtree("spark-warehouse/b_lsh_store", ignore_errors=True)
+        docs = spark.createDataFrame(
+            [(i, f"some repeated words number {i % 5} in every doc here")
+             for i in range(40)],
+            ["doc_id", "text"],
+        )
+        bands = lsh_band_buckets(docs, "text", "doc_id")
+        write_bucketed(bands, "b_lsh_store", ["band", "bucket"], num_buckets=8)
+        store = read_table(spark, "b_lsh_store")
+        grouped = store.groupBy("band", "bucket").agg(
+            F.collect_list("doc_id").alias("ids")
+        )
+        plan = grouped._jdf.queryExecution().executedPlan().toString()
+        # the bucketed scan already satisfies the clustering → the
+        # store-side aggregation shuffles nothing
+        assert "Exchange" not in plan, plan
+        assert grouped.count() > 0

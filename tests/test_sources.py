@@ -372,3 +372,37 @@ class TestEventsLoaderEncodings:
                 version="2.6",
             )
             assert _events_raw_ts_type(str(d)) == expect, unit
+
+
+class TestCompaction:
+    def test_many_small_files_compact_to_few(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.parquet import compact_parquet
+
+        path = str(tmp_path / "accreted")
+        # 30 single-row appends — the streaming-sink accretion pattern
+        # (each append may emit multiple part files depending on the
+        # range parallelism; the point is many tiny files)
+        for i in range(30):
+            spark.range(i, i + 1).write.mode("append").parquet(path)
+        before = spark.read.parquet(path)
+        expect = sorted(r.id for r in before.collect())
+
+        stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        assert stats["files_before"] >= 30
+        assert stats["files_after"] == 1
+        after = spark.read.parquet(path)
+        assert sorted(r.id for r in after.collect()) == expect
+
+    def test_crash_safety_leaves_original(self, spark, tmp_path):
+        import os
+
+        from data_engineering_hs_spark.sources.parquet import compact_parquet
+
+        path = str(tmp_path / "t")
+        spark.range(100).write.parquet(path)
+        # a stale temp dir from a crashed run is simply overwritten
+        os.makedirs(path + ".__compact", exist_ok=True)
+        stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        assert stats["files_after"] >= 1
+        assert not os.path.exists(path + ".__compact")
+        assert spark.read.parquet(path).count() == 100
