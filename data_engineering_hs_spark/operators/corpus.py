@@ -297,3 +297,35 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def weighted_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    seed: str = "v1",
+) -> DataFrame:
+    """Domain mixing: exact PER-STRATUM quotas (the corpus-mixture
+    primitive — N_web from web, N_code from code...), drawn by the
+    same deterministic md5(seed:id) order as stratified_quota_sample.
+    Strata absent from `quotas` are dropped entirely — a mixture
+    recipe is also a filter. Deterministic across runs/partitionings,
+    so mixtures are reproducible and auditable.
+
+    One window shuffle on the stratum; the quota map rides along as a
+    literal MapType expression (no join, no broadcast)."""
+    qmap = F.create_map(
+        *[F.lit(x) for k, v in quotas.items() for x in (k, v)]
+    )
+    rank_key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__quota", qmap[F.col(strata_col)])
+        .filter(F.col("__quota").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__quota", "__rn")
+    )

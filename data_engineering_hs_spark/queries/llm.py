@@ -704,6 +704,34 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_domain_mix",
+    oracle="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('v1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) t
+JOIN (VALUES ('src0', 20), ('src1', 10), ('src2', 5)) q(source, quota)
+  USING (source)
+WHERE rn <= quota
+""",
+    doc="domain mixing: exact per-source quotas (20/10/5 from "
+    "src0/src1/src2, everything else dropped) drawn by deterministic "
+    "md5(seed:id) order — the reproducible corpus-mixture primitive",
+)
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.corpus import weighted_quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_quota_sample(
+        d, "source", "doc_id", {"src0": 20, "src1": 10, "src2": 5}
+    ).select("doc_id", "source")
+
+
+@register(
     "d_dup_components_lsh",
     oracle=None,  # xxhash-seeded LSH candidates → golden-pinned
     doc="the PRODUCTION dedup composition end-to-end: MinHash-LSH "

@@ -619,3 +619,48 @@ class TestDecontaminate:
             d, d.limit(20), "text", "doc_id", n=4
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestWeightedQuotaSample:
+    def test_exact_quotas_and_drop_unlisted(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            weighted_quota_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, ["web", "code", "books"][i % 3]) for i in range(90)],
+            ["doc_id", "source"],
+        )
+        out = weighted_quota_sample(
+            df, "source", "doc_id", {"web": 7, "code": 3}
+        )
+        counts = {r.source: r.n for r in out.groupBy("source").agg(
+            F.count("*").alias("n")).collect()}
+        assert counts == {"web": 7, "code": 3}  # books dropped entirely
+
+    def test_quota_larger_than_stratum_takes_all(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            weighted_quota_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "web"), (2, "web")], ["doc_id", "source"]
+        )
+        assert weighted_quota_sample(
+            df, "source", "doc_id", {"web": 99}
+        ).count() == 2
+
+    def test_deterministic_across_partitionings(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            weighted_quota_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(200)], ["doc_id", "source"]
+        )
+        quotas = {"s0": 5, "s1": 10, "s3": 1}
+        a = {r.doc_id for r in weighted_quota_sample(
+            df, "source", "doc_id", quotas).collect()}
+        b = {r.doc_id for r in weighted_quota_sample(
+            df.repartition(17), "source", "doc_id", quotas).collect()}
+        assert a == b and len(a) == 16
