@@ -347,6 +347,22 @@ class ModelRunner:
                     attached += 1
         return attached
 
+    def export_docs(self, out_dir: str) -> dict[str, str]:
+        """`dbt docs generate` analog: write manifest.json (machine)
+        and lineage.txt (human) into out_dir; returns the paths."""
+        import json
+
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {
+            "manifest": os.path.join(out_dir, "manifest.json"),
+            "lineage": os.path.join(out_dir, "lineage.txt"),
+        }
+        with open(paths["manifest"], "w") as f:
+            json.dump(self.manifest(), f, indent=2, sort_keys=True)
+        with open(paths["lineage"], "w") as f:
+            f.write(self.lineage() + "\n")
+        return paths
+
     def manifest(self) -> dict:
         """`dbt docs`-style machine-readable artifact: per model, its
         materialization, direct parents, and check count — the JSON

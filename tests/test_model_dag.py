@@ -245,3 +245,13 @@ models:
             "incremental", "view",
         )
         assert set(m["models"]) == set(runner.models)
+
+    def test_export_docs_writes_artifacts(self, spark, tmp_path):
+        import json
+
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        paths = runner.export_docs(str(tmp_path / "docs"))
+        m = json.load(open(paths["manifest"]))
+        assert m["models"]["fct_orders"]["depends_on"] == ["stg_orders", "stg_payments"]
+        text = open(paths["lineage"]).read()
+        assert "fct_orders" in text
