@@ -237,3 +237,63 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q, df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_dedup_ingest(
+    stream: DataFrame,
+    store_path: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with cross-batch exact dedup: each
+    micro-batch's survivors (operators.dedup.incremental_exact_dedup
+    against the persistent fingerprint store) append to the corpus;
+    their fingerprints commit to the store.
+
+    Effectively-exactly-once without a transactional store, by write
+    order + idempotency of each step:
+      1. survivors write via dynamic overwrite of THIS batch_id's
+         partition — a replay rewrites the same partition, no dup rows;
+      2. fingerprints append AFTER — a replay may re-append the same
+         fingerprints, which is harmless (the store is semantically a
+         set; the anti-join ignores multiplicity).
+    A crash between 1 and 2 replays the batch: step 1 rewrites
+    identically (the store can't yet contain this batch's prints, so
+    survivors are identical), step 2 commits. This is the streaming
+    twin of the reference DAG's filename-watermark + ON CONFLICT load.
+    """
+    from data_engineering_hs_spark.operators.dedup import (
+        append_fingerprints,
+        incremental_exact_dedup,
+        read_fingerprint_store,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        store = read_fingerprint_store(spark, store_path)
+        # Materialize once: both writes below would otherwise re-run
+        # the dedup plan (and re-read the store).
+        survivors = incremental_exact_dedup(
+            batch, store, text_col, id_col
+        ).localCheckpoint(eager=True)
+        (
+            survivors.drop("fingerprint")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+        append_fingerprints(survivors, store_path)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -172,3 +172,58 @@ class TestWatermarkDedup:
         q, table = run_to_memory(deduped, "dedup_test", "append")
         assert table.count() == 2
         q.stop()
+
+
+class TestStreamingDedupIngest:
+    def test_cross_batch_dedup_and_replay(self, spark, tmp_path):
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            streaming_dedup_ingest,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        src = str(tmp_path / "drops")
+        store = str(tmp_path / "fp_store")
+        sink = str(tmp_path / "corpus")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        # drop 1: one intra-batch dup (3 normalizes to 1's text)
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_dedup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, sink, ckpt
+        )
+        q.awaitTermination(120)
+        got1 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert got1 == [1, 2]
+
+        # drop 2: one cross-batch dup (10 == 2's text) + one new doc
+        spark.createDataFrame(
+            [(10, "gamma delta"), (11, "epsilon zeta")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q2 = streaming_dedup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, sink, ckpt
+        )
+        q2.awaitTermination(120)
+        got2 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert got2 == [1, 2, 11]
+
+        # replay the WHOLE source with a fresh checkpoint (the crashed-
+        # checkpoint worst case): batch partitions rewrite, the store
+        # already has every fingerprint → corpus gains nothing
+        ckpt2 = str(tmp_path / "ckpt2")
+        q3 = streaming_dedup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, sink, ckpt2
+        )
+        q3.awaitTermination(120)
+        got3 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert got3 == [1, 2, 11]
