@@ -28,7 +28,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_engineering_hs_spark.functions.text import word_shingle_seq, word_shingles
+from data_engineering_hs_spark.functions.text import (
+    tokens,
+    word_shingle_seq,
+    word_shingles,
+)
 
 
 def common_ngrams(
@@ -328,4 +332,54 @@ def weighted_quota_sample(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__quota", "__rn")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window token chunking → (doc_id, chunk_id, chunk_text,
+    n_tokens): the context-window preparation step of a pretraining
+    pipeline. Stride = chunk_tokens - overlap; a trailing start that
+    would add no tokens beyond the previous chunk\'s overlap is
+    suppressed (s == 1 OR s <= n - overlap), so short docs emit
+    exactly one chunk and no chunk is a subset of its predecessor.
+    Empty docs emit nothing.
+
+    Pure array expressions (tokenize once → sequence → filter →
+    posexplode → slice): no UDFs, no shuffle — chunking is
+    embarrassingly parallel and stays inside the scan stage.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | (s <= n - overlap),
+    )
+    return (
+        base.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            n.alias("__n"),
+            F.posexplode(starts).alias("chunk_id", "__s"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__s"), F.lit(chunk_tokens)),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("__s") + F.lit(1)
+            ).alias("n_tokens"),
+        )
     )

@@ -732,6 +732,35 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_chunk_documents",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(UNNEST(range(len(starts))) AS INT) AS chunk_id,
+       UNNEST([array_to_string(w[s:s+63], ' ') FOR s IN starts]) AS chunk_text,
+       UNNEST([least(64, len(w) - s + 1) FOR s IN starts]) AS n_tokens
+FROM (
+  SELECT doc_id, w,
+         [s FOR s IN range(1, len(w) + 1, 56)
+          IF s = 1 OR s <= len(w) - 8] AS starts
+  FROM toks
+) t
+""",
+    doc="sliding-window token chunking (64-token chunks, 8-token "
+    "overlap): the context-window preparation step — pure array "
+    "expressions, no shuffle",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.corpus import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=8)
+
+
+@register(
     "d_dup_components_lsh",
     oracle=None,  # xxhash-seeded LSH candidates → golden-pinned
     doc="the PRODUCTION dedup composition end-to-end: MinHash-LSH "

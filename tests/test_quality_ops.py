@@ -664,3 +664,55 @@ class TestWeightedQuotaSample:
         b = {r.doc_id for r in weighted_quota_sample(
             df.repartition(17), "source", "doc_id", quotas).collect()}
         assert a == b and len(a) == 16
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_tail(self, spark):
+        from data_engineering_hs_spark.operators.corpus import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(1, 21))  # 20 tokens
+        df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                                   ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=8, overlap=2).collect(),
+            key=lambda r: (r.doc_id, r.chunk_id),
+        )
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: candidate starts 1,7,13,19; 19 > 20-2 is suppressed
+        # (tokens 19-20 already inside the chunk starting at 13)
+        c = by_doc[1]
+        assert [r.chunk_id for r in c] == [0, 1, 2]
+        assert c[0].chunk_text.split() == [f"w{i}" for i in range(1, 9)]
+        # consecutive chunks share exactly `overlap` tokens
+        assert c[0].chunk_text.split()[-2:] == c[1].chunk_text.split()[:2]
+        assert c[2].chunk_text.split() == [f"w{i}" for i in range(13, 21)]
+        assert [r.n_tokens for r in c] == [8, 8, 8]
+        # every token covered
+        covered = {t for r in c for t in r.chunk_text.split()}
+        assert covered == {f"w{i}" for i in range(1, 21)}
+        # doc 2 shorter than one chunk → exactly one chunk
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+        # empty doc emits nothing
+        assert 3 not in by_doc
+
+    def test_no_redundant_tail_chunk(self, spark):
+        from data_engineering_hs_spark.operators.corpus import chunk_documents
+
+        # 10 tokens, chunk 8, overlap 4 → start 5 would add tokens
+        # 5..10 (2 new); start 9 > 10-4 suppressed
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"]
+        )
+        out = chunk_documents(df, chunk_tokens=8, overlap=4).collect()
+        assert [r.chunk_id for r in sorted(out, key=lambda r: r.chunk_id)] == [0, 1]
+
+    def test_overlap_validation(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.corpus import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
