@@ -383,3 +383,67 @@ def chunk_documents(
             ).alias("n_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    target: int = 2048,
+    shards: int = 64,
+) -> DataFrame:
+    """Greedy sequential packing of items into capacity-`target` bins
+    (context-window packing: fill each training sequence with whole
+    chunks, minimal padding). Genuinely order-dependent, so it runs
+    shard-local: items hash-shard by id, are packed in id order WITHIN
+    each shard, and bins never cross shards — embarrassingly parallel,
+    deterministic for a fixed `shards`, and exactly what production
+    packers do (global optimal bin packing is NP-hard and pointless at
+    corpus scale; shard-local greedy wastes <1 item per bin).
+
+    Output: (id, size, shard, bin_id) — bin identity is the (shard,
+    bin_id) pair. Items larger than `target` get a bin alone
+    (oversize=true) rather than being dropped silently.
+
+    The ONE sequential op in the pipeline — an Arrow-batched
+    applyInPandas per shard (O(items) python, no JVM round-trips);
+    everything upstream/downstream stays in codegen.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bin_ids, oversize = [], []
+        b, fill = 0, 0
+        for sz in pdf["size"]:
+            if fill > 0 and fill + sz > target:
+                b, fill = b + 1, 0
+            bin_ids.append(b)
+            oversize.append(sz > target)
+            fill += sz
+            if sz > target:  # oversize sits alone; next item opens fresh
+                b, fill = b + 1, 0
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    return prepared.groupBy("shard").applyInPandas(pack, out_schema)

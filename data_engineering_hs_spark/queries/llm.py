@@ -761,6 +761,33 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_pack_contexts",
+    oracle=None,  # shard-local greedy packing (applyInPandas scan) →
+    # golden-pinned; properties (capacity, determinism) in tests
+    doc="context packing end-to-end: 64-token chunks greedily packed "
+    "into 256-token training sequences, shard-local (the one "
+    "genuinely sequential pipeline op — Arrow-batched per shard)",
+)
+def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=8)
+    # chunk uid packs (doc_id, chunk_id) into one sortable key; docs
+    # emit < 100 chunks at 64-token windows over these documents
+    chunks = chunks.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("chunk_uid"),
+        "n_tokens",
+    )
+    return pack_sequences(
+        chunks, "n_tokens", "chunk_uid", target=256, shards=8
+    ).orderBy("shard", "bin_id", "id")
+
+
+@register(
     "d_dup_components_lsh",
     oracle=None,  # xxhash-seeded LSH candidates → golden-pinned
     doc="the PRODUCTION dedup composition end-to-end: MinHash-LSH "

@@ -716,3 +716,49 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestPackSequences:
+    def test_bins_respect_capacity_and_order(self, spark):
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 300) for i in range(20)], ["doc_id", "n_tokens"]
+        )
+        out = pack_sequences(df, target=1000, shards=1).collect()
+        by_bin = {}
+        for r in out:
+            by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+        for members in by_bin.values():
+            assert sum(m.size for m in members) <= 1000
+        # 300*3=900 fits, 4th would overflow → bins of 3 (id order)
+        sizes = sorted(len(m) for m in by_bin.values())
+        assert sizes == [2, 3, 3, 3, 3, 3, 3]
+        ids_in_bins = [sorted(m.id for m in members)
+                       for _, members in sorted(by_bin.items())]
+        assert ids_in_bins[0] == [0, 1, 2]  # sequential id order
+
+    def test_oversize_item_sits_alone(self, spark):
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 5000), (3, 100)], ["doc_id", "n_tokens"]
+        )
+        out = {r.id: r for r in pack_sequences(df, target=1000, shards=1).collect()}
+        assert out[2].oversize
+        bins = {}
+        for r in out.values():
+            bins.setdefault(r.bin_id, []).append(r.id)
+        assert bins[out[2].bin_id] == [2]  # alone
+        assert not out[1].oversize and not out[3].oversize
+
+    def test_deterministic_and_count_preserving(self, spark):
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 1 + (i * 37) % 500) for i in range(300)],
+            ["doc_id", "n_tokens"],
+        )
+        a = sorted(map(tuple, pack_sequences(df, target=600).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(13), target=600).collect()))
+        assert a == b and len(a) == 300
