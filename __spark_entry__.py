@@ -116,7 +116,8 @@ _MEASURED_SEC = {
     "t_repetition_stats": 0.4, "d_decontam_overlap": 0.4,
     "d_incremental_dedup": 0.4, "d_incremental_lsh": 0.9,
     "t_domain_mix": 0.2, "t_chunk_documents": 0.5,
-    "t_pack_contexts": 0.8,
+    "t_pack_contexts": 0.8, "dq_profile_documents": 0.3,
+    "dq_key_skew": 0.3, "a_retention_cohorts": 0.5,
     "q1_pricing_summary": 0.42, "q14_promo_share": 0.43,
     "q17_small_quantity_revenue": 0.43, "u_intersect_except": 0.43,
     "t_common_ngrams": 0.44, "a_stats_moments": 0.45,

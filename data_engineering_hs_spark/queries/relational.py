@@ -730,3 +730,58 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             accepted_values_violations(o, "o_orderstatus", ["O", "F", "P"], "orders")
         )
     )
+
+
+@register(
+    "dq_profile_documents",
+    oracle="""
+SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*),
+       COUNT(CASE WHEN lang IS NULL THEN 1 END),
+       COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*),
+       COUNT(CASE WHEN source IS NULL THEN 1 END),
+       COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*),
+       COUNT(CASE WHEN n_chars IS NULL THEN 1 END),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+""",
+    doc="deequ-style table profile: per-column rows/nulls/distinct/"
+    "min/max in ONE scan (array-of-structs aggregate, exploded)",
+)
+def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.quality.profiling import profile_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "dq_key_skew",
+    oracle="""
+SELECT COUNT(*) AS n_keys,
+       SUM(n) AS n_rows,
+       MAX(n) AS top1_cnt,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS max_share,
+       CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_cnt
+FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) t
+""",
+    doc="join-key skew diagnostics on lineitem.l_suppkey: hot-key "
+    "share + p99 key count — the measurement behind the salting/"
+    "AQE-skew-join decision at scale",
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.quality.profiling import key_skew_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_stats(li, "l_suppkey")

@@ -413,3 +413,39 @@ def a_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+@register(
+    "a_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+SELECT CAST(CAST(f.cw AS DATE) AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', f.cw, a.aw) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    doc="weekly cohort retention over events: users bucketed by first-"
+    "active week, counted per week offset — the standard activation/"
+    "retention triangle (two shuffles: per-user min, then "
+    "cohort-offset count-distinct)",
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            F.col("cw").cast("date").cast("string").alias("cohort_week"),
+            (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -762,3 +762,51 @@ class TestPackSequences:
         a = sorted(map(tuple, pack_sequences(df, target=600).collect()))
         b = sorted(map(tuple, pack_sequences(df.repartition(13), target=600).collect()))
         assert a == b and len(a) == 300
+
+
+class TestProfiling:
+    def test_profile_stats_and_single_scan(self, spark):
+        from data_engineering_hs_spark.quality.profiling import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], ["k", "v"]
+        )
+        prof = {r.column: r for r in profile_table(df).collect()}
+        assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+        assert prof["k"].n_distinct == 2
+        assert (prof["k"].min_str, prof["k"].max_str) == ("1", "2")
+        assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+        # one scan: a single aggregate, no union of per-column jobs
+        plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan") <= 2 and "Union" not in plan
+
+    def test_key_skew_flags_hot_key(self, spark):
+        from data_engineering_hs_spark.quality.profiling import key_skew_stats
+
+        rows = [(1,)] * 90 + [(k,) for k in range(2, 12)]
+        df = spark.createDataFrame(rows, ["k"])
+        s = key_skew_stats(df, "k").collect()[0]
+        assert s.n_keys == 11 and s.n_rows == 100
+        assert s.top1_cnt == 90 and abs(s.max_share - 0.9) < 1e-12
+
+
+class TestRetentionCohorts:
+    def test_week_zero_covers_every_user(self, spark):
+        from data_engineering_hs_spark.queries.registry import REGISTRY
+        from data_engineering_hs_spark.queries import load_all
+
+        load_all()
+        out = REGISTRY["a_retention_cohorts"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        # every user appears in their own cohort at offset 0, so the
+        # offset-0 user total equals the distinct-user count
+        week0 = sum(r.n_users for r in out if r.week_offset == 0)
+        from data_engineering_hs_spark.catalog import load_table
+
+        n_users = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .select("user_id").distinct().count()
+        )
+        assert week0 == n_users
+        assert all(r.week_offset >= 0 for r in out)
