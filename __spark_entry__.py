@@ -113,11 +113,12 @@ _MEASURED_SEC = {
     "a_conditional_multi": 0.35, "a_cube": 0.35, "j_broadcast_dim_join": 0.35,
     "s_centroids": 0.35, "w_share_of_total": 0.35, "a_approx_quantiles": 0.36,
     "w_range_frame": 0.36, "a_string_agg": 0.39, "q3_shipping_priority": 0.39,
-    "t_repetition_stats": 0.4, "d_decontam_overlap": 0.4,
-    "d_incremental_dedup": 0.4, "d_incremental_lsh": 0.9,
-    "t_domain_mix": 0.2, "t_chunk_documents": 0.5,
-    "t_pack_contexts": 0.8, "dq_profile_documents": 0.3,
-    "dq_key_skew": 0.3, "a_retention_cohorts": 0.5,
+    "t_repetition_stats": 1.06, "d_decontam_overlap": 1.36,
+    "d_incremental_dedup": 1.56, "d_incremental_lsh": 3.11,
+    "t_domain_mix": 1.4, "t_chunk_documents": 0.5,
+    "t_pack_contexts": 0.99, "dq_profile_documents": 1.07,
+    "dq_key_skew": 0.99, "a_retention_cohorts": 0.67,
+    "s_cosine_topk_arrow": 2.44,
     "q1_pricing_summary": 0.42, "q14_promo_share": 0.43,
     "q17_small_quantity_revenue": 0.43, "u_intersect_except": 0.43,
     "t_common_ngrams": 0.44, "a_stats_moments": 0.45,
@@ -130,8 +131,7 @@ _MEASURED_SEC = {
     "q22_idle_rich_customers": 0.56, "sql_api_staged_views": 0.6,
     "j_argmin_join_back": 0.63, "q7_nation_volume": 0.65,
     "q10_returned_items": 0.67, "q8_market_share": 0.73,
-    "s_cosine_topk": 0.76, "s_cosine_topk_arrow": 0.76,
-    "j_range_ship_window": 0.77,
+    "s_cosine_topk": 0.76, "j_range_ship_window": 0.77,
     "st_wordcount_stream": 0.81, "t_boilerplate_ratio": 0.86,
     "q18_large_orders": 0.94, "st_sliding_windows": 1.02,
     "flagship_daily_kpi": 1.11, "st_session_windows": 1.2,
