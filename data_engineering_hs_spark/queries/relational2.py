@@ -449,3 +449,60 @@ def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "a_funnel_conversion",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT s.user_id
+  FROM signups s JOIN events e
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > s.signup_ts
+   AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+)
+SELECT (SELECT COUNT(*) FROM signups) AS n_signup,
+       (SELECT COUNT(*) FROM converted) AS n_converted,
+       CAST((SELECT COUNT(*) FROM converted) AS DOUBLE)
+         / (SELECT COUNT(*) FROM signups) AS conversion_rate
+""",
+    doc="funnel conversion over events: users whose first signup is "
+    "followed by a purchase within 7 days (per-user min + one range-"
+    "predicate join; the activation-funnel companion to "
+    "a_retention_cohorts)",
+)
+def a_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        signups.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    # Two 1-row scalar frames crossed — no driver-side .count() action
+    # inside the builder; the whole thing stays one lazy plan.
+    s_cnt = signups.agg(F.count(F.lit(1)).alias("n_signup"))
+    c_cnt = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return s_cnt.crossJoin(c_cnt).select(
+        "n_signup",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_signup")).alias(
+            "conversion_rate"
+        ),
+    )
