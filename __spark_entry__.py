@@ -117,7 +117,7 @@ _MEASURED_SEC = {
     "d_incremental_dedup": 1.56, "d_incremental_lsh": 3.11,
     "t_domain_mix": 1.4, "t_chunk_documents": 0.5,
     "t_pack_contexts": 0.99, "dq_profile_documents": 1.07,
-    "dq_key_skew": 0.99, "a_retention_cohorts": 0.67, "a_funnel_conversion": 0.6,
+    "dq_key_skew": 0.99, "a_retention_cohorts": 0.67, "a_funnel_conversion": 0.6, "st_enriched_by_nation": 1.2,
     "s_cosine_topk_arrow": 2.44,
     "q1_pricing_summary": 0.42, "q14_promo_share": 0.43,
     "q17_small_quantity_revenue": 0.43, "u_intersect_except": 0.43,

@@ -211,3 +211,42 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "st_enriched_by_nation",
+    oracle="""
+SELECT n.n_name AS nation, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1
+""",
+    doc="stream-STATIC broadcast enrichment: the events stream joins "
+    "the static nation dim (broadcast — a stream-side dim lookup "
+    "never shuffles the stream) then aggregates complete-mode; "
+    "batch-SQL parity is the correctness claim",
+)
+def st_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.catalog import load_table
+
+    events = _events_stream(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    enriched = events.join(
+        F.broadcast(nation),
+        F.pmod(F.col("user_id"), F.lit(25)) == F.col("n_nationkey"),
+    )
+    agg = enriched.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("__cents"),
+    )
+    out = _drain(agg, spark, "complete")
+    return out.select(
+        "nation",
+        "n_events",
+        (F.col("__cents").cast("double") / 100.0).alias("total_value"),
+    )
