@@ -101,3 +101,92 @@ class TestRetryPolicyProperties:
         assert calls["n"] <= max_attempts
         if len(fails) < max_attempts:
             assert status == 200
+
+
+class TestChunkPackProperties:
+    """Spark chunking/packing vs a pure-Python reference model on
+    hypothesis-generated corpora (one Spark job per example — keep
+    max_examples small)."""
+
+    @staticmethod
+    def _ref_chunks(words, chunk, overlap):
+        n = len(words)
+        if n == 0:
+            return []
+        stride = chunk - overlap
+        starts = [
+            s for s in range(1, n + 1, stride) if s == 1 or s <= n - overlap
+        ]
+        return [
+            (i, " ".join(words[s - 1 : s - 1 + chunk]), min(chunk, n - s + 1))
+            for i, s in enumerate(starts)
+        ]
+
+    @st.composite
+    def _chunk_params(draw):
+        chunk = draw(st.integers(min_value=2, max_value=12))
+        overlap = draw(st.integers(min_value=0, max_value=chunk - 1))
+        docs = draw(
+            st.lists(
+                st.lists(
+                    st.sampled_from(["a", "b", "cc", "ddd"]), max_size=30
+                ),
+                min_size=1,
+                max_size=6,
+            )
+        )
+        return chunk, overlap, docs
+
+    @given(params=_chunk_params())
+    @settings(max_examples=12, deadline=None)
+    def test_chunking_matches_reference(self, spark, params):
+        from data_engineering_hs_spark.operators.corpus import chunk_documents
+
+        chunk, overlap, docs = params
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        }
+        want = {}
+        for i, ws in enumerate(docs):
+            for cid, text, ntok in self._ref_chunks(ws, chunk, overlap):
+                want[(i, cid)] = (text, ntok)
+        assert got == want
+
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=900), min_size=1, max_size=60
+        ),
+        target=st.integers(min_value=50, max_value=1000),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_packing_invariants(self, spark, sizes, target):
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            list(enumerate(sizes)), ["doc_id", "n_tokens"]
+        )
+        out = pack_sequences(df, target=target, shards=4).collect()
+        assert len(out) == len(sizes)  # nothing dropped
+        by_bin = {}
+        for r in out:
+            by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+        for members in by_bin.values():
+            total = sum(m.size for m in members)
+            if len(members) > 1:
+                assert total <= target  # capacity only breached by a
+                # singleton oversize item
+            ids = sorted(m.id for m in members)
+        # bins are contiguous id-runs within each shard (greedy order)
+        for shard in {r.shard for r in out}:
+            rows = sorted(
+                (r for r in out if r.shard == shard), key=lambda r: r.id
+            )
+            bin_seq = [r.bin_id for r in rows]
+            assert bin_seq == sorted(bin_seq)
