@@ -76,3 +76,28 @@ class TestPlanShapes:
         plan = _plan(spark, "d_minhash_lsh")
         assert "Join" not in plan
         assert "Generate explode" in plan
+
+    def test_stream_static_dim_join_is_broadcast(self, spark):
+        # st_enriched_by_nation's logical shape: the static nation dim
+        # must broadcast so the (unbounded) stream side never shuffles
+        # for the lookup. Assert on the batch twin of the same plan.
+        from data_engineering_hs_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, SF001, "events")
+        n = load_table(spark, SF001, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+        joined = e.join(
+            F.broadcast(n),
+            F.pmod(F.col("user_id"), F.lit(25)) == F.col("n_nationkey"),
+        ).groupBy("nation").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_profile_single_scan_no_union(self, spark):
+        # all columns profiled in ONE aggregate pass — a naive
+        # per-column implementation shows a Union of one scan per column
+        plan = _plan(spark, "dq_profile_documents")
+        assert "Union" not in plan
+        assert "Aggregate" in plan  # multi-distinct → Sort/ObjectHashAgg
