@@ -210,6 +210,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -228,7 +229,6 @@ def minhash_lsh_pairs(
     banded = lsh_band_buckets(
         df, text_col, id_col, num_hashes, bands, shingle_k
     )
-    max_bucket_size = 1000
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -532,10 +532,12 @@ def incremental_exact_dedup(
     are 8-byte fingerprints, never text.
 
     Scale notes: the anti-join shuffles batch + store on the
-    fingerprint. Keep the store as a table bucketed on `fingerprint`
-    (operators.scale.write_bucketed) and the store side reads
-    Exchange-free; the batch side (the small one) pays the only
-    shuffle. Emission is at-least-once under retries — wrap in
+    fingerprint. Commit the store with commit_fingerprints_bucketed
+    (table bucketed on `fingerprint`) and read it back with
+    read_fingerprint_store_table: the store side then reads
+    Exchange-free and the batch side (the small one) pays the only
+    shuffle — plan-asserted in tests/test_scale_ops.py. Emission is
+    at-least-once under retries — wrap in
     foreachBatch + checkpoint (streaming/pipelines) for
     effectively-exactly-once, same contract as the JDBC upsert sink.
     """
@@ -572,6 +574,38 @@ def append_fingerprints(survivors: DataFrame, path: str) -> None:
     survivors.select("fingerprint").write.mode("append").parquet(path)
 
 
+def commit_fingerprints_bucketed(
+    survivors: DataFrame, table_name: str, num_buckets: int = 32
+) -> None:
+    """Scale-path store commit: append the increment's fingerprints to
+    a managed table BUCKETED (+sorted) on `fingerprint`
+    (operators.scale.write_bucketed). At 100 TB the store dwarfs each
+    increment; with a plain parquet store the anti-join re-shuffles
+    the WHOLE store every increment, while the bucketed store reads
+    pre-clustered and the only Exchange left in the plan is the small
+    batch side (plan-asserted in tests/test_scale_ops.py). Appends
+    validate against the existing bucket spec, so every increment
+    lands bucket-aligned."""
+    from data_engineering_hs_spark.operators.scale import write_bucketed
+
+    write_bucketed(
+        survivors.select("fingerprint"),
+        table_name,
+        ["fingerprint"],
+        num_buckets=num_buckets,
+        sort_cols=["fingerprint"],
+        mode="append",
+    )
+
+
+def read_fingerprint_store_table(spark, table_name: str) -> DataFrame | None:
+    """Bucketed-table twin of read_fingerprint_store; None before the
+    first committed increment."""
+    if not spark.catalog.tableExists(table_name):
+        return None
+    return spark.table(table_name)
+
+
 def incremental_minhash_lsh(
     batch: DataFrame,
     store: DataFrame | None,
@@ -593,9 +627,11 @@ def incremental_minhash_lsh(
     bands. Cross pairs join the batch's bands against the store on
     (band, bucket); the store side groups to capped member arrays
     first so a hot boilerplate bucket is bounded, same contract as
-    minhash_lsh_pairs. At scale keep the store bucketed on
-    (band, bucket) (operators.scale.write_bucketed) so the per-
-    increment groupBy reads Exchange-free. Feed the pairs to
+    minhash_lsh_pairs. At scale commit the store with
+    commit_lsh_bands_bucketed (table bucketed on (band, bucket)) and
+    read it with read_lsh_store_table so the per-increment groupBy
+    reads Exchange-free (plan-asserted in tests/test_scale_ops.py).
+    Feed the pairs to
     ngram_jaccard_pairs/verify + dup_groups exactly as in the batch
     path.
     """
@@ -603,7 +639,8 @@ def incremental_minhash_lsh(
         batch, text_col, id_col, num_hashes, bands, shingle_k
     )
     within = minhash_lsh_pairs(
-        batch, text_col, id_col, num_hashes, bands, shingle_k
+        batch, text_col, id_col, num_hashes, bands, shingle_k,
+        max_bucket_size=max_bucket_size,
     )
     if store is None:
         return within, new_bands
@@ -646,3 +683,30 @@ def read_lsh_store(spark, path: str) -> DataFrame | None:
 
 def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
     new_bands.write.mode("append").parquet(path)
+
+
+def commit_lsh_bands_bucketed(
+    new_bands: DataFrame, table_name: str, num_buckets: int = 32
+) -> None:
+    """Scale-path band-store commit: append (id, band, bucket) triples
+    to a managed table BUCKETED on (band, bucket). The per-increment
+    store-side groupBy in incremental_minhash_lsh then aggregates
+    straight off the bucketed scan with NO Exchange — only the new
+    batch's bands shuffle (plan-asserted in tests/test_scale_ops.py)."""
+    from data_engineering_hs_spark.operators.scale import write_bucketed
+
+    write_bucketed(
+        new_bands,
+        table_name,
+        ["band", "bucket"],
+        num_buckets=num_buckets,
+        mode="append",
+    )
+
+
+def read_lsh_store_table(spark, table_name: str) -> DataFrame | None:
+    """Bucketed-table twin of read_lsh_store; None before the first
+    committed increment."""
+    if not spark.catalog.tableExists(table_name):
+        return None
+    return spark.table(table_name)

@@ -54,16 +54,25 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-safe equi-join on `key`: fact rows get a random-but-
-    deterministic salt (hash of a stable row fingerprint), the dim
-    side is replicated across all salts, and the join key becomes
-    (key, salt). Output columns match a plain `fact.join(dim, key)`.
+    """Skew-safe equi-join on `key`: fact rows get a scattered salt,
+    the dim side is replicated across all salts, and the join key
+    becomes (key, salt). Output columns match a plain
+    `fact.join(dim, key)`.
 
     Use when one key's row count dwarfs the per-task budget; for
     moderate skew prefer plain join + AQE skewJoin (on by default in
     this engine's session factory).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    # Salt from the row's POSITION, not its content: a content hash
+    # (xxhash64 of all columns) sends byte-identical duplicate fact
+    # rows to ONE salt bucket, so salting degrades exactly on the
+    # corpus it exists for (hot keys full of exact-duplicate rows).
+    # monotonically_increasing_id is unique per row regardless of
+    # content; hashing it scatters hot keys uniformly.
+    salt = F.pmod(
+        F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    )
     fact_salted = fact.withColumn("__salt", salt)
     salts = fact.sparkSession.range(salt_buckets).select(
         F.col("id").alias("__salt")

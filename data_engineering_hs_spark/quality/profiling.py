@@ -54,5 +54,10 @@ def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
         F.sum("__cnt").alias("n_rows"),
         F.max("__cnt").alias("top1_cnt"),
         (F.max("__cnt").cast("double") / F.sum("__cnt")).alias("max_share"),
-        F.expr("percentile(__cnt, 0.99)").alias("p99_cnt"),
+        # Rounded: p99 is a linear interpolation between two integer
+        # counts; shipping the raw double through an exact-hash compare
+        # is ulp-fragile across engines (DuckDB's quantile_cont agrees
+        # to ~1e-12, not bit-exactly). 4 decimals is far finer than any
+        # skew decision needs.
+        F.round(F.expr("percentile(__cnt, 0.99)"), 4).alias("p99_cnt"),
     )

@@ -773,7 +773,7 @@ SELECT COUNT(*) AS n_keys,
        SUM(n) AS n_rows,
        MAX(n) AS top1_cnt,
        CAST(MAX(n) AS DOUBLE) / SUM(n) AS max_share,
-       CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_cnt
+       ROUND(CAST(quantile_cont(n, 0.99) AS DOUBLE), 4) AS p99_cnt
 FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) t
 """,
     doc="join-key skew diagnostics on lineitem.l_suppkey: hot-key "

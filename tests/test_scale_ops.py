@@ -85,14 +85,31 @@ class TestSaltedJoin:
         )
 
     def test_hot_key_scatters_across_salts(self, spark):
-        from data_engineering_hs_spark.operators.scale import salted_join  # noqa
-
         fact = spark.range(0, 1000).select(
             F.lit(1).alias("k"), F.col("id").alias("v")
         )
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(16))
+        salt = F.pmod(
+            F.xxhash64(F.col("k"), F.monotonically_increasing_id()), F.lit(16)
+        )
         n_salts = fact.withColumn("s", salt).select("s").distinct().count()
         assert n_salts >= 12  # hot key spreads over most of 16 buckets
+
+    def test_duplicate_hot_rows_scatter_and_match(self, spark):
+        # BYTE-IDENTICAL hot rows (the exact-duplicate corpus case): a
+        # content-hash salt would send them all to one bucket; the
+        # position-based salt must scatter them AND preserve results.
+        fact = spark.range(0, 1000).select(
+            F.lit(1).alias("k"), F.lit("same payload").alias("v")
+        )
+        salt = F.pmod(
+            F.xxhash64(F.col("k"), F.monotonically_increasing_id()), F.lit(16)
+        )
+        n_salts = fact.withColumn("s", salt).select("s").distinct().count()
+        assert n_salts >= 12, f"duplicate rows collapsed to {n_salts} salts"
+        dim = spark.createDataFrame([(1, "d1")], ["k", "label"])
+        out = salted_join(fact, dim, "k").select("k", "v", "label")
+        assert out.count() == 1000
+        assert {tuple(r) for r in out.collect()} == {(1, "same payload", "d1")}
 
     def test_left_join_semantics_preserved(self, spark):
         fact = spark.createDataFrame(
@@ -176,3 +193,106 @@ class TestBucketedIncrementalStores:
         # store-side aggregation shuffles nothing
         assert "Exchange" not in plan, plan
         assert grouped.count() > 0
+
+    def test_bucketed_fingerprint_store_antijoin_batch_side_only(self, spark):
+        # incremental_exact_dedup against a store committed via
+        # commit_fingerprints_bucketed: the anti-join's ONLY Exchange
+        # is the (small) batch side — the store reads pre-clustered.
+        # Control: the same store as plain parquet shuffles BOTH sides.
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import (
+            commit_fingerprints_bucketed,
+            incremental_exact_dedup,
+            read_fingerprint_store_table,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS b_fp_store")
+        shutil.rmtree("spark-warehouse/b_fp_store", ignore_errors=True)
+        b1 = spark.createDataFrame(
+            [(i, f"doc body {i % 30}") for i in range(60)], ["doc_id", "text"]
+        )
+        s1 = incremental_exact_dedup(b1, None)
+        commit_fingerprints_bucketed(s1, "b_fp_store", num_buckets=32)
+        # second increment appends with the same bucket spec
+        b2 = spark.createDataFrame(
+            [(i, f"doc body {i % 45}") for i in range(60, 120)],
+            ["doc_id", "text"],
+        )
+        store = read_fingerprint_store_table(spark, "b_fp_store")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = incremental_exact_dedup(b2, store)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan
+            survivors2 = out
+            commit_fingerprints_bucketed(survivors2, "b_fp_store", num_buckets=32)
+            # appended store still reads Exchange-free on the store side
+            store3 = read_fingerprint_store_table(spark, "b_fp_store")
+            b3 = spark.createDataFrame(
+                [(i, f"doc body {i % 50}") for i in range(120, 160)],
+                ["doc_id", "text"],
+            )
+            out3 = incremental_exact_dedup(b3, store3)
+            plan3 = out3._jdf.queryExecution().executedPlan().toString()
+            assert plan3.count("Exchange") == 1, plan3
+            # control: plain (unbucketed) store shuffles both sides
+            plain = store.select("fingerprint").localCheckpoint(eager=True)
+            out_plain = incremental_exact_dedup(b2, plain)
+            plan_plain = out_plain._jdf.queryExecution().executedPlan().toString()
+            assert plan_plain.count("Exchange") >= 2, plan_plain
+            # and results agree between bucketed and plain stores
+            assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+                r["doc_id"] for r in out_plain.collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    def test_bucketed_lsh_store_incremental_parity_and_fewer_exchanges(
+        self, spark
+    ):
+        # incremental_minhash_lsh with the band store as a bucketed
+        # table: same pairs as with a plain parquet store, strictly
+        # fewer Exchanges in the plan (the store-side groupBy reads
+        # straight off the bucketed scan).
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import (
+            commit_lsh_bands_bucketed,
+            incremental_minhash_lsh,
+            read_lsh_store_table,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS b_band_store")
+        shutil.rmtree("spark-warehouse/b_band_store", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [(i, f"shared boilerplate sentence variant {i % 4} tail {i}")
+             for i in range(30)],
+            ["doc_id", "text"],
+        )
+        from data_engineering_hs_spark.operators.dedup import lsh_band_buckets
+
+        commit_lsh_bands_bucketed(
+            lsh_band_buckets(corpus, "text", "doc_id"), "b_band_store",
+            num_buckets=32,
+        )
+        batch = spark.createDataFrame(
+            [(i, f"shared boilerplate sentence variant {i % 4} tail {i - 100}")
+             for i in range(100, 120)],
+            ["doc_id", "text"],
+        )
+        store_bucketed = read_lsh_store_table(spark, "b_band_store")
+        store_plain = store_bucketed.localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs_b, _ = incremental_minhash_lsh(batch, store_bucketed, "text", "doc_id")
+            pairs_p, _ = incremental_minhash_lsh(batch, store_plain, "text", "doc_id")
+            plan_b = pairs_b._jdf.queryExecution().executedPlan().toString()
+            plan_p = pairs_p._jdf.queryExecution().executedPlan().toString()
+            assert plan_b.count("Exchange") < plan_p.count("Exchange"), (
+                plan_b.count("Exchange"), plan_p.count("Exchange"))
+            got_b = sorted((r["id_a"], r["id_b"]) for r in pairs_b.collect())
+            got_p = sorted((r["id_a"], r["id_b"]) for r in pairs_p.collect())
+            assert got_b == got_p and len(got_b) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
