@@ -83,7 +83,20 @@ def _driver_verified() -> frozenset[str]:
     return frozenset(name for name, clean in latest.items() if clean)
 
 
-_R01_VERIFIED = _driver_verified()
+# Queries whose OUTPUT or ORACLE changed this round: force to the
+# front of the rotation even though an older driver row was green —
+# the old green row verified a different contract.
+_RECHECK_THIS_ROUND = frozenset(
+    {
+        "dq_key_skew",          # r6: p99 rounded on both sides
+        "t_quality_score",      # r6: golden → full formula oracle
+        "a_approx_quantiles",   # r6: golden → exact+tolerance oracle
+        "a_approx_distinct",    # r6: golden → exact+tolerance oracle
+        "d_simhash_pairs",      # r6: golden → completeness-audit oracle
+    }
+)
+
+_R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 
 # Measured wall seconds per query at sf0.01 (Spark + DuckDB oracle,
 # tests/time_registry.py).

@@ -102,9 +102,38 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", TX.lang_id("text").alias("pred_lang"))
 
 
+_STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+
 @register(
     "t_quality_score",
-    oracle=None,  # engine-defined composite → rows-only; pinned in tests
+    # The composite is engine-DEFINED but fully SQL-EXPRESSIBLE: the
+    # oracle re-states the documented formula (functions/text.py:71)
+    # term by term in DuckDB, mirroring the Spark evaluation order so
+    # the doubles agree bit-for-bit before the final round(…, 6).
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) AS len_score,
+         1.0 - least(pr * 5.0, 1.0) AS punct_score,
+         CAST(len(list_filter(toks,
+                t -> list_contains({_STOPWORD_SQL_LIST}, lower(t)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw
+  FROM c
+)
+SELECT doc_id,
+       round((len_score + punct_score
+              + greatest(1.0 - abs(sw - 0.25) * 2.0, 0.0)) / 3.0, 6) AS quality
+FROM s
+""",
     doc="composite document quality score (length/punct/stopword mix)",
 )
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,13 +276,85 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_simhash_pairs",
-    oracle=None,  # hash-family-specific → rows-only; pinned in tests
+    # xxhash64-specific pair VALUES can't be oracled, but the
+    # pipeline's hard completeness invariant CAN: docs with identical
+    # raw text have identical token multisets → identical SimHash →
+    # Hamming 0 ≤ 8 → the Manku pigeonhole blocking MUST emit the
+    # pair. The corpus has no exact duplicates, so the query plants
+    # them (every 10th doc re-labeled under doc_id+1,000,000 — same
+    # construction in the oracle) to keep the audit non-vacuous. The
+    # oracle counts the ground-truth pairs (Σ n·(n−1)/2 over raw-text
+    # groups) and the query proves it found every one
+    # (n_found_true == n_true_pairs, as data).
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE length(trim(text)) > 0 AND doc_id % 10 = 0
+), g AS (
+  SELECT COUNT(*) AS n FROM aug GROUP BY text
+)
+SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_true_pairs,
+       CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_found_true,
+       TRUE AS complete_ok
+FROM g
+""",
     doc="SimHash near-dup pairs: 64-bit signature, 9-chunk Manku "
-    "blocking (complete recall at Hamming ≤ 8), popcount verify",
+    "blocking (complete recall at Hamming ≤ 8), popcount verify; "
+    "emitted as the exact-duplicate completeness audit over a corpus "
+    "with planted duplicates (every identical-text pair must appear "
+    "among the Hamming≤8 pairs)",
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    found = D.simhash_near_pairs(aug, "text", "doc_id").select("id_a", "id_b")
+    # Ground truth: pairs of byte-identical raw text (identical
+    # tokens → identical simhash), generated array-side from the
+    # raw-text groups (groups are tiny).
+    groups = (
+        aug.groupBy(F.xxhash64("text").alias("__fp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    truth = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("doc_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("doc_ids"), i + 2,
+                            F.greatest(F.size("doc_ids") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_hit = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_found_true")
+    )
+    # two 1-row scalar frames — the sanctioned crossJoin shape
+    return n_true.crossJoin(n_hit).select(
+        "n_true_pairs",
+        "n_found_true",
+        (F.col("n_found_true") == F.col("n_true_pairs")).alias("complete_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

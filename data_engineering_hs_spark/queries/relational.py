@@ -486,14 +486,38 @@ def a_conditional_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_approx_distinct",
-    oracle=None,  # approximate by design → rows-only check; exact twin below
-    doc="approx_count_distinct — the 100 TB twin of A6 (engine extension)",
+    # The HLL estimate is approximate by design, but its error
+    # contract is exact-checkable: emit the exact distinct count plus
+    # a boolean asserting the sketch (rsd=0.02) landed within 5%
+    # relative error. The oracle computes the exact count and asserts
+    # TRUE — a sketch regression now fails the hash, not just a
+    # rows-only check.
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="approx_count_distinct — the 100 TB twin of A6 (engine "
+    "extension); emits the exact count plus a sketch-within-5%% "
+    "boolean so the approximation contract is oracle-checked",
 )
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("approx_ok"),
+        )
         .orderBy("event_type")
     )
 

@@ -363,10 +363,27 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_approx_quantiles",
-    oracle=None,  # approximate by design (GK sketch) → rows-only;
-    # bounded error vs exact percentile pinned in tests
+    # The sketch VALUES are approximate by design, but the sketch's
+    # error CONTRACT is exact-checkable: emit the exact percentiles
+    # (rounded — interpolated doubles are ulp-fragile under exact
+    # hash) plus booleans asserting the GK-sketch estimates landed
+    # within tolerance (|Δmedian| ≤ 1 qty unit; |Δp90| ≤ 1% rel —
+    # measured ≤ 0.1% at accuracy=1000). The oracle computes the same
+    # exact percentiles and asserts TRUE.
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.5)
+                  AS DOUBLE), 4) AS median_qty_exact,
+       ROUND(CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                0.9) AS DOUBLE), 4) AS p90_cents_exact,
+       TRUE AS approx_median_ok,
+       TRUE AS approx_p90_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     doc="approx_percentile — the sketch-based scale twin of "
-    "a_median_percentile (single-pass, mergeable)",
+    "a_median_percentile (single-pass, mergeable); emits the exact "
+    "percentiles plus sketch-within-tolerance booleans so the "
+    "approximation contract is oracle-checked",
 )
 def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -375,11 +392,32 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "approx_percentile(cast(round(l_quantity) as bigint), 0.5, 1000)"
-            ).alias("approx_median_qty"),
+            ).alias("__am"),
+            F.round(
+                F.expr("percentile(cast(round(l_quantity) as bigint), 0.5)"), 4
+            ).alias("median_qty_exact"),
             F.expr(
                 "approx_percentile(cast(round(l_extendedprice * 100) as bigint),"
                 " 0.9, 1000)"
-            ).alias("approx_p90_cents"),
+            ).alias("__ap"),
+            F.round(
+                F.expr(
+                    "percentile(cast(round(l_extendedprice * 100) as bigint), 0.9)"
+                ),
+                4,
+            ).alias("p90_cents_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty_exact",
+            "p90_cents_exact",
+            (
+                F.abs(F.col("__am") - F.col("median_qty_exact")) <= 1.0
+            ).alias("approx_median_ok"),
+            (
+                F.abs(F.col("__ap") - F.col("p90_cents_exact"))
+                <= F.col("p90_cents_exact") * 0.01
+            ).alias("approx_p90_ok"),
         )
         .orderBy("l_returnflag")
     )

@@ -30,12 +30,8 @@ load_all()
 # (row_count, md5 of canonicalized rows) at sf0.01
 GOLDENS = {
     "o_sample_deterministic": (10, "a710b97dc4d3f9542584702cad6c0734"),
-    "a_approx_distinct": (5, "850ffff84dae4cd77f772a2a1f638150"),
-    "a_approx_quantiles": (3, "f47bcc96748afa01a4a3b88c4d2b5c43"),
     "t_langid": (500, "e4911fa873b08cec98455fc379fa2ae1"),
-    "t_quality_score": (500, "22b8d7f5260726c4f8d3206780b10060"),
     "d_minhash_lsh": (25, "99ec31279b9c097cd9e63d2c39396317"),
-    "d_simhash_pairs": (964, "3186563ccbcf275eaa7bce66123ff93c"),
     "s_ivf_topk": (25, "eb7290e7dc44a1aa02b16d5450061348"),
     "s_lsh_topk": (25, "51893cf9ec4ef936209eabb25a8c3986"),
     # fold-path hash; the arrow dot_strategy shifts cos_sim by ulps
