@@ -348,20 +348,43 @@ class ModelRunner:
         return attached
 
     def export_docs(self, out_dir: str) -> dict[str, str]:
-        """`dbt docs generate` analog: write manifest.json (machine)
-        and lineage.txt (human) into out_dir; returns the paths."""
+        """`dbt docs generate` analog: write manifest.json (machine),
+        catalog.json (per-model column schemas — dbt's second docs
+        artifact), and lineage.txt (human) into out_dir; returns the
+        paths. catalog covers the models built in this runner's last
+        run (dbt's catalog likewise reflects warehouse state, not
+        declarations)."""
         import json
 
         os.makedirs(out_dir, exist_ok=True)
         paths = {
             "manifest": os.path.join(out_dir, "manifest.json"),
+            "catalog": os.path.join(out_dir, "catalog.json"),
             "lineage": os.path.join(out_dir, "lineage.txt"),
         }
         with open(paths["manifest"], "w") as f:
             json.dump(self.manifest(), f, indent=2, sort_keys=True)
+        with open(paths["catalog"], "w") as f:
+            json.dump(self.catalog(), f, indent=2, sort_keys=True)
         with open(paths["lineage"], "w") as f:
             f.write(self.lineage() + "\n")
         return paths
+
+    def catalog(self) -> dict:
+        """dbt catalog.json analog: per BUILT model, ordered column
+        name → Spark SQL type (from the analyzed plan's schema — no
+        job runs)."""
+        return {
+            "models": {
+                name: {
+                    "columns": {
+                        f.name: f.dataType.simpleString()
+                        for f in df.schema.fields
+                    }
+                }
+                for name, df in self._built.items()
+            }
+        }
 
     def manifest(self) -> dict:
         """`dbt docs`-style machine-readable artifact: per model, its

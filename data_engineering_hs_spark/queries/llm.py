@@ -877,10 +877,13 @@ def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=8)
-    # chunk uid packs (doc_id, chunk_id) into one sortable key; docs
-    # emit < 100 chunks at 64-token windows over these documents
+    # chunk uid packs (doc_id, chunk_id) into one sortable key; the
+    # 32-bit shift gives chunk_id 4B of headroom so the uid space
+    # cannot collide however many chunks a document emits
     chunks = chunks.select(
-        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("chunk_uid"),
+        (F.shiftleft(F.col("doc_id"), 32) + F.col("chunk_id")).alias(
+            "chunk_uid"
+        ),
         "n_tokens",
     )
     return pack_sequences(

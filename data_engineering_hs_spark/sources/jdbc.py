@@ -60,9 +60,13 @@ def create_target_statements(
     """
     key_list = ", ".join(_q(k) for k in keys)
     if dialect == "postgresql":
+        # Constraint names are plain identifiers: derive from the
+        # UNQUALIFIED table part — "public.fuel_sales" would otherwise
+        # yield the invalid name public.fuel_sales_upsert_key.
+        bare = table.split(".")[-1].strip('"')
         return [
             f"CREATE TABLE {table} (LIKE {stage} INCLUDING ALL)",
-            f"ALTER TABLE {table} ADD CONSTRAINT {table}_upsert_key "
+            f"ALTER TABLE {table} ADD CONSTRAINT {bare}_upsert_key "
             f"UNIQUE ({key_list})",
         ]
     return [f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA"]

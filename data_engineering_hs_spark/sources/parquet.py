@@ -65,8 +65,14 @@ def compact_parquet(
     coalesce (no shuffle — each output file concatenates input splits;
     row order within files may differ run-to-run but content is
     identical); shuffle=True uses repartition for evenly-sized files
-    when the inputs are skewed. Two-phase: write to `<path>.__compact`
-    then swap, so a crash mid-write leaves the original intact.
+    when the inputs are skewed. Crash-safe swap: the compacted copy
+    writes to `<path>.__compact`, the original is renamed aside to
+    `<path>.__old`, the copy takes its place, then the old dir is
+    removed — every crash point leaves a COMPLETE dataset under a
+    predictable name (recovery: if `path` is missing, rename
+    `<path>.__old` — or `<path>.__compact` if `__old` is also gone —
+    back to `path`; a leftover `__old` beside a live `path` is
+    post-swap garbage, delete it).
 
     Returns {"files_before", "files_after", "bytes"}. NOT for
     partitioned layouts (compact each partition directory); the swap
@@ -89,10 +95,16 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
-    tmp = path.rstrip("/") + ".__compact"
+    norm = path.rstrip("/")
+    tmp = norm + ".__compact"
+    old = norm + ".__old"
     sized.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.replace(tmp, path)
+    # Swap via rename-aside: rmtree(path) before the rename would
+    # leave a crash window with NO dataset at `path`.
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(norm, old)
+    os.replace(tmp, norm)
+    shutil.rmtree(old)
     return {
         "files_before": len(before),
         "files_after": len(data_files(path)),

@@ -167,6 +167,17 @@ class TestJdbcDialects:
         assert ddl[0] == "CREATE TABLE fuel (LIKE fuel_stage INCLUDING ALL)"
         assert 'UNIQUE ("transaction_id")' in ddl[1]
 
+    def test_postgres_constraint_name_from_unqualified_table(self):
+        # public.fuel_sales must NOT yield the invalid constraint
+        # identifier public.fuel_sales_upsert_key
+        from data_engineering_hs_spark.sources.jdbc import create_target_statements
+
+        ddl = create_target_statements(
+            "postgresql", "public.fuel_sales", "fuel_stage", ["transaction_id"]
+        )
+        assert "ADD CONSTRAINT fuel_sales_upsert_key UNIQUE" in ddl[1]
+        assert "public.fuel_sales_upsert_key" not in ddl[1]
+
     def test_ansi_merge_matches_derby_tested_form(self):
         from data_engineering_hs_spark.sources.jdbc import (
             create_target_statements,

@@ -255,3 +255,13 @@ models:
         assert m["models"]["fct_orders"]["depends_on"] == ["stg_orders", "stg_payments"]
         text = open(paths["lineage"]).read()
         assert "fct_orders" in text
+        # catalog is empty before a run, populated with column schemas after
+        cat = json.load(open(paths["catalog"]))
+        assert cat == {"models": {}}
+        runner.run()
+        paths = runner.export_docs(str(tmp_path / "docs2"))
+        cat = json.load(open(paths["catalog"]))
+        assert "fct_orders" in cat["models"]
+        cols = cat["models"]["fct_orders"]["columns"]
+        assert len(cols) > 0
+        assert all(isinstance(t, str) and t for t in cols.values())

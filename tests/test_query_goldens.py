@@ -41,7 +41,9 @@ GOLDENS = {
     "d_winnow_fingerprints": (10137, "64a9cf95b131fb48f37450a5437f4be9"),
     "d_dup_components_lsh": (47, "2da4aae7ea87bbf8629e1aab66d58e6d"),
     "d_incremental_lsh": (19, "45d39582841ab37dbdafa3d10da289ba"),
-    "t_pack_contexts": (694, "df88bcaf170c60306df94f387689e24d"),
+    # regenerated r6: chunk_uid widened to shiftleft(doc_id,32)+chunk_id
+    # (collision-proof uid space; packing itself unchanged)
+    "t_pack_contexts": (694, "06cf31054289bcad14704d28e0cf82a4"),
     "t_curate_training_set": (160, "61395cfaca53fecd1bdae6179734332e"),
 }
 
