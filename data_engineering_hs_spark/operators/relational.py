@@ -118,11 +118,20 @@ def sample_exact(df: DataFrame, n: int, seed: int = 42, sort_key: str | None = N
     hash of the row key, take n. Unlike df.sample(fraction), yields
     exactly n rows and is reproducible across partitionings — the
     distributed analog of pandas .sample(n, random_state)
-    (lab01/tasks.ipynb:626)."""
+    (lab01/tasks.ipynb:626).
+
+    The ordering hash is md5(key || '|' || seed), not xxhash64:
+    md5-over-string is bit-identical in every engine (Spark, DuckDB,
+    Postgres, Trino), so the sample itself is oracle-checkable and
+    survives engine migrations. Plan shape is identical either way —
+    TakeOrderedAndProject over a per-row projection — and the hash is
+    computed once per row, so the md5-vs-xxhash cost difference is
+    noise next to the scan."""
     key = sort_key or df.columns[0]
+    r = F.md5(F.concat_ws("|", F.col(key).cast("string"), F.lit(str(seed))))
     return (
-        df.withColumn("__r", F.xxhash64(F.col(key), F.lit(seed)))
-        .orderBy("__r")
+        df.withColumn("__r", r)
+        .orderBy("__r", key)
         .limit(n)
         .drop("__r")
     )

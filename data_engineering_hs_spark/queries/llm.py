@@ -94,7 +94,42 @@ def t_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_langid",
-    oracle=None,  # heuristic classifier → rows-only; accuracy pinned in tests
+    # The heuristic is pure Column algebra (functions/text.py:lang_id),
+    # so the oracle restates it term-by-term in DuckDB. Tie-break
+    # mirrors Spark's array_max over struct(n, lang): max count, then
+    # lexicographically greatest language code — the CASE checks zh →
+    # fr → es → en → de with >= so each branch wins exactly the ties
+    # Spark would give it.
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','is','in','that','it','was','for'], x))) AS en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','los','las','por','una','es'], x))) AS es,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','und','das','ist','nicht','ein','mit','den','zu'], x))) AS de,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','des','est','une','dans','pour','que','qui'], x))) AS fr,
+    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(en, es, de, fr, zh) > 0 THEN
+    CASE WHEN zh >= greatest(en, es, de, fr) THEN 'zh'
+         WHEN fr >= greatest(en, es, de) THEN 'fr'
+         WHEN es >= greatest(en, de) THEN 'es'
+         WHEN en >= de THEN 'en'
+         ELSE 'de' END
+  ELSE 'und' END AS pred_lang
+FROM s
+""",
     doc="n-gram/stopword language-ID heuristic per document",
 )
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

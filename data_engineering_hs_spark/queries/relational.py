@@ -255,7 +255,15 @@ def p_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "o_sample_deterministic",
-    oracle=None,  # pseudo-random sample: checked rows-only + pinned in tests
+    # md5-over-string ordering hash (operators.relational.sample_exact)
+    # is bit-identical across engines, so the pseudo-random sample
+    # itself is a hard DuckDB oracle, not just rows-only.
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+ORDER BY md5(CAST(c_custkey AS VARCHAR) || '|42'), c_custkey
+LIMIT 10
+""",
     doc="deterministic exact-n sample (O5) — pandas .sample(n, seed) analog",
 )
 def o_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:

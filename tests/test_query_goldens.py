@@ -29,8 +29,8 @@ load_all()
 
 # (row_count, md5 of canonicalized rows) at sf0.01
 GOLDENS = {
-    "o_sample_deterministic": (10, "a710b97dc4d3f9542584702cad6c0734"),
-    "t_langid": (500, "e4911fa873b08cec98455fc379fa2ae1"),
+    # o_sample_deterministic + t_langid converted to hard DuckDB
+    # oracles in r6 (md5 ordering hash / term-by-term SQL restatement)
     "d_minhash_lsh": (25, "99ec31279b9c097cd9e63d2c39396317"),
     "s_ivf_topk": (25, "eb7290e7dc44a1aa02b16d5450061348"),
     "s_lsh_topk": (25, "51893cf9ec4ef936209eabb25a8c3986"),
