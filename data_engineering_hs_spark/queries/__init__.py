@@ -19,4 +19,5 @@ def load_all() -> None:
         tpch_extra3,
         windows_extra,
         agg_extra,
+        cdc_q,
     )
