@@ -447,3 +447,69 @@ def pack_sequences(
         .alias("shard"),
     )
     return prepared.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """C4-style exact segment-level dedup (Raffel et al., JMLR'20 §2.2
+    dedupe repeated three-sentence spans; line-level in CCNet). The
+    synthetic corpus has no sentence boundaries, so the unit is a
+    fixed window of `seg_tokens` consecutive tokens — same semantics,
+    deterministic segmentation.
+
+    Every segment is kept only at its globally-first occurrence
+    (minimum (doc_id, seg_idx) over all copies); later copies are
+    dropped. Returns per document: segment counts, kept counts, and
+    the deduplicated text (kept segments rejoined in order).
+
+    Physical shape: segments explode to one row per (doc, seg_idx);
+    the winner is a min over a window partitioned by segment text —
+    ONE hash shuffle on the segment string (skew-safe: a segment
+    repeated millions of times still reduces via partial min), then
+    one shuffle back on doc_id to reassemble. No self-join, no
+    collect; state is O(distinct segments)."""
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, (i - F.lit(1)) * seg_tokens + 1, seg_tokens)
+            ).alias("seg"),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("s"))
+        .select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+        .filter(F.col("seg") != "")
+    )
+    w = Window.partitionBy("seg")
+    winner = exploded.withColumn(
+        "__win",
+        F.min(F.struct("doc_id", "seg_idx")).over(w),
+    ).withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("__win.doc_id"))
+        & (F.col("seg_idx") == F.col("__win.seg_idx")),
+    )
+    kept_in_order = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    return (
+        winner.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.concat_ws(" ", kept_in_order).alias("dedup_text"),
+        )
+    )

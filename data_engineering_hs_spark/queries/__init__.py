@@ -20,4 +20,5 @@ def load_all() -> None:
         windows_extra,
         agg_extra,
         cdc_q,
+        llm2,
     )

@@ -1,0 +1,325 @@
+"""Round-6 LLM-pipeline queries: segment-level exact dedup (C4),
+BM25 keyword retrieval, CCNet-style quality bucketing, text
+normalization, token-length histograms, Bloom-filter decontamination.
+
+All hot paths are pure Column algebra (JVM codegen); every query that
+is SQL-expressible carries a term-by-term DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.operators import corpus
+from data_engineering_hs_spark.queries.registry import register
+
+
+@register(
+    "t_segment_dedup",
+    # Mirrors operators.corpus.segment_dedup term-by-term: fixed
+    # 10-token segmentation, global first-occurrence winner by
+    # min(doc_id, seg_idx), kept segments rejoined in order.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), segs0 AS (
+  SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+         array_to_string(t[((u.i - 1) * 10 + 1):least(u.i * 10, len(t))], ' ') AS seg
+  FROM toks,
+       unnest(generate_series(1, greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1))) AS u(i)
+), segs AS (
+  SELECT * FROM segs0 WHERE seg != ''
+), win AS (
+  SELECT doc_id, seg_idx, seg,
+         min(struct_pack(d := doc_id, s := seg_idx)) OVER (PARTITION BY seg) AS w
+  FROM segs
+), k AS (
+  SELECT doc_id, seg_idx, seg,
+         (doc_id = w.d AND seg_idx = w.s) AS kept
+  FROM win
+)
+SELECT doc_id,
+       COUNT(*) AS n_segs,
+       CAST(count_if(kept) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
+         AS dedup_text
+FROM k GROUP BY doc_id
+""",
+    doc="C4-style exact segment dedup: global first occurrence wins",
+)
+def t_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.segment_dedup(d, id_col="doc_id", text_col="text", seg_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (Robertson-Spärck Jones; Lucene idf variant).
+# The inverted-index shape at scale: tokens are filtered to the query
+# vocabulary BEFORE the shuffle, so the postings explode carries only
+# matching terms; df/N/avgdl are tiny aggregates broadcast back.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+@register(
+    "s_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM toks
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+    doc="BM25 keyword top-k over documents (inverted-postings shape)",
+)
+def s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    # postings: filter to the query vocabulary BEFORE the explode's
+    # shuffle so only matching tokens move
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        toks.select(
+            "doc_id",
+            F.explode(F.filter("t", lambda x: F.array_contains(terms, x))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar frame
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality bucketing (Wenzek et al., LREC'20): per-language
+# quantile split of the corpus into head/middle/tail by quality score.
+# ntile over a per-lang window — one shuffle on lang; at 100 TB the
+# per-lang ordering is the cost, identical to what any quantile
+# bucketing must pay (CCNet does it via perplexity-sorted shards).
+# ---------------------------------------------------------------------------
+
+
+def _quality_cte() -> str:
+    from data_engineering_hs_spark.functions import text as TX
+
+    sw_list = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+    return f"""
+c AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) AS len_score,
+         1.0 - least(pr * 5.0, 1.0) AS punct_score,
+         CAST(len(list_filter(toks,
+                t -> list_contains({sw_list}, lower(t)))) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS sw
+  FROM c
+), q AS (
+  SELECT doc_id, lang,
+         round((len_score + punct_score
+                + greatest(1.0 - abs(sw - 0.25) * 2.0, 0.0)) / 3.0, 6) AS quality
+  FROM s
+)"""
+
+
+@register(
+    "t_quality_buckets",
+    oracle=f"""
+WITH {_quality_cte()}
+SELECT doc_id, lang, quality,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM q
+""",
+    doc="CCNet head/middle/tail per-language quality bucketing (ntile)",
+)
+def t_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineering_hs_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+        .withColumn(
+            "bucket",
+            F.when(F.ntile(3).over(w) == 1, "head")
+            .when(F.ntile(3).over(w) == 2, "middle")
+            .otherwise("tail"),
+        )
+    )
+
+
+@register(
+    "t_token_histogram",
+    # Fixed-width histogram of document token counts — the
+    # sequence-length profile that sizes context-window packing
+    # (operators.corpus.pack_sequences). Bucket arithmetic is integer
+    # floor division, identical in both engines.
+    oracle="""
+WITH n AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), b AS (
+  SELECT least(n_tok // 20, 9) AS bucket FROM n
+)
+SELECT bucket,
+       CAST(bucket * 20 AS BIGINT) AS tokens_lo,
+       COUNT(*) AS n_docs,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents), 6) AS share
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    doc="token-count histogram (20-token buckets, top-coded at 180+)",
+)
+def t_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(token_count(F.col("text")) / 20), F.lit(9)).cast(
+        "bigint"
+    )
+    total = d.agg(F.count("*").alias("__total"))  # 1-row scalar frame
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * 20).cast("bigint").alias("tokens_lo"),
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__total"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dq_value_outliers",
+    # Robust per-group outlier detection: median/MAD z-score on
+    # events.value per event_type, count of |z| > 3.5 (Iglewicz-
+    # Hoaglin modified z). percentile interpolation is float: both
+    # sides round the aggregate outputs to 4 (dq_key_skew lesson).
+    oracle="""
+WITH med AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(CAST(any_value(d.med) AS DOUBLE), 4) AS median_value,
+       round(CAST(any_value(m.mad) AS DOUBLE), 4) AS mad_value,
+       CAST(count_if(
+         m.mad > 0 AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
+       ) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_rows
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+    doc="robust MAD z-score outlier counts per event_type (Q-family DQ)",
+)
+def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.sum(
+                ((F.col("mad") > 0) & (F.abs(z) > 3.5)).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
