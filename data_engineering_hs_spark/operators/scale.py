@@ -80,3 +80,86 @@ def salted_join(
     dim_salted = dim.crossJoin(F.broadcast(salts))
     out = fact_salted.join(dim_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def zvalue(cols: Sequence, bits: int = 12):
+    """Morton z-value of integer columns already scaled to [0, 2^bits).
+
+    Interleaves the bits of up to ~4 columns (bit i of column j lands
+    at position i*ncols + j) so one long column encodes
+    multi-dimensional locality. Pure shift/and/or Column algebra —
+    whole-stage codegen, no UDF. bits*ncols must stay < 63.
+    """
+    ncols = len(cols)
+    if bits * ncols >= 63:
+        raise ValueError("bits * ncols must stay below 63 (long zvalue)")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
+def scale_to_bits(c, lo, hi, bits: int = 12):
+    """Min-max scale a numeric column into [0, 2^bits) integers.
+
+    lo/hi are Columns (typically from a broadcast 1-row stats frame)
+    so the scaling needs NO driver action and re-derives per run.
+    Constant columns (hi == lo) map to 0.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    span = hi - lo
+    maxv = (1 << bits) - 1
+    scaled = F.floor((c - lo) / span * maxv)
+    return (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(F.least(F.greatest(scaled, F.lit(0)), F.lit(maxv)))
+        .cast("long")
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    n_files: int = 8,
+) -> None:
+    """Write `df` as parquet laid out along a Morton curve over `cols`.
+
+    Files then carry tight min/max ranges on EVERY z-ordered column
+    simultaneously, so predicate pushdown on any of them skips most
+    files — the Delta/Iceberg OPTIMIZE ZORDER analog, built from
+    repartitionByRange + sortWithinPartitions (one range shuffle).
+    Column stats come from one tiny agg broadcast into the scan, not
+    a driver collect.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    )
+    with_z = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z",
+        zvalue(
+            [
+                scale_to_bits(
+                    F.col(c).cast("double"),
+                    F.col(f"__lo_{c}"),
+                    F.col(f"__hi_{c}"),
+                    bits,
+                )
+                for c in cols
+            ],
+            bits,
+        ),
+    )
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

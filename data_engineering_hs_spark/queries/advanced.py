@@ -280,3 +280,73 @@ def g_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout values — operators.scale.zorder_write's math,
+# oracle-checked. The interleave SQL is generated from the same
+# (bits, ncols) parameters the Spark Column expression uses, so both
+# engines evaluate an identical bit-by-bit formula.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+
+
+def _z_sql_expr(vars_: list[str], bits: int) -> str:
+    terms = [
+        f"((({v} >> {i}) & 1) << {i * len(vars_) + j})"
+        for j, v in enumerate(vars_)
+        for i in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "o_zorder_values",
+    oracle=f"""
+WITH st AS (
+  SELECT CAST(min(o_custkey) AS DOUBLE) AS lo_a, CAST(max(o_custkey) AS DOUBLE) AS hi_a,
+         CAST(min(o_totalprice) AS DOUBLE) AS lo_b, CAST(max(o_totalprice) AS DOUBLE) AS hi_b
+  FROM orders
+), scaled AS (
+  SELECT o_orderkey,
+         CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - lo_a) / (hi_a - lo_a) * 4095), 0), 4095) AS BIGINT) AS za,
+         CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - lo_b) / (hi_b - lo_b) * 4095), 0), 4095) AS BIGINT) AS zb
+  FROM orders CROSS JOIN st
+)
+SELECT o_orderkey, {_z_sql_expr(['za', 'zb'], _Z_BITS)} AS zval
+FROM scaled
+ORDER BY zval DESC, o_orderkey
+LIMIT 50
+""",
+    doc="Morton z-values over (custkey, totalprice) — zorder_write's math",
+)
+def o_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.scale import scale_to_bits, zvalue
+
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").cast("double").alias("lo_a"),
+        F.max("o_custkey").cast("double").alias("hi_a"),
+        F.min("o_totalprice").cast("double").alias("lo_b"),
+        F.max("o_totalprice").cast("double").alias("hi_b"),
+    )
+    z = zvalue(
+        [
+            scale_to_bits(
+                F.col("o_custkey").cast("double"),
+                F.col("lo_a"), F.col("hi_a"), _Z_BITS,
+            ),
+            scale_to_bits(
+                F.col("o_totalprice").cast("double"),
+                F.col("lo_b"), F.col("hi_b"), _Z_BITS,
+            ),
+        ],
+        _Z_BITS,
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))  # 1-row stats frame
+        .select("o_orderkey", z.alias("zval"))
+        .orderBy(F.desc("zval"), "o_orderkey")
+        .limit(50)
+    )

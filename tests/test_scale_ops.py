@@ -296,3 +296,79 @@ class TestBucketedIncrementalStores:
             assert got_b == got_p and len(got_b) > 0
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+class TestZOrder:
+    def _file_ranges(self, path, cols):
+        """Per-parquet-file (min, max) of each column via footer stats."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins = {c: None for c in cols}
+            maxs = {c: None for c in cols}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for i in range(g.num_columns):
+                    col = g.column(i)
+                    name = col.path_in_schema
+                    if name in cols and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            out.append({c: (mins[c], maxs[c]) for c in cols})
+        return out
+
+    def _files_hit(self, ranges, col, lo, hi):
+        return sum(1 for r in ranges if not (r[col][1] < lo or r[col][0] > hi))
+
+    def test_zorder_layout_skips_files_on_both_dims(self, spark, tmp_path):
+        from data_engineering_hs_spark.catalog import load_table
+        from data_engineering_hs_spark.operators.scale import zorder_write
+
+        o = load_table(spark, SF001, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        naive = str(tmp_path / "naive")
+        zpath = str(tmp_path / "zorder")
+        # naive layout: same file count, orderkey-ranged (the default
+        # "however it arrived" layout a compaction would produce)
+        o.repartitionByRange(8, "o_orderkey").write.parquet(naive)
+        zorder_write(o, zpath, cols=["o_custkey", "o_totalprice"], n_files=8)
+
+        # same rows both layouts
+        assert spark.read.parquet(zpath).count() == o.count()
+
+        cols = ["o_custkey", "o_totalprice"]
+        nr = self._file_ranges(naive, cols)
+        zr = self._file_ranges(zpath, cols)
+        assert len(zr) == 8
+        # box predicate selective on BOTH dims: bottom ~quarter of each
+        ck_hi = o.agg(F.expr("percentile(o_custkey, 0.25)")).first()[0]
+        tp_hi = o.agg(F.expr("percentile(o_totalprice, 0.25)")).first()[0]
+        naive_hits = min(
+            self._files_hit(nr, "o_custkey", 0, ck_hi),
+            self._files_hit(nr, "o_totalprice", 0.0, tp_hi),
+        )
+        z_hits = min(
+            self._files_hit(zr, "o_custkey", 0, ck_hi),
+            self._files_hit(zr, "o_totalprice", 0.0, tp_hi),
+        )
+        # orderkey-ranged files are uncorrelated with custkey/price →
+        # every file intersects the box on at least one dim; z-order
+        # must prune strictly more
+        assert naive_hits == 8
+        assert z_hits < naive_hits
+
+    def test_zvalue_interleave_known_bits(self, spark):
+        from data_engineering_hs_spark.operators.scale import zvalue
+
+        df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+        z = df.select(zvalue(["a", "b"], bits=3).alias("z")).first().z
+        # bit i of a → position 2i; bit i of b → position 2i+1
+        # a=101, b=011 → z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+        #               = 1 | 2 | 0 | 8 | 16 | 0 = 27
+        assert z == 27
