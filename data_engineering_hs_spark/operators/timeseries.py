@@ -124,3 +124,36 @@ def interpolate_linear(
         .otherwise(interp)
     )
     return df.withColumn(out_col, filled)
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Silence detection: intervals between consecutive observations of
+    a key exceeding `min_gap_seconds` — sensor downtime / pipeline
+    stall diagnosis. Emits one row per gap: key, gap_start (last seen),
+    gap_end (next seen), gap_seconds.
+
+    One window shuffle on the key; the lag and the epoch subtraction
+    are codegen Column algebra. At 100 TB the shuffle carries
+    (key, ts) only — project before calling.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    return (
+        df.select(key_col, ts_col)
+        .withColumn("__prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "gap_seconds",
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__prev")),
+        )
+        .filter(F.col("gap_seconds") >= min_gap_seconds)
+        .select(
+            key_col,
+            F.col("__prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            "gap_seconds",
+        )
+    )

@@ -323,3 +323,78 @@ def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_gap_detection",
+    # date_diff('second') on DuckDB vs unix_timestamp subtraction on
+    # Spark — both integer seconds; bounds emitted as formatted
+    # strings (raw event timestamps are never emitted).
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       strftime(prev, '%Y-%m-%d %H:%M:%S') AS gap_start,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+       date_diff('second', prev, ts) AS gap_seconds
+FROM g
+WHERE date_diff('second', prev, ts) >= 86400
+""",
+    doc="silence/downtime detection: >=24h gaps between a user's events",
+)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+    e = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return detect_gaps(
+        e, key_col="user_id", ts_col="ts", min_gap_seconds=86400
+    ).select(
+        "user_id",
+        F.date_format("gap_start", fmt).alias("gap_start"),
+        F.date_format("gap_end", fmt).alias("gap_end"),
+        "gap_seconds",
+    )
+
+
+@register(
+    "t_negative_pairs",
+    # Contrastive-training negative sampling: each document gets k=2
+    # pseudo-random partners via a multiplicative scramble modulo the
+    # corpus size (Knuth LCG constants) — deterministic integer
+    # arithmetic, identical in both engines, no all-pairs crossJoin.
+    # Corpus size comes from a broadcast 1-row frame, not a driver
+    # count, so the plan is one explode + one equi-join at any scale.
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS total FROM documents),
+pairs AS (
+  SELECT d.doc_id, u.j,
+         (d.doc_id * 2654435761 + u.j * 40503) % n.total AS raw,
+         n.total AS total
+  FROM documents d CROSS JOIN n, unnest([1, 2]) AS u(j)
+), fixed AS (
+  SELECT doc_id, j,
+         CASE WHEN raw = doc_id THEN (raw + 1) % total ELSE raw END AS neg_id
+  FROM pairs
+)
+SELECT f.doc_id, f.j, f.neg_id, d2.lang AS neg_lang
+FROM fixed f JOIN documents d2 ON f.neg_id = d2.doc_id
+""",
+    doc="deterministic negative-pair sampling for contrastive training",
+)
+def t_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("total"))
+    raw = (F.col("doc_id") * F.lit(2654435761) + F.col("j") * 40503) % F.col("total")
+    neg = F.when(raw == F.col("doc_id"), (raw + 1) % F.col("total")).otherwise(raw)
+    pairs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(total))  # 1-row scalar frame
+        .select("doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("j"), "total")
+        .select("doc_id", "j", neg.alias("neg_id"))
+    )
+    d2 = d.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return pairs.join(d2, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
