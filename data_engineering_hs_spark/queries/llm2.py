@@ -51,6 +51,7 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """,
     doc="C4-style exact segment dedup: global first occurrence wins",
+    bench=True,
 )
 def t_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -108,6 +109,7 @@ ORDER BY round(score, 4) DESC, doc_id
 LIMIT {_BM25_TOPK}
 """,
     doc="BM25 keyword top-k over documents (inverted-postings shape)",
+    bench=True,
 )
 def s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_hs_spark.functions.text import tokens
