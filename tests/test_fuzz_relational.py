@@ -172,3 +172,66 @@ def test_fuzz_setsim_complete_vs_all_pairs(spark, docs, t):
             if j >= t:
                 exp.add((a, b))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# CDC fuzz: snapshot_diff → apply_changeset must reproduce the target
+# snapshot on arbitrary keyed tables with NULLs; the diff itself must
+# never contain an unchanged row.
+# ---------------------------------------------------------------------------
+
+cdc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # key (unique-ified below)
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.IntegerType()),
+    ]
+)
+
+
+def _uniq_by_key(rows_in):
+    seen = {}
+    for r in rows_in:
+        seen[r[0]] = r
+    return list(seen.values())
+
+
+class TestCdcFuzz:
+    @given(old_rows=cdc_rows, new_rows=cdc_rows)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_diff_apply_round_trip(self, spark, old_rows, new_rows):
+        from data_engineering_hs_spark.operators import cdc
+
+        old = spark.createDataFrame(_uniq_by_key(old_rows), CDC_SCHEMA)
+        new = spark.createDataFrame(_uniq_by_key(new_rows), CDC_SCHEMA)
+        diff = cdc.snapshot_diff(old, new, keys=["k"]).cache()
+        got = diff.collect()
+        # no unchanged rows may leak into the changeset
+        old_map = {r.k: (r.a, r.b) for r in old.collect()}
+        new_map = {r.k: (r.a, r.b) for r in new.collect()}
+        for r in got:
+            if r.op == "insert":
+                assert r.k in new_map and r.k not in old_map
+            elif r.op == "delete":
+                assert r.k in old_map and r.k not in new_map
+            else:
+                assert old_map[r.k] != new_map[r.k]
+        merged = cdc.apply_changeset(old, diff, keys=["k"])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+        diff.unpersist()

@@ -101,3 +101,36 @@ class TestPlanShapes:
         plan = _plan(spark, "dq_profile_documents")
         assert "Union" not in plan
         assert "Aggregate" in plan  # multi-distinct → Sort/ObjectHashAgg
+
+
+class TestRound6PlanShapes:
+    def test_bm25_broadcasts_stats_and_df(self, spark):
+        summary = plan_summary(REGISTRY["s_bm25_topk"].fn(spark, SF001))
+        # df (term doc-frequencies) and the 1-row stats frame both
+        # broadcast; the posting/doclen join may AQE-broadcast too
+        assert summary["broadcast_joins"] >= 2
+        plan = _plan(spark, "s_bm25_topk")
+        assert "TakeOrderedAndProject" in plan  # top-k, not full sort
+
+    def test_negative_pairs_single_equi_join_no_cartesian(self, spark):
+        plan = _plan(spark, "t_negative_pairs")
+        # the only cartesian-ish node is the sanctioned 1-row scalar
+        # broadcast; the pair materialization must NOT be a cross join
+        assert "CartesianProduct" not in plan
+
+    def test_outliers_broadcast_med_and_mad(self, spark):
+        summary = plan_summary(REGISTRY["dq_value_outliers"].fn(spark, SF001))
+        assert summary["broadcast_joins"] >= 2
+
+    def test_segment_dedup_single_exchange_per_stage(self, spark):
+        plan = _plan(spark, "t_segment_dedup")
+        # one shuffle on segment text (window) + one back on doc_id
+        # (groupBy); no join at all in the plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_scd2_two_windows_share_one_shuffle(self, spark):
+        plan = _plan(spark, "c_scd2_priority")
+        # both window passes partition by o_custkey: Spark must plan
+        # exactly one hash exchange for them
+        assert plan.count("Exchange hashpartitioning(o_custkey") == 1
