@@ -297,3 +297,56 @@ def streaming_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cdc_apply(
+    changes_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE: apply a stream of snapshot_diff-shaped
+    changesets (insert/update/delete rows with an `op` column) to a
+    materialized parquet table — the streaming twin of the reference
+    DAG's ON CONFLICT load, with delete support the upsert sink lacks.
+
+    Each micro-batch runs operators.cdc.apply_changeset against the
+    current table version and swaps the merged result in with the
+    same rename-aside protocol as compact_parquet (every crash point
+    leaves a complete table at a predictable name). Replay-safe
+    WITHOUT a transactional log because apply_changeset is
+    idempotent: re-applying a changeset deletes already-absent keys
+    (no-op) and re-upserts identical rows — asserted by test.
+
+    At scale the merged rewrite is the standard copy-on-write MERGE
+    cost (Delta/Hudi CoW); the anti-join side broadcasts when the
+    batch is small. Partition-pruned rewrites (only touched
+    partitions) are the compose-with-partitioning upgrade, same
+    protocol per partition directory.
+    """
+    import os
+    import shutil
+
+    from data_engineering_hs_spark.operators.cdc import apply_changeset
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        norm = table_path.rstrip("/")
+        current = spark.read.parquet(norm)
+        merged = apply_changeset(current, batch, keys=keys)
+        tmp, old = norm + ".__merge", norm + ".__old"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(norm, old)
+        os.replace(tmp, norm)
+        shutil.rmtree(old)
+
+    writer = (
+        changes_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -227,3 +227,62 @@ class TestStreamingDedupIngest:
         q3.awaitTermination(120)
         got3 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
         assert got3 == [1, 2, 11]
+
+
+class TestStreamingCdcApply:
+    def test_merge_stream_and_replay_idempotent(self, spark, tmp_path):
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            streaming_cdc_apply,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("k", T2.LongType()),
+                T2.StructField("v", T2.StringType()),
+                T2.StructField("op", T2.StringType()),
+            ]
+        )
+        table = str(tmp_path / "tbl")
+        src = str(tmp_path / "changes")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).write.parquet(table)
+
+        # batch 1: update k=2, delete k=3, insert k=4
+        spark.createDataFrame(
+            [(2, "B2", "update"), (3, None, "delete"), (4, "d", "insert")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_cdc_apply(
+            spark.readStream.schema(schema).parquet(src), table, ckpt, keys=["k"]
+        )
+        q.awaitTermination(120)
+        got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+        assert got == [(1, "a"), (2, "B2"), (4, "d")]
+
+        # replay the same changeset with a fresh checkpoint (crashed-
+        # checkpoint worst case): apply_changeset is idempotent →
+        # table unchanged
+        ckpt2 = str(tmp_path / "ckpt2")
+        q2 = streaming_cdc_apply(
+            spark.readStream.schema(schema).parquet(src), table, ckpt2, keys=["k"]
+        )
+        q2.awaitTermination(120)
+        got2 = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+        assert got2 == got
+
+        # batch 2 on the resumed original checkpoint: delete the
+        # earlier insert + a fresh insert
+        spark.createDataFrame(
+            [(4, None, "delete"), (5, "e", "insert")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q3 = streaming_cdc_apply(
+            spark.readStream.schema(schema).parquet(src), table, ckpt, keys=["k"]
+        )
+        q3.awaitTermination(120)
+        got3 = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+        assert got3 == [(1, "a"), (2, "B2"), (5, "e")]
