@@ -93,6 +93,8 @@ _RECHECK_THIS_ROUND = frozenset(
         "a_approx_quantiles",   # r6: golden → exact+tolerance oracle
         "a_approx_distinct",    # r6: golden → exact+tolerance oracle
         "d_simhash_pairs",      # r6: golden → completeness-audit oracle
+        "o_sample_deterministic",  # r6: md5 ordering hash → new output + oracle
+        "t_langid",             # r6: rows-only → term-by-term oracle
     }
 )
 
@@ -160,6 +162,13 @@ _MEASURED_SEC = {
     "q11_important_parts": 2.2, "q12_priority_by_returnflag": 1.4,
     "q16_supplier_count": 1.9, "q20_heavy_shippers": 1.5,
     "q21_waiting_suppliers": 2.7, "g_radius_join": 2.0,
+    # r6 additions (measured: tests/time_registry.py --oracle)
+    "c_snapshot_diff": 0.38, "c_apply_changeset": 0.66,
+    "c_scd2_priority": 0.37, "t_segment_dedup": 0.47,
+    "s_bm25_topk": 0.57, "t_quality_buckets": 0.49,
+    "t_token_histogram": 0.34, "t_negative_pairs": 0.24,
+    "dq_value_outliers": 0.52, "ts_gap_detection": 0.22,
+    "o_zorder_values": 0.45,
 }
 
 
