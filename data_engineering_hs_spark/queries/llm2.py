@@ -277,20 +277,25 @@ def t_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides round the aggregate outputs to 4 (dq_key_skew lesson).
     oracle="""
 WITH med AS (
+  -- med/mad are QUANTIZED to 4dp BEFORE the z-score: percentile
+  -- interpolation differs by ulps across engine builds (the
+  -- dq_key_skew lesson), and a raw med would leak those ulps into
+  -- every deviation and potentially flip a threshold count.
   SELECT event_type,
-         quantile_cont(value, 0.5) AS med
+         round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS med
   FROM events GROUP BY event_type
 ), dev AS (
   SELECT e.event_type, e.value, m.med,
          abs(e.value - m.med) AS absdev
   FROM events e JOIN med m USING (event_type)
 ), mad AS (
-  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+  SELECT event_type,
+         round(CAST(quantile_cont(absdev, 0.5) AS DOUBLE), 4) AS mad
   FROM dev GROUP BY event_type
 )
 SELECT d.event_type,
-       round(CAST(any_value(d.med) AS DOUBLE), 4) AS median_value,
-       round(CAST(any_value(m.mad) AS DOUBLE), 4) AS mad_value,
+       any_value(d.med) AS median_value,
+       any_value(m.mad) AS mad_value,
        CAST(count_if(
          m.mad > 0 AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
        ) AS BIGINT) AS n_outliers,
@@ -303,21 +308,21 @@ GROUP BY d.event_type ORDER BY d.event_type
 def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(absdev, 0.5)").alias("mad")
+        F.round(F.expr("percentile(absdev, 0.5)"), 4).alias("mad")
     )
     z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.first("med"), 4).alias("median_value"),
-            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad_value"),
             F.sum(
                 ((F.col("mad") > 0) & (F.abs(z) > 3.5)).cast("int")
             ).cast("bigint").alias("n_outliers"),
@@ -400,3 +405,55 @@ def t_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = d.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
     return pairs.join(d2, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
+
+
+@register(
+    "dq_profile_embeddings",
+    # Vector-column profiling: dims, label span, mean L2 norm. The
+    # norm MEAN follows the engine determinism rule — per-row norms
+    # scale to exact 2^40 integer units before the distributed SUM
+    # (double summation is partition-order-dependent), one division
+    # at the end.
+    oracle="""
+WITH per AS (
+  SELECT vec_id, label, len(embedding) AS dim,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vecs,
+       COUNT(DISTINCT dim) AS n_dims,
+       MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+       COUNT(DISTINCT label) AS n_labels,
+       round(CAST(SUM(CAST(round(nrm * 1099511627776) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1099511627776, 6) AS avg_norm
+FROM per
+""",
+    doc="embedding-table profile: dims, labels, exact-sum mean L2 norm",
+)
+def dq_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    per = e.select(
+        F.size("embedding").alias("dim"),
+        "label",
+        F.sqrt(sq).alias("nrm"),
+    )
+    scale = F.lit(1099511627776)  # 2^40
+    return per.agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("dim").alias("n_dims"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.countDistinct("label").alias("n_labels"),
+        F.round(
+            F.sum(F.round(F.col("nrm") * scale).cast("bigint")).cast("double")
+            / F.count("*")
+            / scale,
+            6,
+        ).alias("avg_norm"),
+    )

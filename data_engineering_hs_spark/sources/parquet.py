@@ -110,3 +110,46 @@ def compact_parquet(
         "files_after": len(data_files(path)),
         "bytes": total,
     }
+
+
+def recover_swap(path: str, tmp_suffixes: tuple[str, ...] = ("__compact", "__merge")) -> str:
+    """Recovery for the rename-aside swap protocol used by
+    compact_parquet and streaming.pipelines.streaming_cdc_apply.
+
+    Crash states and actions (every state holds ≥1 COMPLETE dataset):
+    - `path` present → swap finished (or never started): delete any
+      leftover `.__old`/tmp dirs, return "intact".
+    - `path` missing, tmp present WITH Spark's _SUCCESS marker → the
+      crash hit between the two renames; the tmp copy is the complete
+      NEW version: finish the swap, drop `.__old`, return
+      "completed_swap".
+    - `path` missing, only `.__old` present (or tmp incomplete) →
+      crash hit mid-write or before the second rename with a torn tmp:
+      restore the original, drop the torn tmp, return "rolled_back".
+    """
+    import os
+    import shutil
+
+    norm = path.rstrip("/")
+    old = norm + ".__old"
+    tmps = [norm + "." + s for s in tmp_suffixes]
+    if os.path.exists(norm):
+        shutil.rmtree(old, ignore_errors=True)
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
+        return "intact"
+    complete = [
+        t for t in tmps if os.path.exists(os.path.join(t, "_SUCCESS"))
+    ]
+    if complete:
+        os.replace(complete[0], norm)
+        shutil.rmtree(old, ignore_errors=True)
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
+        return "completed_swap"
+    if os.path.exists(old):
+        os.replace(old, norm)
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
+        return "rolled_back"
+    raise FileNotFoundError(f"no recoverable dataset for {path}")

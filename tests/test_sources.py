@@ -406,3 +406,55 @@ class TestCompaction:
         assert stats["files_after"] >= 1
         assert not os.path.exists(path + ".__compact")
         assert spark.read.parquet(path).count() == 100
+
+
+class TestSwapRecovery:
+    """recover_swap must restore a complete dataset from every crash
+    state of the rename-aside protocol (compact_parquet /
+    streaming_cdc_apply)."""
+
+    def _mk(self, spark, d, rows):
+        spark.createDataFrame([(i,) for i in rows], "v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    def test_intact_cleans_leftovers(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.parquet import recover_swap
+
+        p = str(tmp_path / "t")
+        self._mk(spark, p, [1, 2])
+        self._mk(spark, p + ".__old", [0])
+        assert recover_swap(p) == "intact"
+        assert not os.path.exists(p + ".__old")
+        assert sorted(r.v for r in spark.read.parquet(p).collect()) == [1, 2]
+
+    def test_crash_between_renames_completes_swap(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.parquet import recover_swap
+
+        p = str(tmp_path / "t")
+        # state: norm renamed aside, tmp complete, crash before rename 2
+        self._mk(spark, p + ".__old", [1, 2])
+        self._mk(spark, p + ".__merge", [1, 2, 3])
+        assert recover_swap(p) == "completed_swap"
+        assert sorted(r.v for r in spark.read.parquet(p).collect()) == [1, 2, 3]
+        assert not os.path.exists(p + ".__old")
+
+    def test_torn_tmp_rolls_back(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.parquet import recover_swap
+
+        p = str(tmp_path / "t")
+        self._mk(spark, p + ".__old", [1, 2])
+        # torn tmp: no _SUCCESS marker
+        self._mk(spark, p + ".__compact", [9])
+        os.remove(os.path.join(p + ".__compact", "_SUCCESS"))
+        assert recover_swap(p) == "rolled_back"
+        assert sorted(r.v for r in spark.read.parquet(p).collect()) == [1, 2]
+        assert not os.path.exists(p + ".__compact")
+
+    def test_nothing_recoverable_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.sources.parquet import recover_swap
+
+        with _pytest.raises(FileNotFoundError):
+            recover_swap(str(tmp_path / "absent"))
