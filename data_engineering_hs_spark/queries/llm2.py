@@ -457,3 +457,46 @@ def dq_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_norm"),
     )
+
+
+@register(
+    "j_fuzzy_name_match",
+    # Entity resolution, block + verify shape: distinct names
+    # self-join on a blocking key (first token) and verify with
+    # levenshtein <= 3 — candidates are bounded by block sizes, never
+    # the full n². Unit-cost edit distance agrees between engines.
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name FROM part
+), b AS (
+  SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
+)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       levenshtein(a.p_name, c.p_name) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3
+""",
+    doc="entity-resolution fuzzy match: blocked levenshtein name pairs",
+)
+def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    b = names.select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= 3))
+    )
