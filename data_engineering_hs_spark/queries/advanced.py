@@ -350,3 +350,101 @@ def o_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("zval"), "o_orderkey")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade network (operators/graph.py). The
+# oracle UNROLLS the same fixed iterations with the same per-iteration
+# rounding, so an iterative driver-loop algorithm still gets a hard
+# cross-engine hash check — the discipline that keeps d_dup_components
+# oracled applies to float-valued iteration too.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+_PR_DEC = 8
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""r{i} AS (
+  SELECT n.node,
+         round({1.0 - _PR_DAMPING!r} / (SELECT n FROM nn)
+               + {_PR_DAMPING!r} * coalesce(s.c, 0.0), {_PR_DEC}) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * e.w / o.out_w) AS c
+    FROM r{i - 1} r
+    JOIN out_w o ON r.node = o.src
+    JOIN edges e ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+    unrolled = ",\n".join(its)
+    return f"""
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY cn.n_name, sn.n_name
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+out_w AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, round(1.0 / (SELECT n FROM nn), {_PR_DEC}) AS rank FROM nodes
+),
+{unrolled}
+SELECT node AS nation, rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, node
+"""
+
+
+@register(
+    "g_pagerank_nations",
+    oracle=_pagerank_oracle(),
+    doc="fixed-iteration PageRank on the customer→supplier nation trade graph",
+)
+def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.functions.scalar import money_cents
+    from data_engineering_hs_spark.operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy("src", "dst")
+        .agg(F.sum(money_cents("l_extendedprice")).alias("cents"))
+        .select("src", "dst", F.col("cents").cast("double").alias("w"))
+    )
+    ranks = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        weight_col="w",
+        round_decimals=_PR_DEC,
+    )
+    return ranks.select(F.col("node").alias("nation"), "rank").orderBy(
+        F.desc("rank"), "nation"
+    )
