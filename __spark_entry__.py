@@ -168,7 +168,8 @@ _MEASURED_SEC = {
     "s_bm25_topk": 0.57, "t_quality_buckets": 0.49,
     "t_token_histogram": 0.34, "t_negative_pairs": 0.24,
     "dq_value_outliers": 0.52, "ts_gap_detection": 0.22,
-    "o_zorder_values": 0.45,
+    "o_zorder_values": 0.45, "dq_profile_embeddings": 1.0,
+    "j_fuzzy_name_match": 0.8, "g_pagerank_nations": 6.0,
 }
 
 
