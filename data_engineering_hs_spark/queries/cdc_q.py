@@ -161,3 +161,89 @@ def c_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+@register(
+    "c_pit_join",
+    # Point-in-time join — the CONSUMER side of SCD2: every lineitem
+    # shipment resolves the customer's priority regime in force at
+    # ship time, via backward as-of against the history's valid_from.
+    # Zero-length regimes (same-date change chains) are dropped so
+    # at most one regime starts per (customer, date) — that makes the
+    # as-of deterministic in both engines. Shipments predating any
+    # regime (the synthetic l_shipdate is not ordered after
+    # o_orderdate) bucket as 'none'. DuckDB verifies with its native
+    # ASOF LEFT JOIN.
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered
+  WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+), hist AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w2 AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), dim AS (
+  SELECT * FROM hist WHERE valid_to IS NULL OR valid_to > valid_from
+), fact AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT coalesce(d.o_orderpriority, 'none') AS regime_priority,
+       COUNT(*) AS n_shipments,
+       CAST(SUM(CAST(round(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM fact f
+ASOF LEFT JOIN dim d
+  ON f.o_custkey = d.o_custkey AND f.l_shipdate >= d.valid_from
+GROUP BY coalesce(d.o_orderpriority, 'none')
+ORDER BY regime_priority
+""",
+    doc="point-in-time join: shipments vs SCD2 priority regime at ship time",
+)
+def c_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.functions.scalar import money_cents
+    from data_engineering_hs_spark.operators.asof import asof_join
+    from data_engineering_hs_spark.operators.cdc import scd2_history
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = scd2_history(
+        o,
+        key="o_custkey",
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+    dim = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("o_custkey", "o_orderpriority", "valid_from")
+    fact = l.join(
+        o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey")
+    ).select("o_custkey", "l_shipdate", "l_extendedprice")
+    pit = asof_join(
+        fact,
+        dim,
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        value_cols=["o_orderpriority"],
+    )
+    return (
+        pit.groupBy(
+            F.coalesce("asof_o_orderpriority", F.lit("none")).alias("regime_priority")
+        )
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum(money_cents("l_extendedprice")).alias("revenue_cents"),
+        )
+        .orderBy("regime_priority")
+    )
