@@ -61,3 +61,59 @@ def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
         # skew decision needs.
         F.round(F.expr("percentile(__cnt, 0.99)"), 4).alias("p99_cnt"),
     )
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    as_of: str,
+    warn_after_hours: int = 24,
+    error_after_hours: int = 168,
+) -> DataFrame:
+    """dbt source-freshness analog: newest timestamp vs an `as_of`
+    reference ('YYYY-MM-DD HH:MM:SS'), bucketed pass/warn/error.
+
+    `as_of` is an explicit parameter, not now(): freshness checks in a
+    scheduled pipeline must be reproducible for a given run timestamp
+    (and a cross-engine oracle needs the same instant). One max()
+    aggregation — a metadata-cheap full-column scan that parquet
+    statistics usually satisfy per row group.
+    """
+    lag = F.unix_timestamp(F.lit(as_of).cast("timestamp")) - F.unix_timestamp(
+        F.max(ts_col)
+    )
+    status = (
+        F.when(lag > error_after_hours * 3600, "error")
+        .when(lag > warn_after_hours * 3600, "warn")
+        .otherwise("pass")
+    )
+    return df.agg(
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        lag.alias("lag_seconds"),
+        status.alias("status"),
+    )
+
+
+def schema_drift(old_schema, new_schema) -> list[dict]:
+    """Structural diff of two StructTypes: added / removed /
+    type-changed columns (nested types compared by simpleString).
+    Driver-side metadata — the gate an ingestion DAG runs before
+    appending a new drop to an existing table (mergeSchema=True hides
+    drift; this surfaces it as data, so policy can decide)."""
+    old = {f.name: f.dataType.simpleString() for f in old_schema.fields}
+    new = {f.name: f.dataType.simpleString() for f in new_schema.fields}
+    out: list[dict] = []
+    for name in sorted(new.keys() - old.keys()):
+        out.append({"column": name, "change": "added", "type": new[name]})
+    for name in sorted(old.keys() - new.keys()):
+        out.append({"column": name, "change": "removed", "type": old[name]})
+    for name in sorted(old.keys() & new.keys()):
+        if old[name] != new[name]:
+            out.append(
+                {
+                    "column": name,
+                    "change": "type_changed",
+                    "type": f"{old[name]} -> {new[name]}",
+                }
+            )
+    return out

@@ -500,3 +500,27 @@ def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("dist") >= 1) & (F.col("dist") <= 3))
     )
+
+
+@register(
+    "dq_freshness",
+    # Fixed as_of (explicit parameter, never now()) keeps the check
+    # reproducible and cross-engine comparable.
+    oracle="""
+SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00')
+         AS lag_seconds,
+       CASE WHEN date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00') > 168 * 3600
+            THEN 'error'
+            WHEN date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00') > 24 * 3600
+            THEN 'warn'
+            ELSE 'pass' END AS status
+FROM events
+""",
+    doc="dbt-style source freshness of events vs a fixed as_of instant",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.quality.profiling import freshness
+
+    e = load_table(spark, sf_dir, "events")
+    return freshness(e, "ts", as_of="2026-01-01 00:00:00")

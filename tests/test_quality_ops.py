@@ -810,3 +810,54 @@ class TestRetentionCohorts:
         )
         assert week0 == n_users
         assert all(r.week_offset >= 0 for r in out)
+
+
+class TestSchemaDrift:
+    def test_added_removed_type_changed(self, spark):
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.quality.profiling import schema_drift
+
+        old = T2.StructType(
+            [
+                T2.StructField("a", T2.LongType()),
+                T2.StructField("b", T2.StringType()),
+                T2.StructField("c", T2.DoubleType()),
+            ]
+        )
+        new = T2.StructType(
+            [
+                T2.StructField("a", T2.LongType()),
+                T2.StructField("b", T2.IntegerType()),
+                T2.StructField("d", T2.StringType()),
+            ]
+        )
+        got = schema_drift(old, new)
+        assert got == [
+            {"column": "d", "change": "added", "type": "string"},
+            {"column": "c", "change": "removed", "type": "double"},
+            {"column": "b", "change": "type_changed", "type": "string -> int"},
+        ]
+
+    def test_identical_schemas_no_drift(self, spark):
+        from data_engineering_hs_spark.catalog import load_table
+        from data_engineering_hs_spark.quality.profiling import schema_drift
+        from tests.conftest import SF001
+
+        sch = load_table(spark, SF001, "orders").schema
+        assert schema_drift(sch, sch) == []
+
+    def test_freshness_statuses(self, spark):
+        import datetime as dt
+
+        from data_engineering_hs_spark.quality.profiling import freshness
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 0, 0),)], "ts timestamp"
+        )
+        fresh = freshness(df, "ts", as_of="2024-01-01 12:00:00").first()
+        assert fresh.status == "pass" and fresh.lag_seconds == 12 * 3600
+        warn = freshness(df, "ts", as_of="2024-01-03 00:00:00").first()
+        assert warn.status == "warn"
+        err = freshness(df, "ts", as_of="2024-02-01 00:00:00").first()
+        assert err.status == "error"
