@@ -170,6 +170,7 @@ _MEASURED_SEC = {
     "dq_value_outliers": 0.52, "ts_gap_detection": 0.22,
     "o_zorder_values": 0.45, "dq_profile_embeddings": 1.0,
     "j_fuzzy_name_match": 0.8, "g_pagerank_nations": 6.0,
+    "c_pit_join": 2.8, "dq_freshness": 0.4, "ts_ewma": 0.8,
 }
 
 

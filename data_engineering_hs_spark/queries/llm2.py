@@ -524,3 +524,53 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return freshness(e, "ts", as_of="2026-01-01 00:00:00")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing via bounded lag expansion: y = a * Σ_{i=0..K-1}
+# (1-a)^i · x_{t-i} (zero-padded start, documented). K literal lag
+# terms over ONE window spec = one shuffle on the key and pure
+# codegen arithmetic — no interpreted HOF, no per-row array build.
+# The unbounded-recursion EWMA needs exponents that overflow at
+# partition length; the K-term truncation ((1-a)^K ≈ 0.9^16 ≈ 0.19
+# tail here) is the standard streaming approximation.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.1
+_EWMA_K = 16
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+WITH w AS (
+  SELECT user_id, event_id, value,
+         {" + ".join(
+             f"{_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i!r} * "
+             f"coalesce(lag(value, {i}) OVER "
+             f"(PARTITION BY user_id ORDER BY ts, event_id), 0.0)"
+             for i in range(_EWMA_K)
+         )} AS ewma
+  FROM events
+)
+SELECT user_id, event_id, round(ewma, 6) AS ewma
+FROM w
+""",
+    doc="per-user EWMA of event values (bounded lag-expansion form)",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    a = _EWMA_ALPHA
+    terms = None
+    for i in range(_EWMA_K):
+        # coefficient is ONE Python-evaluated literal, injected
+        # identically into the SQL oracle — no engine pow() in either
+        # plan, so no libm ulp divergence can enter the hash
+        t = F.lit(a * (1.0 - a) ** i) * F.coalesce(
+            F.lag("value", i).over(w), F.lit(0.0)
+        )
+        terms = t if terms is None else terms + t
+    return e.select("user_id", "event_id", F.round(terms, 6).alias("ewma"))
