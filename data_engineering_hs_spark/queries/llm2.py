@@ -574,3 +574,35 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         terms = t if terms is None else terms + t
     return e.select("user_id", "event_id", F.round(terms, 6).alias("ewma"))
+
+
+@register(
+    "f_variant_props",
+    # Spark 4 VARIANT path for semi-structured props: parse_json once
+    # into the binary variant encoding, then typed variant_get
+    # extractions — the engine-native answer to repeated
+    # get_json_object re-parsing (f_json_props is the classic twin).
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS ndv_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="VARIANT parse + typed extraction over events.props (Spark 4 native)",
+)
+def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("ndv_k"),
+        )
+        .orderBy("event_type")
+    )
