@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -153,3 +154,65 @@ def recover_swap(path: str, tmp_suffixes: tuple[str, ...] = ("__compact", "__mer
             shutil.rmtree(t, ignore_errors=True)
         return "rolled_back"
     raise FileNotFoundError(f"no recoverable dataset for {path}")
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> dict:
+    """Targeted delete (GDPR / right-to-be-forgotten job) from a
+    partitioned parquet table: rewrite ONLY the partitions that
+    contain doomed keys, via dynamic partition overwrite.
+
+    Plan: one semi-join finds the affected partition values (a few
+    rows); the rewrite scans just those partitions (partition-pruned
+    — the filter is on the partition column), anti-joins the doomed
+    keys, and dynamically overwrites those partitions alone. The rest
+    of the table keeps its files byte-identical (asserted in tests).
+    At 100 TB the cost is proportional to the partitions touched, not
+    the table — the same bound a Delta DELETE with partition
+    predicates achieves.
+
+    Returns {"partitions_rewritten", "rows_deleted"}.
+    """
+    df = spark.read.parquet(path)
+    doomed = keys.select(F.col(key_col)).distinct()
+    parts = [
+        r[0]
+        for r in df.join(doomed, key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()  # partition VALUES only — dim-sized by definition
+    ]
+    if not parts:
+        return {"partitions_rewritten": 0, "rows_deleted": 0}
+    affected = df.filter(F.col(partition_col).isin(parts))
+    before = affected.count()
+    kept = affected.join(doomed, key_col, "left_anti").localCheckpoint(eager=True)
+    kept_n = kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # written frame — a partition whose every row is doomed writes
+    # nothing and would silently survive. Drop those directories
+    # explicitly.
+    import os
+    import shutil
+
+    kept_parts = {r[0] for r in kept.select(partition_col).distinct().collect()}
+    for v in parts:
+        if v not in kept_parts:
+            shutil.rmtree(
+                os.path.join(path, f"{partition_col}={v}"), ignore_errors=True
+            )
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_deleted": before - kept_n,
+    }

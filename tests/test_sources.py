@@ -458,3 +458,63 @@ class TestSwapRecovery:
 
         with _pytest.raises(FileNotFoundError):
             recover_swap(str(tmp_path / "absent"))
+
+
+class TestDeleteKeysPartitioned:
+    def test_deletes_only_affected_partitions(self, spark, tmp_path):
+        import glob
+
+        from data_engineering_hs_spark.sources.parquet import (
+            delete_keys_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        rows = [(k, k % 3, f"u{k}") for k in range(30)]
+        spark.createDataFrame(rows, "k long, p int, v string").write.partitionBy(
+            "p"
+        ).parquet(path)
+        untouched = sorted(glob.glob(f"{path}/p=2/*.parquet"))
+        mtimes = [os.path.getmtime(f) for f in untouched]
+
+        # doom keys living only in partitions 0 and 1
+        doomed = spark.createDataFrame([(0,), (3,), (4,), (99,)], "k long")
+        stats = delete_keys_partitioned(spark, path, doomed, "k", "p")
+        assert stats == {"partitions_rewritten": 2, "rows_deleted": 3}
+
+        left = spark.read.parquet(path)
+        assert left.filter("k in (0, 3, 4)").count() == 0
+        assert left.count() == 27
+        # partition 2 files byte-untouched
+        assert sorted(glob.glob(f"{path}/p=2/*.parquet")) == untouched
+        assert [os.path.getmtime(f) for f in untouched] == mtimes
+
+    def test_fully_doomed_partition_is_dropped(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.parquet import (
+            delete_keys_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "k long, p int"
+        ).write.partitionBy("p").parquet(path)
+        doomed = spark.createDataFrame([(1,), (2,)], "k long")
+        stats = delete_keys_partitioned(spark, path, doomed, "k", "p")
+        assert stats["rows_deleted"] == 2
+        left = spark.read.parquet(path)
+        assert [r.k for r in left.collect()] == [3]
+        assert not os.path.exists(os.path.join(path, "p=0"))
+
+    def test_no_matching_keys_noop(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.parquet import (
+            delete_keys_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame([(1, 0)], "k long, p int").write.partitionBy(
+            "p"
+        ).parquet(path)
+        doomed = spark.createDataFrame([(9,)], "k long")
+        assert delete_keys_partitioned(spark, path, doomed, "k", "p") == {
+            "partitions_rewritten": 0,
+            "rows_deleted": 0,
+        }
