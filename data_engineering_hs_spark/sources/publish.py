@@ -1,0 +1,100 @@
+"""Versioned multi-table publish: poor-man's snapshot isolation on a
+plain filesystem — the pattern a pipeline uses to expose a CONSISTENT
+set of output tables without a lakehouse transaction log.
+
+Layout:
+    root/v=1/<table>/...parquet
+    root/v=2/<table>/...parquet
+    root/_LATEST            (one line: the committed version number)
+
+Writers stage a complete new version directory, then flip `_LATEST`
+with one atomic rename — readers that resolve the marker before the
+flip keep reading the old, still-complete version; readers after see
+the whole new set. A crash mid-publish leaves a stale marker and an
+orphan version directory: invisible to readers, reclaimed by vacuum.
+This is the same commit protocol as Iceberg's version-hint file,
+minus the manifest layer (file-level pruning stays parquet-native).
+
+At scale the marker flip is O(1) regardless of table count/size, and
+versions share nothing, so publish cost is the data write alone.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MARKER = "_LATEST"
+
+
+def _versions(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v=") and d[2:].isdigit():
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def current_version(root: str) -> int | None:
+    """The committed version per the marker, or None before the first
+    publish. Orphan version dirs (crash leftovers) are ignored."""
+    try:
+        with open(os.path.join(root, _MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def publish(tables: dict[str, DataFrame], root: str) -> int:
+    """Write every table of the new snapshot, then commit atomically.
+
+    Returns the published version number. The marker flip (tmp file +
+    os.replace) is the ONLY commit point: every table of version N is
+    fully on disk before any reader can resolve N.
+    """
+    os.makedirs(root, exist_ok=True)
+    version = (max(_versions(root)) + 1) if _versions(root) else 1
+    vdir = os.path.join(root, f"v={version}")
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(vdir, name))
+    tmp = os.path.join(root, _MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(root, _MARKER))
+    return version
+
+
+def read_published(spark: SparkSession, root: str, table: str) -> DataFrame:
+    """Read `table` at the committed snapshot version."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"nothing published under {root}")
+    return spark.read.parquet(os.path.join(root, f"v={v}", table))
+
+
+def vacuum(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest `keep` versions at or below the
+    committed one, plus any orphan versions NEWER than the marker
+    (crashed publishes). Never touches the committed version.
+    Returns the removed version numbers.
+
+    Run in the maintenance window only: an orphan newer than the
+    marker is indistinguishable from a publish IN FLIGHT, so a
+    concurrent vacuum could tear it down mid-stage — the same
+    single-writer caveat as compact_parquet's swap."""
+    committed = current_version(root)
+    if committed is None:
+        return []
+    removed = []
+    live = [v for v in _versions(root) if v <= committed]
+    doomed = set(live[:-keep]) if keep > 0 else set(live[:-1])
+    doomed |= {v for v in _versions(root) if v > committed}
+    doomed.discard(committed)
+    for v in sorted(doomed):
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+        removed.append(v)
+    return removed

@@ -1,0 +1,72 @@
+"""Versioned atomic publish (sources/publish.py): marker-flip commit,
+snapshot isolation for readers, crash orphans, vacuum policy."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_engineering_hs_spark.sources.publish import (
+    current_version,
+    publish,
+    read_published,
+    vacuum,
+)
+
+
+class TestPublish:
+    def test_publish_and_read_round_trip(self, spark, tmp_path):
+        root = str(tmp_path / "pub")
+        v = publish(
+            {
+                "dim": spark.createDataFrame([(1, "a")], "k long, v string"),
+                "fct": spark.createDataFrame([(1, 10.0)], "k long, x double"),
+            },
+            root,
+        )
+        assert v == 1 and current_version(root) == 1
+        assert read_published(spark, root, "fct").count() == 1
+
+    def test_new_version_flips_atomically_and_old_survives(self, spark, tmp_path):
+        root = str(tmp_path / "pub")
+        publish({"t": spark.createDataFrame([(1,)], "k long")}, root)
+        publish({"t": spark.createDataFrame([(1,), (2,)], "k long")}, root)
+        assert current_version(root) == 2
+        assert read_published(spark, root, "t").count() == 2
+        # v1 still complete on disk (time travel until vacuumed)
+        assert spark.read.parquet(os.path.join(root, "v=1", "t")).count() == 1
+
+    def test_crashed_publish_is_invisible(self, spark, tmp_path):
+        root = str(tmp_path / "pub")
+        publish({"t": spark.createDataFrame([(1,)], "k long")}, root)
+        # simulate a crash AFTER staging v=2 but BEFORE the marker flip
+        spark.createDataFrame([(9,)], "k long").write.parquet(
+            os.path.join(root, "v=2", "t")
+        )
+        assert current_version(root) == 1
+        assert read_published(spark, root, "t").count() == 1
+        # next successful publish supersedes the orphan number
+        v = publish({"t": spark.createDataFrame([(1,), (2,)], "k long")}, root)
+        assert v == 3 and read_published(spark, root, "t").count() == 2
+
+    def test_vacuum_keeps_recent_and_reaps_orphans(self, spark, tmp_path):
+        root = str(tmp_path / "pub")
+        for n in range(1, 5):
+            publish(
+                {"t": spark.createDataFrame([(i,) for i in range(n)], "k long")},
+                root,
+            )
+        # orphan staged above the marker
+        spark.createDataFrame([(0,)], "k long").write.parquet(
+            os.path.join(root, "v=9", "t")
+        )
+        removed = vacuum(root, keep=2)
+        assert removed == [1, 2, 9]
+        assert current_version(root) == 4
+        assert read_published(spark, root, "t").count() == 4
+        assert os.path.isdir(os.path.join(root, "v=3"))
+
+    def test_read_before_first_publish_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_published(spark, str(tmp_path / "nothing"), "t")
