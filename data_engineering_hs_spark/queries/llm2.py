@@ -606,3 +606,65 @@ def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a_group_regression",
+    # Distributed OLS per group with EXACT sufficient statistics:
+    # x (seconds since a fixed epoch) and y (value cents) are
+    # integers, so the per-row products fit BIGINT and the group sums
+    # accumulate as DECIMAL(38,0) — order-independent exact integers
+    # in both engines. Slope/corr are then computed from identical
+    # doubles with an identical expression shape, rounded at the end.
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope_cents_per_sec,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS corr_xy
+FROM sums
+ORDER BY event_type
+""",
+    doc="per-group OLS slope + correlation from exact integer sufficient stats",
+)
+def a_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ).alias("x")
+    y = F.round(F.col("value") * 100).cast("bigint").alias("y")
+    pts = e.select("event_type", x, y)
+    dec = lambda c: c.cast("decimal(38,0)")
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(num / den_x, 8).alias("slope_cents_per_sec"),
+        F.round(num / F.sqrt(den_x * den_y), 8).alias("corr_xy"),
+    ).orderBy("event_type")
