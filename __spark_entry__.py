@@ -171,6 +171,7 @@ _MEASURED_SEC = {
     "o_zorder_values": 0.45, "dq_profile_embeddings": 1.0,
     "j_fuzzy_name_match": 0.8, "g_pagerank_nations": 6.0,
     "c_pit_join": 2.8, "dq_freshness": 0.4, "ts_ewma": 0.8,
+    "f_variant_props": 1.7, "a_group_regression": 0.9,
 }
 
 
