@@ -26,6 +26,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -113,6 +114,9 @@ class DocsGenDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return DocsGenReader(schema, self.options)
 
+    def streamReader(self, schema: StructType) -> "DocsGenStreamReader":
+        return DocsGenStreamReader(self.options)
+
 
 def register(spark) -> None:
     # pushFilters() requires the (4.1, default-off) pushdown flag;
@@ -120,3 +124,52 @@ def register(spark) -> None:
     # is down, so registration flips it for this session.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocsGenDataSource)
+
+
+class DocsGenStreamReader(DataSourceStreamReader):
+    """Offset-based streaming variant: micro-batches emit doc-id
+    ranges, partitioned like the batch reader. Offsets
+    are plain dicts ({"id": n}) checkpointed by the engine — replay
+    after restart regenerates the SAME rows for the same offset range
+    (LCG determinism), giving exactly-once output with an idempotent
+    sink. The broker-free analog of a Kafka source: real offset
+    tracking, real recovery, fully testable in-process."""
+
+    def __init__(self, options: dict):
+        self.batch_size = int(options.get("batch_size", 20))
+        self.max_id = int(options.get("n_docs", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.n_parts = int(options.get("partitions", 4))
+        # advance_per_poll=true: each latestOffset() poll exposes one
+        # more batch (per-trigger incremental arrival, for
+        # processing-time triggers). Default: the whole corpus is
+        # available immediately, so availableNow drains it in one
+        # catch-up batch — the deterministic mode tests rely on.
+        self.advance = str(options.get("advance_per_poll", "false")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        if not self.advance:
+            return {"id": self.max_id}
+        cur = getattr(self, "_cur", 0)
+        nxt = min(cur + self.batch_size, self.max_id)
+        self._cur = nxt
+        return {"id": nxt}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["id"]), int(end["id"])
+        if hi <= lo:
+            return [_Range(0, 0)]
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [_Range(a, min(a + step, hi)) for a in range(lo, hi, step)]
+
+    def read(self, partition: _Range):
+        for doc_id in range(partition.lo, partition.hi):
+            yield _doc(self.seed, doc_id)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+

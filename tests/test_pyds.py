@@ -73,3 +73,74 @@ class TestDocsGen:
         r = pyds.DocsGenReader(None, {"n_docs": "10"})
         leftover = list(r.pushFilters([EqualTo(("text",), "x")]))
         assert len(leftover) == 1
+
+
+class TestDocsGenStream:
+    def test_stream_drains_and_resumes_exactly_once(self, registered, tmp_path):
+        import os
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            q = (
+                registered.readStream.format("docs_gen")
+                .option("n_docs", 100)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got = registered.read.parquet(out)
+        assert got.count() == 100
+        assert got.select("doc_id").distinct().count() == 100
+        # restart on the same checkpoint: offsets are committed,
+        # nothing re-emits
+        run()
+        assert registered.read.parquet(out).count() == 100
+
+    def test_stream_rows_match_batch_rows(self, registered, tmp_path):
+        out = str(tmp_path / "out2")
+        ckpt = str(tmp_path / "ckpt2")
+        q = (
+            registered.readStream.format("docs_gen")
+            .option("n_docs", 50)
+            .option("seed", 9)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = sorted(
+            map(tuple, registered.read.parquet(out).collect())
+        )
+        batch = sorted(
+            map(
+                tuple,
+                registered.read.format("docs_gen")
+                .option("n_docs", 50)
+                .option("seed", 9)
+                .load()
+                .collect(),
+            )
+        )
+        assert streamed == batch
+
+    def test_advancing_mode_exposes_one_batch_per_poll(self):
+        from data_engineering_hs_spark.sources.pyds import DocsGenStreamReader
+
+        r = DocsGenStreamReader(
+            {"n_docs": "50", "batch_size": "20", "advance_per_poll": "true"}
+        )
+        assert r.initialOffset() == {"id": 0}
+        assert [r.latestOffset()["id"] for _ in range(4)] == [20, 40, 50, 50]
+        parts = r.partitions({"id": 20}, {"id": 40})
+        assert sum(p.hi - p.lo for p in parts) == 20
