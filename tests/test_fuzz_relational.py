@@ -49,6 +49,18 @@ TEMPLATES = [
                           ORDER BY g ASC NULLS FIRST, v ASC NULLS FIRST) AS rn
        FROM t""",
     "SELECT k, v, CAST(SUM(v) OVER (PARTITION BY k) AS BIGINT) AS s FROM t",
+    # round-6 surface: ntile, bounded lag arithmetic, levenshtein
+    """SELECT k, g, v,
+       NTILE(3) OVER (PARTITION BY k
+                      ORDER BY g ASC NULLS FIRST, v ASC NULLS FIRST) AS b
+       FROM t""",
+    """SELECT k, g, v,
+       COALESCE(LAG(v, 2) OVER (PARTITION BY k
+                 ORDER BY g ASC NULLS FIRST, v ASC NULLS FIRST), 0) AS l2
+       FROM t""",
+    """SELECT a.k AS k, levenshtein(a.k, b.k) AS d
+       FROM t a JOIN t b ON a.g = b.g
+       WHERE a.k IS NOT NULL AND b.k IS NOT NULL""",
 ]
 
 
