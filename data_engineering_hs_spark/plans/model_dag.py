@@ -147,6 +147,14 @@ class ModelRunner:
             fresh.write.partitionBy(m.partition_by).mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         existing = self.spark.read.parquet(path)
+        from data_engineering_hs_spark.quality.profiling import schema_drift
+
+        drift = schema_drift(existing.schema, fresh.schema)
+        if drift:
+            # mergeSchema would silently absorb this; an incremental
+            # model's contract is the EXISTING table — surface drift
+            # as a hard failure with the structural diff attached.
+            raise ValueError(f"schema drift on incremental {m.name}: {drift}")
         # Touched partitions = partitions the fresh rows land in PLUS
         # partitions where refreshed keys currently live — a key whose
         # partition value changed (e.g. corrected order_ts) must be
@@ -332,6 +340,30 @@ class ModelRunner:
                 return lambda df: expect_accepted_values(
                     df, col, vals, table=model
                 )
+            if isinstance(test, dict) and "freshness" in test:
+                # dbt source-freshness parity: explicit as_of keeps
+                # the check reproducible per run
+                cfg = test["freshness"]
+
+                def check_fresh(df, _col=col, _model=model, _cfg=cfg):
+                    from data_engineering_hs_spark.quality.profiling import (
+                        freshness,
+                    )
+
+                    row = freshness(
+                        df,
+                        _col,
+                        as_of=_cfg["as_of"],
+                        warn_after_hours=int(_cfg.get("warn_after_hours", 24)),
+                        error_after_hours=int(_cfg.get("error_after_hours", 168)),
+                    ).first()
+                    if row.status == "error":
+                        raise AssertionError(
+                            f"freshness error on {_model}.{_col}: newest "
+                            f"{row.max_ts} lags as_of by {row.lag_seconds}s"
+                        )
+
+                return check_fresh
             raise ValueError(f"unknown test {test!r} on {model}.{col}")
 
         attached = 0

@@ -265,3 +265,53 @@ models:
         cols = cat["models"]["fct_orders"]["columns"]
         assert len(cols) > 0
         assert all(isinstance(t, str) and t for t in cols.values())
+
+
+class TestFreshnessAndDriftGates:
+    FRESH_YML = """
+version: 2
+models:
+  - name: stg_orders
+    columns:
+      - name: order_ts
+        tests:
+          - freshness:
+              as_of: "{as_of}"
+              warn_after_hours: 24
+              error_after_hours: 168
+"""
+
+    def test_declared_freshness_passes_and_fails(self, spark, tmp_path):
+        import yaml
+
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        # fixture orders are around 2025-06-11..14; a near as_of passes
+        ok = yaml.safe_load(self.FRESH_YML.format(as_of="2025-06-15 00:00:00"))
+        assert runner.apply_schema_config(ok) == 1
+        runner.run()
+        assert runner.test() == []
+
+        runner2 = build_runner(spark, _raw(spark), now_expr=NOW)
+        stale = yaml.safe_load(self.FRESH_YML.format(as_of="2026-06-15 00:00:00"))
+        runner2.apply_schema_config(stale)
+        with pytest.raises(AssertionError, match="freshness error"):
+            runner2.run()
+
+    def test_incremental_refuses_schema_drift(self, spark, tmp_path):
+        from data_engineering_hs_spark.plans.model_dag import ModelRunner
+
+        wh = str(tmp_path / "wh")
+        df1 = spark.createDataFrame([(1, 0, "a")], "k long, p int, v string")
+        r = ModelRunner(spark, {}, warehouse_dir=wh)
+        r.model(
+            "inc", materialization="incremental", unique_key="k", partition_by="p"
+        )(lambda ctx: df1)
+        r.run()
+        # second run with a drifted frame (v renamed/new col) must fail
+        df2 = spark.createDataFrame([(2, 0, 5.0)], "k long, p int, v double")
+        r2 = ModelRunner(spark, {}, warehouse_dir=wh)
+        r2.model(
+            "inc", materialization="incremental", unique_key="k", partition_by="p"
+        )(lambda ctx: df2)
+        with pytest.raises(ValueError, match="schema drift"):
+            r2.run()
