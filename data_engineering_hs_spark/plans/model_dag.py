@@ -305,6 +305,16 @@ class ModelRunner:
                     failures.append(f"{name}: {e}")
         return failures
 
+    def publish_run(self, root: str, select=None) -> int:
+        """Blue/green release of a DAG run: build the selection, write
+        EVERY output as one snapshot version, flip the marker
+        atomically (sources.publish protocol). Readers never see a
+        half-updated set of models — the multi-table consistency dbt
+        leaves to warehouse transactions."""
+        from data_engineering_hs_spark.sources.publish import publish
+
+        return publish(self.run(select), root)
+
     # -- declarative config / docs ----------------------------------------
 
     def apply_schema_config(self, config) -> int:

@@ -315,3 +315,27 @@ models:
         )(lambda ctx: df2)
         with pytest.raises(ValueError, match="schema drift"):
             r2.run()
+
+
+class TestBlueGreenPublish:
+    def test_publish_run_versions_and_isolation(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.publish import (
+            current_version,
+            read_published,
+        )
+
+        root = str(tmp_path / "pub")
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        v1 = runner.publish_run(root)
+        assert v1 == 1
+        base = read_published(spark, root, "fct_orders").count()
+        assert base > 0
+
+        # second release with an extra order: one atomic flip
+        raw2 = _raw(spark, orders_extra=[
+            ("99", "2", "2025-06-12 00:00:00", "hat", "fulfilled", "5.00"),
+        ])
+        runner2 = build_runner(spark, raw2, now_expr=NOW)
+        v2 = runner2.publish_run(root)
+        assert v2 == 2 and current_version(root) == 2
+        assert read_published(spark, root, "fct_orders").count() >= base
