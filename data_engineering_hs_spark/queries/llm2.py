@@ -91,12 +91,26 @@ WITH toks AS (
 ), dl AS (
   SELECT doc_id, len(t) AS dl FROM toks
 ), scored AS (
+  -- per-term conditional sums (each has ≤1 nonzero contribution per
+  -- doc, so every SUM is exact regardless of aggregation order),
+  -- added in FIXED term order — the distributed-double-sum
+  -- nondeterminism cannot reach the hash
   SELECT tf.doc_id,
-         SUM(
+         SUM(CASE WHEN term = 'spark' THEN
            ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
            * tf.tf * ({_BM25_K1} + 1.0)
            / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-         ) AS score
+           ELSE 0.0 END)
+         + SUM(CASE WHEN term = 'join' THEN
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           ELSE 0.0 END)
+         + SUM(CASE WHEN term = 'window' THEN
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           ELSE 0.0 END) AS score
   FROM tf
   JOIN df USING (term)
   JOIN dl USING (doc_id)
@@ -139,13 +153,28 @@ def s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = idf * F.col("tf") * (k1 + 1.0) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # fixed-order per-term sums: each SUM sees ≤1 nonzero value per
+    # doc (exact whatever the aggregation order); the cross-term ADD
+    # happens in literal term order — no distributed-double-sum
+    # nondeterminism can reach the driver hash
+    per_term = [
+        F.sum(F.when(F.col("term") == t, contrib).otherwise(F.lit(0.0))).alias(
+            f"__s{i}"
+        )
+        for i, t in enumerate(_BM25_TERMS)
+    ]
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))  # 1-row scalar frame
         .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("score"))
+        .agg(*per_term)
     )
+    total = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"__s{i}")
+        total = c if total is None else total + c
+    scored = scored.select("doc_id", total.alias("score"))
     return (
         scored.select("doc_id", F.round("score", 4).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
