@@ -697,3 +697,84 @@ def a_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den_x, 8).alias("slope_cents_per_sec"),
         F.round(num / F.sqrt(den_x * den_y), 8).alias("corr_xy"),
     ).orderBy("event_type")
+
+
+@register(
+    "a_market_basket",
+    # Part-pair co-occurrence with support/confidence/lift. The pair
+    # space is generated per order (distinct parts, a < b) — the
+    # self-join is keyed on l_orderkey so candidates are bounded by
+    # basket size, never the catalog square. Lift derives from
+    # integer counts via one double division chain (identical shape
+    # both engines), rounded to 6.
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+), part_n AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b, p.together,
+       round(CAST(p.together AS DOUBLE) / n_orders.n, 6) AS support,
+       round(CAST(p.together AS DOUBLE) / pa.cnt, 6) AS confidence,
+       round(CAST(p.together AS DOUBLE) * n_orders.n / pa.cnt / pb.cnt, 6) AS lift
+FROM pairs p
+JOIN part_n pa ON p.part_a = pa.l_partkey
+JOIN part_n pb ON p.part_b = pb.l_partkey
+CROSS JOIN n_orders
+WHERE p.together >= 3
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+""",
+    doc="market-basket part-pair association rules (support/confidence/lift)",
+)
+def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = l.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_n = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    t = F.col("together").cast("double")
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_orders))  # 1-row scalar frame
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(t / F.col("n"), 6).alias("support"),
+            F.round(t / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(t * F.col("n") / F.col("cnt_a") / F.col("cnt_b"), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
