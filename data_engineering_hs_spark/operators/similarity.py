@@ -516,3 +516,85 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    pool: int = 8,
+    k: int = 4,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR'98) over a brute-force candidate pool.
+
+    Greedy: pick the most relevant candidate, then repeatedly pick
+    argmax of `lam·rel − (1−lam)·max_sim_to_selected` (ties broken by
+    id). The loop is k−1 DataFrame steps over the POOL ONLY — the
+    corpus-scale work is the relevance scan that builds the pool; the
+    greedy phase touches `pool` rows however big the corpus is, so
+    there is no scale cliff hidden in the iteration. All similarity
+    math is the engine's bit-exact sequential fold, which is what
+    lets an unrolled DuckDB oracle hash-match a greedy algorithm.
+
+    Returns (pick, vec_id, rel) — pick is 1-based selection order.
+    """
+    from data_engineering_hs_spark.functions import vector as V
+
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    cand = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))  # 1-row query frame
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            V.cosine(vec_col, "__q").alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(pool)
+        .localCheckpoint(eager=True)  # pool-sized; reused k times
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            V.cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("pick"))
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select("vec_id")
+        max_sim = (
+            sims.join(sel_ids.withColumnRenamed("vec_id", "ib"), "ib")
+            .groupBy("ia")
+            .agg(F.max("sim").alias("msim"))
+        )
+        remaining = cand.join(sel_ids, "vec_id", "left_anti")
+        nxt = (
+            remaining.join(
+                max_sim, remaining.vec_id == max_sim.ia
+            )
+            .select(
+                "vec_id",
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim")).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", F.lit(step).alias("pick"))
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return selected.select("pick", "vec_id", F.round("rel", 6).alias("rel"))

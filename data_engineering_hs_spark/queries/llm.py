@@ -1031,3 +1031,73 @@ def t_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.round("quality", 6).alias("quality"), "split")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification — greedy algorithm, hash-checked: the oracle
+# UNROLLS the k selection stages (same pattern as g_pagerank_nations'
+# unrolled iterations), with all similarity math in the bit-exact
+# sequential fold so scores agree to the last ulp.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 8
+_MMR_K = 4
+_MMR_LAM = 0.7
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN sqrt({_norm2_sql(a)}) * sqrt({_norm2_sql(b)}) = 0 THEN 0.0 "
+        f"ELSE ({_dot_sql(a, b)}) / (sqrt({_norm2_sql(a)}) * sqrt({_norm2_sql(b)})) END"
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, one_m = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    stages = []
+    prev = "sel1"
+    for s in range(2, _MMR_K + 1):
+        stages.append(f"""sel{s} AS (
+  SELECT vec_id, rel, {s} AS pick FROM (
+    SELECT c.vec_id, c.rel,
+           {lam} * c.rel - {one_m} * (
+             SELECT max(si.sim) FROM sims si
+             WHERE si.ia = c.vec_id
+               AND si.ib IN (SELECT vec_id FROM {prev})
+           ) AS score
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ) ORDER BY score DESC, vec_id LIMIT 1
+), selu{s} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM sel{s}
+)""")
+        prev = f"selu{s}"
+    return f"""
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+c0 AS (
+  SELECT vec_id, embedding AS vec,
+         {_cos_sql('embedding', 'q_vec')} AS rel
+  FROM embeddings CROSS JOIN q WHERE vec_id != 0
+),
+cand AS (SELECT * FROM c0 ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos_sql('a.vec', 'b.vec')} AS sim
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+sel1 AS (SELECT vec_id, rel, 1 AS pick FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+{', '.join(stages)}
+SELECT pick, vec_id, round(rel, 6) AS rel FROM {prev}
+ORDER BY pick
+"""
+
+
+@register(
+    "s_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc="MMR search-result diversification (greedy, unrolled-stage oracle)",
+)
+def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_select(
+        e, query_vec_id=0, pool=_MMR_POOL, k=_MMR_K, lam=_MMR_LAM
+    ).orderBy("pick")
