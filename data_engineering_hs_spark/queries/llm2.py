@@ -778,3 +778,108 @@ def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "a_event_transitions",
+    # First-order Markov transition counts/probabilities between a
+    # user's consecutive event types — one window shuffle on user_id;
+    # probability is one integer-ratio division, rounded.
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT src, SUM(n) AS out_n FROM pairs GROUP BY src
+)
+SELECT p.src, p.dst, p.n,
+       round(CAST(p.n AS DOUBLE) / t.out_n, 6) AS prob
+FROM pairs p JOIN tot t USING (src)
+ORDER BY p.src, p.dst
+""",
+    doc="first-order event-type transition matrix per user stream",
+)
+def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("out_n"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src", "dst", "n",
+            F.round(F.col("n").cast("double") / F.col("out_n"), 6).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "g_triangle_count",
+    # Triangle counting on the co-purchase graph (edges: part pairs
+    # ordered together in >=5 orders). Edges are canonicalized a<b,
+    # and the 3-way join enumerates each triangle once via
+    # a<b<c — the standard vertex-ordering trick that avoids the 6×
+    # duplication AND bounds the join by the (thresholded) edge list,
+    # not the catalog square.
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 5
+)
+SELECT COUNT(*) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+""",
+    doc="triangle count on the thresholded co-purchase graph",
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused three times in the join
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))  # 1-row scalar frames
