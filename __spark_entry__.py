@@ -173,6 +173,7 @@ _MEASURED_SEC = {
     "c_pit_join": 2.8, "dq_freshness": 0.4, "ts_ewma": 0.8,
     "f_variant_props": 1.7, "a_group_regression": 0.9,
     "a_market_basket": 2.5, "s_mmr_diversify": 9.3,
+    "a_event_transitions": 0.5, "g_triangle_count": 2.0,
 }
 
 
