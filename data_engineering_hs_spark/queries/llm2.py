@@ -795,13 +795,12 @@ WITH seq AS (
   SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
   FROM seq WHERE next_type IS NOT NULL
   GROUP BY event_type, next_type
-), tot AS (
-  SELECT src, SUM(n) AS out_n FROM pairs GROUP BY src
 )
-SELECT p.src, p.dst, p.n,
-       round(CAST(p.n AS DOUBLE) / t.out_n, 6) AS prob
-FROM pairs p JOIN tot t USING (src)
-ORDER BY p.src, p.dst
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT), 6) AS prob
+FROM pairs
+ORDER BY src, dst
 """,
     doc="first-order event-type transition matrix per user stream",
 )
@@ -813,19 +812,17 @@ def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
-    pairs = (
-        seq.groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
-        .agg(F.count("*").alias("n"))
-    )
-    tot = pairs.groupBy("src").agg(F.sum("n").alias("out_n"))
-    return (
-        pairs.join(F.broadcast(tot), "src")
-        .select(
-            "src", "dst", "n",
-            F.round(F.col("n").cast("double") / F.col("out_n"), 6).alias("prob"),
-        )
-        .orderBy("src", "dst")
-    )
+    pairs = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    # row-normalize with a window sum over the SAME frame — a
+    # groupBy+rejoin would recompute the whole upstream pipeline
+    # twice (Spark does not dedupe shared subplans)
+    out_n = F.sum("n").over(Window.partitionBy("src"))
+    return pairs.select(
+        "src", "dst", "n",
+        F.round(F.col("n").cast("double") / out_n, 6).alias("prob"),
+    ).orderBy("src", "dst")
 
 
 @register(

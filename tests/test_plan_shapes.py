@@ -134,3 +134,14 @@ class TestRound6PlanShapes:
         # both window passes partition by o_custkey: Spark must plan
         # exactly one hash exchange for them
         assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+    def test_market_basket_no_cartesian_and_broadcast_counts(self, spark):
+        plan = _plan(spark, "a_market_basket")
+        assert "CartesianProduct" not in plan
+        summary = plan_summary(REGISTRY["a_market_basket"].fn(spark, SF001))
+        # part-count sides + the 1-row scalar frame broadcast
+        assert summary["broadcast_joins"] >= 2
+
+    def test_event_transitions_single_user_shuffle(self, spark):
+        plan = _plan(spark, "a_event_transitions")
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
