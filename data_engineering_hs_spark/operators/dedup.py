@@ -446,7 +446,6 @@ def set_similarity_join(
     joins — all on small keys. The frequency ordering makes hot
     groups rare; the cap + `truncated` flag bounds adversarial cases.
     """
-    import math
 
     base = df.filter(F.length(F.trim(text_col)) > 0).select(
         F.col(id_col).alias("__id"),

@@ -3,7 +3,6 @@ components over dup pairs."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.operators.asof import asof_join, asof_join_pandas
 from data_engineering_hs_spark.operators.dedup import dup_groups

@@ -6,7 +6,6 @@ semantics net than the fixed-corpus oracle queries."""
 from __future__ import annotations
 
 import duckdb
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T

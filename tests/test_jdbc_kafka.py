@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 
 import pytest
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_engineering_hs_spark.sources.jdbc import (

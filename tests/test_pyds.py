@@ -77,7 +77,6 @@ class TestDocsGen:
 
 class TestDocsGenStream:
     def test_stream_drains_and_resumes_exactly_once(self, registered, tmp_path):
-        import os
 
         out = str(tmp_path / "out")
         ckpt = str(tmp_path / "ckpt")

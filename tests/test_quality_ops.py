@@ -7,7 +7,6 @@ tests" claim.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.functions.text import lang_id, quality_score, word_shingles

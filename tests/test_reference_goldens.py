@@ -14,7 +14,6 @@ from __future__ import annotations
 import hashlib
 
 import pytest
-from pyspark.sql import functions as F
 
 CHARACTERS = [
     ("Luke Skywalker", "Jedi", "Human", "Tatooine", 15000),

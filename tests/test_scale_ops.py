@@ -3,7 +3,6 @@ Exchange) and salted skew joins (correctness + key scatter)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF001

@@ -8,7 +8,6 @@ import socket
 import threading
 import time
 
-import pytest
 
 from data_engineering_hs_spark.streaming.pipelines import word_count
 

@@ -6,7 +6,6 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_engineering_hs_spark.streaming.pipelines import (
