@@ -880,3 +880,37 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))  # 1-row scalar frames
+
+
+@register(
+    "dq_rowcounts_all",
+    # One catalog-wide smoke row per table — the cheapest cross-table
+    # data contract (non-empty + exact cardinality), and the query the
+    # freshness/profile checks hang off in a scheduled DAG.
+    oracle="""
+SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+UNION ALL SELECT 'documents', COUNT(*) FROM documents
+UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+UNION ALL SELECT 'events', COUNT(*) FROM events
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'region', COUNT(*) FROM region
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+ORDER BY tbl
+""",
+    doc="catalog-wide row-count contract (every table, one scan each)",
+)
+def dq_rowcounts_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = [
+        "customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier",
+    ]
+    out = None
+    for t in tables:
+        c = load_table(spark, sf_dir, t).agg(F.count("*").alias("n")).select(
+            F.lit(t).alias("tbl"), "n"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("tbl")
