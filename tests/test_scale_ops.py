@@ -371,3 +371,51 @@ class TestZOrder:
         # a=101, b=011 → z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
         #               = 1 | 2 | 0 | 8 | 16 | 0 = 27
         assert z == 27
+
+
+class TestAqeSkewJoin:
+    """AQE's skew-join split must actually fire on a pathological key
+    — the runtime complement to the explicit salted_join operator
+    (SCALE.md 'Joins'). Asserted on the FINAL adaptive plan: Spark
+    only marks SortMergeJoin(skew=true) after execution."""
+
+    CONFS = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+
+    def test_hot_key_join_splits_under_aqe(self, spark):
+        saved = {}
+        for k, v in self.CONFS.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            fact = spark.range(210000).select(
+                F.when(F.col("id") < 200000, F.lit(0))
+                .otherwise(F.col("id") % 100)
+                .alias("k"),
+                F.concat(F.lit("payload-payload-"), F.col("id").cast("string")).alias(
+                    "v"
+                ),
+            )
+            dim = spark.range(100).select(
+                F.col("id").alias("k"), F.col("id").cast("string").alias("d")
+            )
+            j = fact.join(dim, "k")
+            rows = j.count()
+            j.collect()  # materialize THIS dataset so its QueryExecution finalizes
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, "AQE did not split the hot key"
+            assert rows == 210000  # splitting never changes results
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
