@@ -914,3 +914,50 @@ def dq_rowcounts_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = c if out is None else out.unionByName(c)
     return out.orderBy("tbl")
+
+
+@register(
+    "w_mom_growth",
+    # Monthly revenue with MoM and YoY growth — lag over the
+    # aggregated series (dim-sized frame, trivial window after the
+    # one groupBy shuffle). Revenue is exact cents; growth ratios are
+    # single divisions rounded to 6.
+    oracle="""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents,
+       round(CAST(revenue_cents AS DOUBLE)
+             / lag(revenue_cents) OVER (ORDER BY month) - 1.0, 6) AS mom,
+       round(CAST(revenue_cents AS DOUBLE)
+             / lag(revenue_cents, 12) OVER (ORDER BY month) - 1.0, 6) AS yoy
+FROM monthly
+ORDER BY month
+""",
+    doc="monthly revenue with MoM and YoY growth rates",
+)
+def w_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineering_hs_spark.functions.scalar import money_cents
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month"
+            )
+        )
+        .agg(F.sum(money_cents("o_totalprice")).alias("revenue_cents"))
+    )
+    w = Window.orderBy("month")
+    rev = F.col("revenue_cents").cast("double")
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        F.round(rev / F.lag("revenue_cents").over(w) - 1.0, 6).alias("mom"),
+        F.round(rev / F.lag("revenue_cents", 12).over(w) - 1.0, 6).alias("yoy"),
+    ).orderBy("month")
