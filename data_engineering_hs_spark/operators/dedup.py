@@ -709,3 +709,74 @@ def read_lsh_store_table(spark, table_name: str) -> DataFrame | None:
     if not spark.catalog.tableExists(table_name):
         return None
     return spark.table(table_name)
+
+
+def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log n)-round big-graph upgrade of
+    `dup_groups`' min-label propagation, whose round count is the
+    graph DIAMETER. Near-dup clusters are shallow so propagation wins
+    on simplicity there; chain-shaped graphs (linked sessions, long
+    reference chains) need the star algorithm — a 200-node path
+    converges in a handful of rounds here vs 200 propagation rounds.
+
+    Both phases are one groupBy(min) + one join per round on the node
+    id, exactly the dup_groups shuffle budget per round but with
+    exponentially fewer rounds on deep graphs. Emits the same
+    (doc_id, component=min reachable id) contract, parity-tested
+    against dup_groups.
+    """
+    # bidirectional neighbor list; self-loops dropped
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star_round(edges: DataFrame, large: bool) -> DataFrame:
+        m = (
+            edges.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        joined = edges.join(m, "u")
+        if large:
+            moved = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+            keep = joined.filter(F.col("v") < F.col("u")).select("u", "v")
+        else:
+            moved = joined.filter(F.col("v") < F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionByName(m.select("u", F.col("m").alias("v")))
+            keep = joined.filter(F.col("v") > F.col("u")).select("u", "v")
+        out = (
+            moved.unionByName(keep)
+            .filter(F.col("u") != F.col("v"))
+        )
+        # re-symmetrize: both phases reason over full neighborhoods
+        return (
+            out.unionByName(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        nxt = star_round(e, large=True)
+        nxt = star_round(nxt, large=False).localCheckpoint(eager=True)
+        # converged when the edge SET is stable (order-free compare)
+        if (
+            nxt.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(nxt).limit(1).count() == 0
+        ):
+            e = nxt
+            break
+        e = nxt
+    # star forest: every node's component is its minimum neighbor
+    # (roots keep themselves)
+    comp = (
+        e.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    )
+    return comp.select(F.col("u").alias("doc_id"), "component")

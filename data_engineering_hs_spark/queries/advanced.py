@@ -105,6 +105,67 @@ def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_groups(pairs)
 
 
+_DUP_COMPONENTS_ORACLE = '''
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+        FROM documents WHERE length(trim(text)) > 0) a
+  JOIN (SELECT doc_id, lang,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+        FROM documents WHERE length(trim(text)) > 0) b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.9
+), undirected AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT src, dst FROM undirected
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+'''
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(TX.tokens("text")).alias("tok_set")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect("a.tok_set", "b.tok_set"))
+    union = F.size(F.array_distinct(F.concat("a.tok_set", "b.tok_set")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter.cast("double") / union >= 0.9)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+
+
+@register(
+    "d_dup_components_star",
+    # Same pairs, same component contract, DIFFERENT algorithm:
+    # alternating large-star/small-star contraction (O(log n) rounds
+    # vs propagation's O(diameter)). Sharing d_dup_components' oracle
+    # makes the algorithm swap itself hash-checked.
+    oracle=_DUP_COMPONENTS_ORACLE,
+    doc="connected components via large-star/small-star contraction "
+    "(Kiveris et al.) — log-round twin of d_dup_components",
+)
+def d_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.dedup import dup_groups_star
+
+    return dup_groups_star(_jaccard_pairs(spark, sf_dir))
+
+
 @register(
     "j_range_ship_window",
     oracle="""

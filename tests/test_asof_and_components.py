@@ -142,3 +142,49 @@ class TestRangeJoin:
         assert rows[(2, 15)] == "c"
         # row multiplicity: matched rows appear per interval
         assert out.count() == 4 + 2
+
+
+class TestStarComponents:
+    """dup_groups_star (large-star/small-star) must agree with
+    min-label propagation everywhere, and converge on chain graphs
+    whose diameter exceeds any sane propagation round cap."""
+
+    def _star(self, spark, edges, **kw):
+        from data_engineering_hs_spark.operators.dedup import dup_groups_star
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r.doc_id: r.component for r in dup_groups_star(df, **kw).collect()
+        }
+
+    def test_two_components(self, spark):
+        got = self._star(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_path_converges_in_log_rounds(self, spark):
+        n = 200
+        got = self._star(spark, [(i, i + 1) for i in range(n)], max_iters=12)
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
+
+    def test_parity_with_propagation_on_random_graphs(self, spark):
+        import random
+
+        from data_engineering_hs_spark.operators.dedup import dup_groups
+
+        rng = random.Random(7)
+        for _ in range(3):
+            edges = [
+                (rng.randrange(40), rng.randrange(40)) for _ in range(50)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            a = {r.doc_id: r.component for r in dup_groups(df).collect()}
+            b = {
+                r.doc_id: r.component
+                for r in __import__(
+                    "data_engineering_hs_spark.operators.dedup",
+                    fromlist=["dup_groups_star"],
+                ).dup_groups_star(df).collect()
+            }
+            assert a == b
