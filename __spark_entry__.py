@@ -175,7 +175,7 @@ _MEASURED_SEC = {
     "a_market_basket": 2.5, "s_mmr_diversify": 9.3,
     "a_event_transitions": 0.5, "g_triangle_count": 2.0,
     "dq_rowcounts_all": 0.8, "w_mom_growth": 0.4,
-    "d_dup_components_star": 9.0,
+    "d_dup_components_star": 9.0, "w_open_orders_timeline": 0.7,
 }
 
 

@@ -961,3 +961,55 @@ def w_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rev / F.lag("revenue_cents").over(w) - 1.0, 6).alias("mom"),
         F.round(rev / F.lag("revenue_cents", 12).over(w) - 1.0, 6).alias("yoy"),
     ).orderBy("month")
+
+
+@register(
+    "w_open_orders_timeline",
+    # Open-order backlog over time: +1 on placement day, −1 on the
+    # day the order fully ships (max lineitem shipdate), cumulative
+    # sum over the merged daily series. Two aggregations + one
+    # ordered window over a dim-sized (days) frame.
+    oracle="""
+WITH ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS done_ts FROM lineitem GROUP BY l_orderkey
+), deltas AS (
+  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS delta
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT strftime(date_trunc('day', done_ts), '%Y-%m-%d') AS day,
+         -CAST(COUNT(*) AS BIGINT) AS delta
+  FROM ship GROUP BY 1
+), daily AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+)
+SELECT day, net,
+       CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM daily ORDER BY day
+""",
+    doc="open-order backlog timeline (cumulative placements minus completions)",
+)
+def w_open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.date_format(F.date_trunc("day", c), "yyyy-MM-dd")
+    placed = o.groupBy(day("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("delta")
+    )
+    done = (
+        l.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("done_ts"))
+        .groupBy(day("done_ts").alias("day"))
+        .agg((-F.count("*")).cast("bigint").alias("delta"))
+    )
+    daily = (
+        placed.unionByName(done)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("day")
