@@ -88,13 +88,15 @@ def _driver_verified() -> frozenset[str]:
 # the old green row verified a different contract.
 _RECHECK_THIS_ROUND = frozenset(
     {
-        "dq_key_skew",          # r6: p99 rounded on both sides
-        "t_quality_score",      # r6: golden → full formula oracle
-        "a_approx_quantiles",   # r6: golden → exact+tolerance oracle
-        "a_approx_distinct",    # r6: golden → exact+tolerance oracle
-        "d_simhash_pairs",      # r6: golden → completeness-audit oracle
-        "o_sample_deterministic",  # r6: md5 ordering hash → new output + oracle
-        "t_langid",             # r6: rows-only → term-by-term oracle
+        # r7: golden → invariant-audit oracle conversions (recall vs
+        # exact truth, planted-duplicate completeness, conservation)
+        "s_ivf_topk",
+        "s_lsh_topk",
+        "s_embedding_near_dup",
+        "d_winnow_fingerprints",
+        "d_incremental_lsh",
+        "d_dup_components_lsh",
+        "t_pack_contexts",
     }
 )
 

@@ -241,18 +241,55 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_incremental_lsh",
-    oracle=None,  # xxhash64 banding → golden-pinned (test_query_goldens)
-    doc="incremental MinHash-LSH: near-dup candidate pairs of the odd-"
-    "doc_id batch within itself AND against the even-doc_id corpus's "
-    "persisted band-bucket store — no corpus re-signaturing",
+    # A doc byte-identical to a store doc has the identical MinHash
+    # signature, hence identical band buckets, so the increment's
+    # band join against the persisted store MUST surface the cross
+    # pair — without re-signaturing the corpus. The query plants a
+    # copy of every 10th eligible store doc (doc_id%10==0, >=3
+    # tokens) into the new batch under doc_id+1,000,001; the oracle
+    # counts the planted cross-boundary ground truth.
+    oracle=r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_cross,
+       CAST(COUNT(*) AS BIGINT) AS n_found_cross,
+       TRUE AS complete_ok
+FROM documents
+WHERE doc_id % 10 = 0
+  AND length(trim(text)) > 0
+  AND len(string_split_regex(trim(text), '\s+')) >= 3
+""",
+    doc="incremental MinHash-LSH: near-dup candidate pairs of a new "
+    "batch against the even-doc_id corpus's persisted band-bucket "
+    "store — no corpus re-signaturing; emitted as the cross-boundary "
+    "planted-duplicate completeness audit",
 )
 def d_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store_docs = d.filter(F.col("doc_id") % 2 == 0)
-    batch = d.filter(F.col("doc_id") % 2 == 1)
+    planted = store_docs.filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.length(F.trim("text")) > 0)
+        & (F.size(TX.tokens("text")) >= 3)
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000001))
+    )
     store = D.lsh_band_buckets(store_docs, "text", "doc_id")
     pairs, _ = D.incremental_minhash_lsh(batch, store, "text", "doc_id")
-    return pairs.orderBy("id_a", "id_b")
+    truth = planted.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1000001)).alias("id_b"),
+    )
+    n_true = truth.agg(F.count("*").alias("n_true_cross"))
+    n_hit = truth.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg(F.count("*").alias("n_found_cross"))
+    return n_true.crossJoin(n_hit).select(
+        "n_true_cross",
+        "n_found_cross",
+        (F.col("n_found_cross") == F.col("n_true_cross")).alias(
+            "complete_ok"
+        ),
+    )
 
 
 @register(
@@ -307,6 +344,57 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+@register(
+    "d_minhash_lsh_audit",
+    # The batch LSH path's hard completeness invariant: identical
+    # text → identical shingle set → identical MinHash signature →
+    # identical band buckets, so every identical-text pair MUST
+    # appear among the candidates (bucket caps are far above sf
+    # bucket sizes). Same planted-duplicate construction as
+    # d_simhash_pairs; the eligibility floor is the 3-word shingle
+    # minimum. Keeps d_minhash_lsh itself benchmarkable (raw pairs,
+    # golden-pinned) while this twin gives the minhash pipeline a
+    # hard cross-engine row.
+    oracle=r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_found_true,
+       TRUE AS complete_ok
+FROM documents
+WHERE doc_id % 10 = 0
+  AND length(trim(text)) > 0
+  AND len(string_split_regex(trim(text), '\s+')) >= 3
+""",
+    doc="MinHash-LSH planted-duplicate completeness audit: every "
+    "byte-identical planted copy (every 10th eligible doc under "
+    "doc_id+1,000,000) must surface as a candidate pair — the "
+    "recall guarantee the banding scheme is built on",
+)
+def d_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.length(F.trim("text")) > 0)
+        & (F.size(TX.tokens("text")) >= 3)
+    )
+    aug = d.unionByName(
+        planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    found = D.minhash_lsh_pairs(aug, "text", "doc_id").select("id_a", "id_b")
+    truth = planted.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("id_b"),
+    )
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_hit = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_found_true")
+    )
+    return n_true.crossJoin(n_hit).select(
+        "n_true_pairs",
+        "n_found_true",
+        (F.col("n_found_true") == F.col("n_true_pairs")).alias("complete_ok"),
+    )
 
 
 @register(
@@ -507,46 +595,142 @@ def s_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The exact top-k truth set IS cross-engine checkable (s_cosine_topk
+# proves bit parity), so the approximate-index queries emit a
+# recall AUDIT against it: the oracle restates the exact truth set's
+# count + id checksum (hard data), and the recall floor rides along
+# as a boolean the query must prove TRUE (an index regression flips
+# it → hash mismatch → red driver row). The full top-k outputs stay
+# behavior-pinned in tests/test_quality_ops (floors, monotonicity).
+_EXACT_TOPK_AUDIT_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CASE WHEN sqrt({{nq}}) * sqrt({{nc}}) = 0 THEN 0.0
+              ELSE ({{dot}}) / (sqrt({{nq}}) * sqrt({{nc}}))
+         END AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE q.query_id <> c.neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) t WHERE rank <= 5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(query_id * 1000000 + neighbor_id) AS BIGINT) AS exact_checksum,
+       TRUE AS recall_ok
+FROM topk
+""".format(
+    nq=_norm2_sql("q.q_vec"), nc=_norm2_sql("c.c_vec"),
+    dot=_dot_sql("q.q_vec", "c.c_vec"),
+)
+
+
+def _ann_recall_audit(exact: DataFrame, approx: DataFrame, floor_num: int,
+                      floor_den: int) -> DataFrame:
+    """(n_exact, exact_checksum, recall_ok): recall_ok is the exact
+    integer comparison n_hits*floor_den >= n_exact*floor_num — no
+    float division near the hash."""
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(
+            F.col("query_id").cast("long") * 1000000 + F.col("neighbor_id")
+        ).alias("exact_checksum"),
+    )
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    # two 1-row scalar frames — the sanctioned crossJoin shape
+    return stats.crossJoin(n_hits).select(
+        "n_exact",
+        "exact_checksum",
+        (
+            F.col("n_hits") * floor_den >= F.col("n_exact") * floor_num
+        ).alias("recall_ok"),
+    )
+
+
 @register(
     "s_ivf_topk",
-    oracle=None,  # approximate by design → rows-only; recall vs brute
-    # force pinned in tests
-    doc="IVF-style approximate ANN: assign to nearest label-centroid, "
-    "probe 2 cells (the corpus-scale search path)",
+    oracle=_EXACT_TOPK_AUDIT_ORACLE,
+    doc="IVF-style approximate ANN (assign to nearest label-centroid, "
+    "probe 2 of 10 cells — the corpus-scale search path), emitted as "
+    "a recall audit vs the exact brute-force truth set: the oracle "
+    "pins the truth set's count + id checksum and the query proves "
+    "recall@5 >= 0.2 while scanning ~20% of the corpus (floor from "
+    "tests/test_quality_ops; measured ~0.36 on isotropic vectors)",
 )
 def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = S.centroids(e)
     q = e.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(e, q, cents, k=5, nprobe=2).drop("cos_sim")
+    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(e, q, cents, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    return _ann_recall_audit(exact, approx, floor_num=1, floor_den=5)
 
 
 @register(
     "s_lsh_topk",
-    oracle=None,  # approximate by design → rows-only; recall pinned
-    # in tests (multi-probe hyperplane LSH)
+    oracle=_EXACT_TOPK_AUDIT_ORACLE,
     doc="hyperplane-LSH approximate top-k with multi-probe (the "
-    "non-learned ANN scale path alongside IVF)",
+    "non-learned ANN scale path alongside IVF), emitted as a recall "
+    "audit vs the exact truth set: oracle pins truth count + id "
+    "checksum, query proves recall@5 >= 0.3 while scanning ~30% "
+    "(floor from tests/test_quality_ops; measured ~0.44)",
 )
 def s_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(e, q, k=5).drop("cos_sim")
+    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(e, q, k=5).select("query_id", "neighbor_id")
+    return _ann_recall_audit(exact, approx, floor_num=3, floor_den=10)
 
 
 @register(
     "s_embedding_near_dup",
-    oracle=None,  # LSH-bucketed candidates (xxhash64 planes) → rows-only
+    # Identical vectors produce identical hyperplane signs → the SAME
+    # bucket, deterministically — so LSH + exact-cosine verify MUST
+    # report every planted exact-duplicate pair (cos=1.0 >= 0.25).
+    # The isotropic corpus has no true near-dups, so the query plants
+    # them (every 10th vec re-labeled under vec_id+1,000,000) and the
+    # oracle counts the ground truth; completeness is emitted as data.
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_found_true,
+       TRUE AS complete_ok
+FROM embeddings WHERE vec_id % 10 = 0
+""",
     doc="embedding-cosine near-duplicate pairs via random-hyperplane "
-    "LSH buckets + exact verify",
+    "LSH buckets + exact verify, emitted as the planted-duplicate "
+    "completeness audit (identical vectors bucket identically, so "
+    "every planted pair must surface)",
 )
 def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The synthetic embeddings are isotropic (no true near-dups), so a
-    # production threshold like 0.95 returns nothing; 0.25 selects the
-    # top of the same-bucket cosine distribution so the check is
-    # non-vacuous (16 pairs at sf0.01).
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(e, threshold=0.25).orderBy("id_a", "id_b")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0)
+    aug = e.unionByName(
+        planted.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    )
+    found = S.embedding_near_dups(aug, threshold=0.25).select("id_a", "id_b")
+    truth = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(1000000)).alias("id_b"),
+    )
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_hit = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_found_true")
+    )
+    return n_true.crossJoin(n_hit).select(
+        "n_true_pairs",
+        "n_found_true",
+        (F.col("n_found_true") == F.col("n_true_pairs")).alias("complete_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -614,16 +798,70 @@ def t_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_winnow_fingerprints",
-    oracle=None,  # xxhash64 fingerprints → golden-pinned (test_query_goldens)
+    # Winnowing is a pure function of the text (3-gram xxhash minima
+    # over sliding windows), so a byte-identical copy MUST emit a
+    # byte-identical fingerprint set — the passage-overlap guarantee
+    # the algorithm exists for. The query plants a copy of every 10th
+    # eligible doc (>=3 tokens, the shingle floor) under
+    # doc_id+1,000,000 and proves per-doc set equality; the oracle
+    # counts the planted ground truth.
+    oracle=r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_identical_sets,
+       TRUE AS all_identical
+FROM documents
+WHERE doc_id % 10 = 0
+  AND length(trim(text)) > 0
+  AND len(string_split_regex(trim(text), '\s+')) >= 3
+""",
     doc="MOSS winnowing: distinct sliding-window minima over word "
     "3-gram hashes — passage-level overlap fingerprints (any shared "
-    "run of >=6 words shares a fingerprint)",
+    "run of >=6 words shares a fingerprint); emitted as the "
+    "planted-copy audit (a byte-identical copy must produce a "
+    "byte-identical fingerprint set)",
 )
 def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_hs_spark.operators import corpus as C
 
-    d = load_table(spark, sf_dir, "documents")
-    return C.winnowing_fingerprints(d, "text", "doc_id", k=3, window=4)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = d.filter(
+        (F.length(F.trim("text")) > 0) & (F.size(TX.tokens("text")) >= 3)
+    )
+    planted = eligible.filter(F.col("doc_id") % 10 == 0)
+    aug = d.unionByName(
+        planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    fps = C.winnowing_fingerprints(aug, "text", "doc_id", k=3, window=4)
+    orig = fps.join(
+        planted.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "fingerprint")
+    copy = fps.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("doc_id"), "fingerprint"
+    )
+    # set equality per doc: |orig| == |copy| == |orig ∩ copy|
+    a = orig.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    b = copy.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    both = (
+        orig.join(copy, ["doc_id", "fingerprint"], "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_both"))
+    )
+    eq = (
+        a.join(b, "doc_id")
+        .join(both, "doc_id")
+        .filter(
+            (F.col("n_a") == F.col("n_b")) & (F.col("n_a") == F.col("n_both"))
+        )
+    )
+    n_planted = planted.agg(F.count("*").alias("n_planted"))
+    n_eq = eq.agg(F.count("*").alias("n_identical_sets"))
+    return n_planted.crossJoin(n_eq).select(
+        "n_planted",
+        "n_identical_sets",
+        (F.col("n_identical_sets") == F.col("n_planted")).alias(
+            "all_identical"
+        ),
+    )
 
 
 @register(
@@ -898,11 +1136,41 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_pack_contexts",
-    oracle=None,  # shard-local greedy packing (applyInPandas scan) →
-    # golden-pinned; properties (capacity, determinism) in tests
+    # The packing itself is shard-local greedy (order-dependent, not
+    # SQL-expressible), but its CONSERVATION LAWS are: every chunk
+    # lands in exactly one bin, total tokens are preserved, and no
+    # bin exceeds the 256-token target (all chunks are 64 tokens or
+    # fewer, so no oversize bins exist). The oracle restates the
+    # chunk totals from the independently hash-verified chunking SQL
+    # (t_chunk_documents) and pins the invariants; bin assignment
+    # detail stays property-tested in tests/test_properties.
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         UNNEST([least(64, len(w) - s + 1) FOR s IN starts]) AS n_tokens
+  FROM (
+    SELECT doc_id, w,
+           [s FOR s IN range(1, len(w) + 1, 56)
+            IF s = 1 OR s <= len(w) - 8] AS starts
+    FROM toks
+  ) t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       TRUE AS chunks_conserved,
+       TRUE AS bins_within_target
+FROM chunks
+""",
     doc="context packing end-to-end: 64-token chunks greedily packed "
     "into 256-token training sequences, shard-local (the one "
-    "genuinely sequential pipeline op — Arrow-batched per shard)",
+    "genuinely sequential pipeline op — Arrow-batched per shard); "
+    "emitted as the conservation audit (chunk count + token totals "
+    "cross-checked against the chunking oracle, exactly-once "
+    "membership and bin-capacity invariants as data)",
 )
 def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_hs_spark.operators.corpus import (
@@ -921,26 +1189,84 @@ def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_tokens",
     )
-    return pack_sequences(
+    packed = pack_sequences(
         chunks, "n_tokens", "chunk_uid", target=256, shards=8
-    ).orderBy("shard", "bin_id", "id")
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("size").alias("bin_tokens"), F.max("oversize").alias("oversize")
+    )
+    totals = packed.agg(
+        F.count("*").alias("n_packed"),
+        F.count_distinct("id").alias("n_distinct"),
+        F.sum("size").alias("total_tokens"),
+    )
+    n_chunks = chunks.agg(F.count("*").alias("total_chunks"))
+    bin_ok = bins.agg(
+        F.max(
+            F.when(~F.col("oversize"), F.col("bin_tokens")).otherwise(0)
+        ).alias("max_bin"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+    )
+    return (
+        n_chunks.crossJoin(totals)
+        .crossJoin(bin_ok)
+        .select(
+            "total_chunks",
+            "total_tokens",
+            (
+                (F.col("n_packed") == F.col("total_chunks"))
+                & (F.col("n_distinct") == F.col("total_chunks"))
+            ).alias("chunks_conserved"),
+            (
+                (F.col("max_bin") <= 256) & (F.col("n_oversize") == 0)
+            ).alias("bins_within_target"),
+        )
+    )
 
 
 @register(
     "d_dup_components_lsh",
-    oracle=None,  # xxhash-seeded LSH candidates → golden-pinned
+    # End-to-end guarantee the composition must uphold: a group of
+    # byte-identical docs has identical signatures (LSH must bucket
+    # them), shingle-Jaccard 1.0 (verify must keep them), and a
+    # connected pair graph (components must merge them). The query
+    # plants 3-member identical-text groups (every 25th eligible doc
+    # copied under +1M and +2M) and emits one PER-GROUP row proving
+    # all 3 members share a component; the oracle restates the
+    # planted group keys from the same eligibility predicate.
+    oracle=r"""
+SELECT doc_id AS group_rep,
+       3 AS n_members,
+       TRUE AS intact
+FROM documents
+WHERE doc_id % 25 = 0
+  AND length(trim(text)) > 0
+  AND len(string_split_regex(trim(text), '\s+')) >= 3
+ORDER BY group_rep
+""",
     doc="the PRODUCTION dedup composition end-to-end: MinHash-LSH "
     "candidates → exact SHINGLE-Jaccard verify (>=0.7, above the "
     "b=8/r=4 S-curve where recall is test-pinned) → connected "
-    "components. The verify measure matches what LSH indexes — "
-    "token-SET Jaccard (d_dup_components) is orderless and would "
-    "count shuffled word-soup as dups that shingle-LSH rightly "
-    "never buckets",
+    "components; emitted as the planted-group audit (one row per "
+    "planted 3-member identical-text group, proving the whole "
+    "pipeline merges it into one component)",
 )
 def d_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_pairs(d, "text", "doc_id").select("id_a", "id_b")
-    sh = d.select("doc_id", TX.word_shingles("text").alias("sh"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 25 == 0)
+        & (F.length(F.trim("text")) > 0)
+        & (F.size(TX.tokens("text")) >= 3)
+    )
+    aug = (
+        d.unionByName(
+            planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        ).unionByName(
+            planted.withColumn("doc_id", F.col("doc_id") + F.lit(2000000))
+        )
+    )
+    cands = D.minhash_lsh_pairs(aug, "text", "doc_id").select("id_a", "id_b")
+    sh = aug.select("doc_id", TX.word_shingles("text").alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = (
@@ -953,7 +1279,40 @@ def d_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.7)
         .select("id_a", "id_b")
     )
-    return D.dup_groups(verified).orderBy("doc_id")
+    comps = D.dup_groups(verified)  # (doc_id, component)
+    members = planted.select(
+        F.col("doc_id").alias("group_rep"), F.col("doc_id").alias("member")
+    ).unionByName(
+        planted.select(
+            F.col("doc_id").alias("group_rep"),
+            (F.col("doc_id") + F.lit(1000000)).alias("member"),
+        )
+    ).unionByName(
+        planted.select(
+            F.col("doc_id").alias("group_rep"),
+            (F.col("doc_id") + F.lit(2000000)).alias("member"),
+        )
+    )
+    per_group = (
+        members.join(
+            comps.select(
+                F.col("doc_id").alias("member"), "component"
+            ),
+            "member",
+            "left",
+        )
+        .groupBy("group_rep")
+        .agg(
+            F.count("member").alias("n_members"),
+            F.count_distinct("component").alias("n_comps"),
+            F.sum(F.col("component").isNull().cast("long")).alias("n_missing"),
+        )
+    )
+    return per_group.select(
+        "group_rep",
+        F.col("n_members").cast("int").alias("n_members"),
+        ((F.col("n_comps") == 1) & (F.col("n_missing") == 0)).alias("intact"),
+    ).orderBy("group_rep")
 
 
 @register(
