@@ -1013,3 +1013,117 @@ def w_open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
     ).orderBy("day")
+
+
+@register(
+    "ts_cusum_changepoints",
+    # Page's CUSUM via the prefix-min identity: the recursion
+    # S_t = max(0, S_{t-1} + d_t) equals C_t - min(0, min_{j<=t} C_j)
+    # for C = cumsum(d) — two plain window aggregates, fully
+    # SQL-expressible in both engines. Everything near the hash is
+    # exact BIGINT: values scale to micros before summing, the drift
+    # term k is an exact floor division (tot - pmod(tot, n)) / n, and
+    # the change flag compares integers (S_t > 4k = a sustained
+    # positive shift worth ~4 average days fired).
+    oracle="""
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS max_day FROM events),
+boosted AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN CAST(ts AS DATE) >= max_day - 9
+              THEN value * 4 ELSE value END AS value
+  FROM events CROSS JOIN mx
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM boosted GROUP BY event_type, day
+),
+t AS (
+  SELECT event_type, day, s,
+         CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+c AS (
+  SELECT event_type, day,
+         CAST((tot - (((tot % n) + n) % n)) / n AS BIGINT) AS kk,
+         CAST(SUM(s - CAST((tot - (((tot % n) + n) % n)) / n AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+),
+m AS (
+  SELECT event_type, day, kk, cum,
+         CAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmin
+  FROM c
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(cum - LEAST(0, runmin) AS BIGINT) AS cusum,
+       (cum - LEAST(0, runmin)) > 4 * kk AS is_change
+FROM m ORDER BY event_type, day
+""",
+    doc="CUSUM changepoint detection on daily per-type event volume: "
+    "positive-shift cumulative sum vs the series mean (prefix-min "
+    "form — no recursion), flagging days where the accumulated "
+    "excess exceeds 4 average-day magnitudes; exact integer "
+    "arithmetic end to end. The steady synthetic stream has no real "
+    "shift, so a 4x level shift is planted over the final 10 days "
+    "(same construction in the oracle) — the detector must fire "
+    "there and stay quiet before",
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("max_day"))
+    # 1-row scalar frame — the sanctioned crossJoin shape
+    boosted = e.crossJoin(mx).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.when(
+            F.to_date("ts") >= F.date_sub(F.col("max_day"), 9),
+            F.col("value") * 4,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    daily = boosted.groupBy("event_type", "day").agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("s")
+    )
+    wt = Window.partitionBy("event_type")
+    t = daily.select(
+        "event_type",
+        "day",
+        "s",
+        F.sum("s").over(wt).alias("tot"),
+        F.count("*").over(wt).alias("n"),
+    )
+    # exact floor division: subtract the positive remainder first,
+    # then the double division is an exact integer (< 2^53)
+    kk = ((F.col("tot") - F.pmod("tot", "n")) / F.col("n")).cast("long")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "event_type",
+        "day",
+        kk.alias("kk"),
+        F.sum(F.col("s") - kk).over(wc).alias("cum"),
+    )
+    m = c.select(
+        "event_type",
+        "day",
+        "kk",
+        "cum",
+        F.min("cum").over(wc).alias("runmin"),
+    )
+    s_stat = F.col("cum") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+    return m.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        s_stat.cast("long").alias("cusum"),
+        (s_stat > 4 * F.col("kk")).alias("is_change"),
+    ).orderBy("event_type", "day")
