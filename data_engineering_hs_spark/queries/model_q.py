@@ -98,3 +98,56 @@ def m_fct_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return runner.run(["fct_order_totals"])["fct_order_totals"]
+
+
+_MV_MEASURES = {
+    "qty_c": ("sum", "CAST(round(l_quantity * 100) AS BIGINT)"),
+    "n_items": ("count", "*"),
+    "min_price": ("min", "l_extendedprice"),
+    "max_price": ("max", "l_extendedprice"),
+}
+
+
+@register(
+    "m_incremental_mv",
+    # The MV is built as TWO committed increments of partial states
+    # (ship dates before/after 1995) merged at read time; the oracle
+    # is the one-shot full aggregate — partial-state merge must be
+    # indistinguishable from recomputation. Sums ride on exact
+    # scaled BIGINTs; min/max of raw doubles are exact (no float
+    # accumulation near the hash).
+    oracle="""
+SELECT l_suppkey,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+""",
+    doc="incremental materialized-view maintenance: per-supplier "
+    "rollup kept fresh by appending per-increment PARTIAL aggregate "
+    "states to a key-bucketed store and merging at read — each "
+    "refresh shuffles one increment, never history, and the final "
+    "merge reads Exchange-free off the bucketing (plan-asserted in "
+    "tests/test_scale_ops.py)",
+)
+def m_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators import incremental as I
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inc1 = li.filter(F.col("l_shipdate") < "1995-01-01")
+    inc2 = li.filter(F.col("l_shipdate") >= "1995-01-01")
+    I.commit_increment(
+        I.partial_aggs(inc1, ["l_suppkey"], _MV_MEASURES),
+        "mv_supp_rev",
+        ["l_suppkey"],
+        overwrite=True,
+    )
+    I.commit_increment(
+        I.partial_aggs(inc2, ["l_suppkey"], _MV_MEASURES),
+        "mv_supp_rev",
+        ["l_suppkey"],
+    )
+    return I.materialize(
+        spark, "mv_supp_rev", ["l_suppkey"], _MV_MEASURES
+    ).orderBy("l_suppkey")

@@ -419,3 +419,83 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestIncrementalMaterializedView:
+    """Partial-state MV maintenance (operators/incremental.py):
+    increments append partial aggregates to a key-bucketed store;
+    the read-time merge must equal one-shot recomputation and read
+    Exchange-free off the bucketing."""
+
+    MEASURES = {
+        "total": ("sum", "v"),
+        "n": ("count", "*"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+
+    def _fresh(self, spark, name):
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+
+    def test_two_increments_equal_full_recompute(self, spark):
+        from data_engineering_hs_spark.operators import incremental as I
+
+        self._fresh(spark, "t_mv_a")
+        full = spark.createDataFrame(
+            [(i % 7, i * 10) for i in range(200)], ["k", "v"]
+        )
+        inc1 = full.filter(F.col("v") < 1000)
+        inc2 = full.filter(F.col("v") >= 1000)
+        I.commit_increment(
+            I.partial_aggs(inc1, ["k"], self.MEASURES), "t_mv_a", ["k"],
+            overwrite=True,
+        )
+        I.commit_increment(
+            I.partial_aggs(inc2, ["k"], self.MEASURES), "t_mv_a", ["k"]
+        )
+        got = {
+            r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+            for r in I.materialize(
+                spark, "t_mv_a", ["k"], self.MEASURES
+            ).collect()
+        }
+        want = {
+            r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+            for r in I.partial_aggs(full, ["k"], self.MEASURES).collect()
+        }
+        assert got == want
+
+    def test_merge_reads_exchange_free_and_compact_preserves(self, spark):
+        from data_engineering_hs_spark.operators import incremental as I
+
+        self._fresh(spark, "t_mv_b")
+        full = spark.createDataFrame(
+            [(i % 5, i) for i in range(100)], ["k", "v"]
+        )
+        for j, inc in enumerate(
+            (full.filter(F.col("v") % 2 == 0), full.filter(F.col("v") % 2 == 1))
+        ):
+            I.commit_increment(
+                I.partial_aggs(inc, ["k"], self.MEASURES), "t_mv_b", ["k"],
+                overwrite=(j == 0), num_buckets=8,
+            )
+        mv = I.materialize(spark, "t_mv_b", ["k"], self.MEASURES)
+        plan = mv._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        before = {tuple(r) for r in mv.collect()}
+        # store holds one row per key per increment; compaction
+        # collapses to one per key without changing the MV
+        store_rows = spark.table("t_mv_b").count()
+        assert store_rows == 10  # 5 keys x 2 increments
+        I.compact_store(spark, "t_mv_b", ["k"], self.MEASURES, num_buckets=8)
+        assert spark.table("t_mv_b").count() == 5
+        after = {
+            tuple(r)
+            for r in I.materialize(
+                spark, "t_mv_b", ["k"], self.MEASURES
+            ).collect()
+        }
+        assert after == before
