@@ -711,6 +711,37 @@ def read_lsh_store_table(spark, table_name: str) -> DataFrame | None:
     return spark.table(table_name)
 
 
+def compact_band_store(
+    spark, table_name: str, num_buckets: int = 32
+) -> None:
+    """Rewrite an append-accreted band store as one clean generation.
+
+    Every commit_lsh_bands_bucketed append adds `num_buckets` files;
+    after many small increments the store is thousands of tiny files
+    per bucket and scan setup dominates. Compaction reads the whole
+    store once, stages it (a table can't be overwritten while being
+    read), and rewrites it with the SAME bucket spec — rows,
+    bucketing, and the Exchange-free read contract are unchanged;
+    only the file count collapses. Run it on a cadence (e.g. every
+    N increments), not per commit."""
+    from data_engineering_hs_spark.operators.scale import write_bucketed
+
+    store = spark.table(table_name).localCheckpoint(eager=True)
+    # repartition on the bucket columns with the bucket count: hash
+    # partitioning and bucket-id assignment use the same murmur3 pmod,
+    # so each write task holds exactly one bucket → one file per
+    # bucket, the minimum possible
+    store = store.repartition(num_buckets, "band", "bucket")
+    write_bucketed(
+        store,
+        table_name,
+        ["band", "bucket"],
+        num_buckets=num_buckets,
+        sort_cols=["band", "bucket"],
+        mode="overwrite",
+    )
+
+
 def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce

@@ -499,3 +499,49 @@ class TestIncrementalMaterializedView:
             ).collect()
         }
         assert after == before
+
+
+class TestBandStoreCompaction:
+    def test_compaction_preserves_rows_and_bucketing(self, spark):
+        import glob
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import (
+            commit_lsh_bands_bucketed,
+            compact_band_store,
+            lsh_band_buckets,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS b_lsh_compact")
+        shutil.rmtree("spark-warehouse/b_lsh_compact", ignore_errors=True)
+        for start in (0, 40, 80, 120):
+            docs = spark.createDataFrame(
+                [(i, f"words of doc number {i % 9} repeated here again")
+                 for i in range(start, start + 40)],
+                ["doc_id", "text"],
+            )
+            commit_lsh_bands_bucketed(
+                lsh_band_buckets(docs, "text", "doc_id"),
+                "b_lsh_compact", num_buckets=4,
+            )
+        before_rows = {
+            tuple(r) for r in spark.table("b_lsh_compact").collect()
+        }
+        files_before = len(
+            glob.glob("spark-warehouse/b_lsh_compact/part-*")
+        )
+        compact_band_store(spark, "b_lsh_compact", num_buckets=4)
+        files_after = len(glob.glob("spark-warehouse/b_lsh_compact/part-*"))
+        assert files_after < files_before
+        after_rows = {
+            tuple(r) for r in spark.table("b_lsh_compact").collect()
+        }
+        assert after_rows == before_rows
+        # the Exchange-free store-side contract survives compaction
+        grouped = (
+            spark.table("b_lsh_compact")
+            .groupBy("band", "bucket")
+            .agg(F.collect_list("doc_id").alias("ids"))
+        )
+        plan = grouped._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
