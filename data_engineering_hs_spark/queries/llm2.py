@@ -126,9 +126,19 @@ LIMIT {_BM25_TOPK}
     bench=True,
 )
 def s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(d)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, bm25 rounded to 4) for every doc matching ≥1 query
+    term — the shared scoring core of s_bm25_topk and the RRF fusion."""
     from data_engineering_hs_spark.functions.text import tokens
 
-    d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     # postings: filter to the query vocabulary BEFORE the explode's
     # shuffle so only matching tokens move
@@ -175,11 +185,7 @@ def s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.col(f"__s{i}")
         total = c if total is None else total + c
     scored = scored.select("doc_id", total.alias("score"))
-    return (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(_BM25_TOPK)
-    )
+    return scored.select("doc_id", F.round("score", 4).alias("bm25"))
 
 
 # ---------------------------------------------------------------------------
@@ -1127,3 +1133,119 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_stat.cast("long").alias("cusum"),
         (s_stat > 4 * F.col("kk")).alias("is_change"),
     ).orderBy("event_type", "day")
+
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def _rrf_oracle() -> str:
+    from data_engineering_hs_spark.queries.llm import _dot_sql, _norm2_sql
+
+    bm25_contrib = (
+        f"ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+        f" * tf.tf * ({_BM25_K1} + 1.0)"
+        f" / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}"
+        f" * dl.dl / stats.avgdl))"
+    )
+    term_sums = " + ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN {bm25_contrib} ELSE 0.0 END)"
+        for t in ("spark", "join", "window")
+    )
+    cos = (
+        f"CASE WHEN sqrt({_norm2_sql('q.q_vec')}) * "
+        f"sqrt({_norm2_sql('c.embedding')}) = 0 THEN 0.0 "
+        f"ELSE ({_dot_sql('q.q_vec', 'c.embedding')}) / "
+        f"(sqrt({_norm2_sql('q.q_vec')}) * sqrt({_norm2_sql('c.embedding')})) END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM toks
+), bm AS (
+  SELECT tf.doc_id, {term_sums} AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY round(score, 4) DESC, doc_id) AS ra
+  FROM bm
+), cosr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS rb
+  FROM (
+    SELECT c.vec_id AS doc_id, {cos} AS cs
+    FROM embeddings c
+    CROSS JOIN (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q
+    WHERE c.vec_id <> 0
+  )
+), fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + a.ra), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + b.rb), 0.0) AS rrf
+  FROM (SELECT * FROM bmr WHERE ra <= {_RRF_DEPTH}) a
+  FULL OUTER JOIN (SELECT * FROM cosr WHERE rb <= {_RRF_DEPTH}) b
+    ON a.doc_id = b.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf
+FROM fused ORDER BY round(rrf, 6) DESC, doc_id LIMIT 15
+"""
+
+
+@register(
+    "s_hybrid_rrf",
+    # Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the two
+    # retrieval paths this engine already oracles bit-exactly: BM25
+    # keyword ranking over documents and cosine ranking of document
+    # embeddings against a query vector (doc 0). Ranks are integers,
+    # 1/(k+rank) is a single IEEE division identical across engines,
+    # and the two contributions add in fixed order — deterministic
+    # to the last ulp, rounded to 6 anyway.
+    oracle=_rrf_oracle(),
+    doc="hybrid search: reciprocal-rank fusion (k=60, depth 50) of "
+    "BM25 keyword top-50 and embedding-cosine top-50 into one "
+    "ranking — the standard lexical+semantic retrieval combiner",
+)
+def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineering_hs_spark.operators.similarity import brute_force_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = _bm25_scored(d)
+    wa = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bmr = (
+        bm.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= _RRF_DEPTH)
+        .select("doc_id", "ra")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    cosr = (
+        brute_force_topk(e, q, k=_RRF_DEPTH)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rb"))
+    )
+    fused = bmr.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(15)
+    )
