@@ -509,3 +509,122 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("nation"), "rank").orderBy(
         F.desc("rank"), "nation"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition: iteratively peel nodes of degree < k until a
+# fixed point. Each Spark round is one semi-join + one degree groupBy
+# on the (checkpointed) edge list — the same shuffle shape as
+# dup_groups — and the driver probes only a scalar convergence count.
+# The oracle UNROLLS the peel (peeling is idempotent at the fixed
+# point, so unrolling MORE rounds than convergence needs is harmless
+# — 16 vs the 11 measured at sf0.01), the same cross-engine strategy
+# as the PageRank oracle.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_EDGE_MIN = 2  # co-purchase threshold: ordered together >= 2x
+_KCORE_ORACLE_ROUNDS = 16
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "n0"
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous one twice, so default CTE inlining would expand
+        # the plan 2^rounds-fold (and re-open the parquet scan
+        # thousands of times)
+        rounds.append(
+            f"n{i} AS MATERIALIZED (\n"
+            f"  SELECT u.a AS node FROM und u\n"
+            f"  JOIN {prev} x ON u.a = x.node\n"
+            f"  JOIN {prev} y ON u.b = y.node\n"
+            f"  GROUP BY u.a HAVING COUNT(*) >= {_KCORE_K}\n"
+            f")"
+        )
+        prev = f"n{i}"
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_KCORE_EDGE_MIN}
+), und AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+), n0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM und
+), {", ".join(rounds)}
+SELECT u.a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree,
+       TRUE AS converged
+FROM und u
+JOIN {prev} x ON u.a = x.node
+JOIN {prev} y ON u.b = y.node
+GROUP BY u.a
+ORDER BY node
+"""
+
+
+@register(
+    "g_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_K}-core of the co-purchase graph (parts ordered "
+    "together >= 2x): iterative peel of degree-<k nodes to the "
+    "maximal subgraph where everyone keeps k neighbors — the "
+    "standard dense-region extractor; emits each core member with "
+    "its within-core degree and the convergence flag",
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _KCORE_EDGE_MIN)
+        .select("u", "v")
+    )
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)  # re-joined every peel round
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_nodes = nodes.count()  # scalar convergence probe (sanctioned)
+    converged = False
+    for _ in range(30):
+        survivors = (
+            und.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        n_next = survivors.count()
+        nodes = survivors
+        if n_next == n_nodes:
+            converged = True
+            break
+        n_nodes = n_next
+    return (
+        und.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("core_degree"))
+        .select("node", "core_degree", F.lit(converged).alias("converged"))
+        .orderBy("node")
+    )
