@@ -544,3 +544,120 @@ def a_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register(
+    "a_attribution_models",
+    # Multi-touch attribution with EXACT credit conservation: every
+    # purchase's cents*1000 milli-cents are fully assigned under each
+    # model (first-touch, last-touch, linear). The linear split uses
+    # integer floor division with the remainder going to the most
+    # recent touch — pure BIGINT arithmetic, so the three model
+    # totals hash identically across engines and sum to the same
+    # grand total. Conversions with no touch in the 7-day lookback
+    # land in the '(none)' channel, keeping conservation visible.
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) * 1000 AS milli
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_id, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+), joined AS (
+  SELECT c.conv_id, c.milli, t.channel,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS r_recent,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.ts ASC, t.event_id ASC) AS r_first,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+), credited AS (
+  SELECT channel,
+         CASE WHEN r_first = 1 THEN milli ELSE 0 END AS ft,
+         CASE WHEN r_recent = 1 THEN milli ELSE 0 END AS lt,
+         (milli - (milli % n)) / n
+           + CASE WHEN r_recent = 1 THEN milli % n ELSE 0 END AS lin
+  FROM joined
+  UNION ALL
+  SELECT '(none)', milli, milli, milli
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM joined)
+)
+SELECT channel,
+       CAST(SUM(ft) AS BIGINT) AS first_touch_milli,
+       CAST(SUM(lt) AS BIGINT) AS last_touch_milli,
+       CAST(SUM(lin) AS BIGINT) AS linear_milli
+FROM credited GROUP BY channel ORDER BY channel
+""",
+    doc="multi-touch conversion attribution: purchases credit their "
+    "view/click touches within a 7-day lookback under first-touch, "
+    "last-touch, and linear models — exact integer milli-cent "
+    "credits that conserve total revenue per model; untouched "
+    "conversions surface as '(none)'",
+)
+def a_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+        (F.round(F.col("value") * 100).cast("long") * 1000).alias("milli"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = conv.join(
+        touch,
+        (touch.user_id == conv.user_id)
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")
+        ),
+    )
+    wc = Window.partitionBy("conv_id")
+    j = joined.select(
+        "conv_id",
+        "milli",
+        "channel",
+        F.row_number()
+        .over(wc.orderBy(F.desc("touch_ts"), F.desc("touch_id")))
+        .alias("r_recent"),
+        F.row_number()
+        .over(wc.orderBy(F.asc("touch_ts"), F.asc("touch_id")))
+        .alias("r_first"),
+        F.count("*").over(wc).alias("n"),
+    )
+    rem = F.pmod("milli", "n")
+    credited = j.select(
+        "channel",
+        F.when(F.col("r_first") == 1, F.col("milli")).otherwise(0).alias("ft"),
+        F.when(F.col("r_recent") == 1, F.col("milli")).otherwise(0).alias("lt"),
+        (
+            ((F.col("milli") - rem) / F.col("n")).cast("long")
+            + F.when(F.col("r_recent") == 1, rem).otherwise(0)
+        ).alias("lin"),
+    )
+    unattributed = conv.join(
+        j.select("conv_id").distinct(), "conv_id", "left_anti"
+    ).select(
+        F.lit("(none)").alias("channel"),
+        F.col("milli").alias("ft"),
+        F.col("milli").alias("lt"),
+        F.col("milli").alias("lin"),
+    )
+    return (
+        credited.unionByName(unattributed)
+        .groupBy("channel")
+        .agg(
+            F.sum("ft").alias("first_touch_milli"),
+            F.sum("lt").alias("last_touch_milli"),
+            F.sum("lin").alias("linear_milli"),
+        )
+        .orderBy("channel")
+    )
