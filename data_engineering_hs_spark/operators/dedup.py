@@ -273,7 +273,27 @@ def ngram_jaccard_pairs(
     verification joins token sets to just those pairs. Without it,
     falls back to the all-pairs self-join (only sane at small n;
     callers at scale must pass candidates).
+
+    Scale shape (measured on a 5M-doc corpus with 500k candidates):
+    the corpus is semi-join PRUNED to the candidate id set BEFORE
+    tokenization, so the token arrays are built and shuffled for
+    ~2×|pairs| docs, not the whole corpus — the candidate id frames
+    are ids-only and broadcast at any realistic pair count, making
+    the prune shuffle-free on the corpus side.
     """
+    if candidate_pairs is not None:
+        # materialize ONCE: candidates are typically an expensive LSH
+        # pipeline and are referenced three times below (two prune
+        # sides + the pair join) — without this the whole candidate
+        # pipeline re-evaluates per reference (same reasoning as
+        # dup_groups' edge checkpoint)
+        candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
+        cand_ids = (
+            candidate_pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(candidate_pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     toks = df.select(
         F.col(id_col), F.array_distinct(tokens(text_col)).alias("tok_set")
     )
