@@ -59,7 +59,28 @@ def commit_increment(
     overwrite: bool = False,
 ) -> None:
     """Append this increment's partial states to the bucketed store
-    (overwrite=True bootstraps / replaces the store)."""
+    (overwrite=True bootstraps / replaces the store).
+
+    Bootstrap is robust to a DANGLING warehouse directory: a managed
+    table dir left by a previous session (whose catalog is gone)
+    makes saveAsTable fail with LOCATION_ALREADY_EXISTS even in
+    overwrite mode, so the bootstrap drops the catalog entry AND
+    clears the default location first."""
+    if overwrite:
+        import os
+        import shutil
+
+        spark = partials.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                wh = wh[len(prefix):]
+                break
+        shutil.rmtree(
+            os.path.join(wh, table_name.split(".")[-1].lower()),
+            ignore_errors=True,
+        )
     write_bucketed(
         partials,
         table_name,
