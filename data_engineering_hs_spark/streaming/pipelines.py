@@ -201,14 +201,22 @@ def stream_stream_join(
     right_ts: str = "ts",
     watermark: str = "1 hour",
     max_lag: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (§2.9-adjacent capability).
+    """Watermarked stream-stream join (§2.9-adjacent capability).
 
     Both sides carry watermarks so the join state is bounded: a right
     row is retained only until `watermark` past its event time, and
     the time-range condition (right within [left - max_lag, left])
     lets Spark evict matched/expired state. The canonical
     click-to-impression attribution shape.
+
+    how="left_outer" additionally emits unmatched left rows with a
+    null right side — but only once the watermark has passed the
+    row's join window (Spark must be SURE no match can still arrive),
+    so outer results surface a trigger later than inner ones. The
+    time-range bound is REQUIRED for outer joins: without it the
+    unmatched state could never be declared final.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -222,7 +230,7 @@ def stream_stream_join(
     )
     # drop the duplicate right-side key so downstream selects are
     # unambiguous (USING-style output)
-    return l.join(r, cond, "inner").drop(F.col(f"r.{on}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{on}"))
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):

@@ -146,3 +146,92 @@ class TestStreamStreamJoin:
         got = {(r["ad_id"], r["click_id"], r["imp_id"]) for r in table.collect()}
         assert got == {("fast", 100, 1), ("slow", 200, 2), ("fast2", 300, 4)}
         q.stop()
+
+    def test_left_outer_emits_unmatched_after_watermark(
+        self, spark, tmp_path
+    ):
+        """Outer results are withheld until the watermark PROVES no
+        match can still arrive: the unmatched click emits with a null
+        impression only in the trigger after later data advances the
+        watermark past its join window."""
+        t = dt.datetime(2025, 1, 1, 9, 0, 0)
+        imp_dir = str(tmp_path / "imps")
+        click_dir = str(tmp_path / "clicks")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(imp_dir)
+        os.makedirs(click_dir)
+        spark.createDataFrame([("ad1", 1, t)], IMP_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(imp_dir)
+        spark.createDataFrame(
+            [
+                ("ad1", 100, t + dt.timedelta(minutes=10)),  # matches
+                ("ad9", 900, t),  # no impression ever
+            ],
+            CLICK_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(click_dir)
+
+        def drain():
+            imps = spark.readStream.schema(IMP_SCHEMA).parquet(imp_dir)
+            clicks = (
+                spark.readStream.schema(CLICK_SCHEMA)
+                .parquet(click_dir)
+                .withColumnRenamed("ts", "click_ts")
+            )
+            joined = stream_stream_join(
+                clicks,
+                imps,
+                on="ad_id",
+                left_ts="click_ts",
+                right_ts="ts",
+                watermark="10 minutes",
+                max_lag="30 minutes",
+                how="left_outer",
+            ).select("ad_id", "click_id", "imp_id")
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        got1 = {
+            (r["ad_id"], r["click_id"], r["imp_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # inner results emit immediately; the unmatched click is NOT
+        # final yet (a matching impression could still arrive)
+        assert got1 == {("ad1", 100, 1)}
+
+        # later data on BOTH sides advances the watermark past ad9's
+        # join window — the query watermark is the MIN across all
+        # watermarked inputs (the same global-watermark fact
+        # test_per_key_watermark_skew pins), so advancing only the
+        # click side would hold the join watermark at the stale imp
+        # side forever. The new watermark only takes effect at the
+        # NEXT trigger (watermarks commit at batch end), so a third
+        # drain is what actually evicts and emits the unmatched row —
+        # the extra trigger of latency every outer stream-stream join
+        # carries.
+        spark.createDataFrame(
+            [("ad1", 101, t + dt.timedelta(hours=2))], CLICK_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(click_dir)
+        spark.createDataFrame(
+            [("ad1", 9, t + dt.timedelta(hours=2))], IMP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(imp_dir)
+        drain()
+        spark.createDataFrame(
+            [("ad1", 102, t + dt.timedelta(hours=3))], CLICK_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(click_dir)
+        drain()
+        got2 = {
+            (r["ad_id"], r["click_id"], r["imp_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert ("ad9", 900, None) in got2, got2
+        assert ("ad1", 100, 1) in got2
