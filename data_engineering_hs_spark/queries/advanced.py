@@ -628,3 +628,58 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "core_degree", F.lit(converged).alias("converged"))
         .orderBy("node")
     )
+
+
+@register(
+    "g_grid_rollup",
+    # Tile-pyramid aggregation (the map-server / hypertable shape):
+    # one scan produces event counts at three zoom levels of a
+    # quadtree grid. All cell math is INTEGER — coordinates stay in
+    # quarter-degree units (lat_q 0..143, lon_q 0..287) and the cell
+    # index is (lat_q * 2^z) div 144 — so the rollup hashes
+    # identically across engines; no float boundary can flip a cell.
+    oracle="""
+WITH pts AS (
+  SELECT event_id, user_id,
+         (user_id * 79) % 144 AS lat_q,
+         (user_id * 131) % 288 AS lon_q
+  FROM events
+), z AS (SELECT UNNEST([2, 4, 6]) AS zoom)
+SELECT zoom,
+       CAST(((lat_q * (1 << zoom)) // 144) * (1 << zoom)
+            + ((lon_q * (1 << zoom)) // 288) AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pts CROSS JOIN z
+GROUP BY zoom, cell
+ORDER BY zoom, cell
+""",
+    doc="multi-resolution spatial grid rollup: events aggregated into "
+    "quadtree cells at zoom 2/4/6 in one scan (tile-pyramid "
+    "preaggregation) — exact integer cell assignment from the same "
+    "deterministic synthetic coordinates as g_radius_join",
+)
+def g_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") * 79 % 144).alias("lat_q"),
+        (F.col("user_id") * 131 % 288).alias("lon_q"),
+    )
+    zoomed = pts.select(
+        "*", F.explode(F.array(F.lit(2), F.lit(4), F.lit(6))).alias("zoom")
+    )
+    cell = F.expr(
+        "CAST(((lat_q * shiftleft(1, zoom)) div 144) * shiftleft(1, zoom)"
+        " + ((lon_q * shiftleft(1, zoom)) div 288) AS BIGINT)"
+    )
+    return (
+        zoomed.select("zoom", cell.alias("cell"), "event_id", "user_id")
+        .groupBy("zoom", "cell")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("zoom", "cell")
+    )
