@@ -661,3 +661,153 @@ def a_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "a_rfm_segments",
+    # ntile is deterministic once the ORDER BY is a total order
+    # (value + user_id tiebreak), so the segment digits hash across
+    # engines; recency is an integer day difference vs the global max
+    # purchase day, monetary is exact cents.
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), mx AS (SELECT MAX(last_day) AS max_day FROM p),
+scored AS (
+  SELECT user_id, frequency, monetary_cents,
+         CAST(date_diff('day', last_day, max_day) AS BIGINT)
+           AS recency_days
+  FROM p CROSS JOIN mx
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT)
+         AS r_tile,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+         AS f_tile,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)
+         AS m_tile
+FROM scored ORDER BY user_id
+""",
+    doc="RFM customer segmentation: per-user recency (integer days vs "
+    "the global max purchase day), frequency, and exact-cent "
+    "monetary value, each quintiled by deterministic ntile — the "
+    "standard marketing-segmentation rollup",
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    mx = p.agg(F.max("last_day").alias("max_day"))
+    # 1-row scalar frame — the sanctioned crossJoin shape
+    scored = p.crossJoin(mx).select(
+        "user_id",
+        F.datediff(F.col("max_day"), F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .cast("long")
+        .alias("r_tile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("long")
+        .alias("f_tile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        .cast("long")
+        .alias("m_tile"),
+    ).orderBy("user_id")
+
+
+@register(
+    "dq_referential_integrity",
+    # One planted orphan per foreign-key edge (key -1 never exists in
+    # any parent) keeps the audit non-vacuous: every edge must report
+    # its real orphan count PLUS exactly the planted one, so a broken
+    # detector that always returns 0 goes red. Left-anti per edge,
+    # parents broadcast where small.
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+  FROM (SELECT l_orderkey AS k FROM lineitem UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT o_custkey AS k FROM orders UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT s_nationkey AS k FROM supplier UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT l_partkey AS k FROM lineitem UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT l_suppkey AS k FROM lineitem UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT s_suppkey FROM supplier)
+  UNION ALL
+  SELECT 'nation->region', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT n_regionkey AS k FROM nation UNION ALL SELECT -1) c
+  WHERE k NOT IN (SELECT r_regionkey FROM region)
+) ORDER BY edge
+""",
+    doc="catalog-wide referential-integrity audit: orphan counts for "
+    "every foreign-key edge of the star schema in one result, with "
+    "one planted orphan per edge proving the detector fires",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for edge, child, ck, parent, pk in edges:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ck).alias("k"))
+            .unionByName(
+                spark.range(1).select(F.lit(-1).cast("long").alias("k"))
+            )
+        )
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        parts.append(orphans.select(F.lit(edge).alias("edge"), "n_orphans"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("edge")

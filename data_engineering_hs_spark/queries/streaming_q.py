@@ -250,3 +250,59 @@ def st_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("__cents").cast("double") / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "st_stream_stream_join",
+    # Watermarked stream-stream inner join, driver-verified: clicks
+    # and views read as TWO independent streams over the same events
+    # parquet; the time-range join (view within 30 min before the
+    # click) matches the oracle's plain batch join because inner
+    # matches emit immediately and the generous watermark drops
+    # nothing in the availableNow drain. The joined pairs drain
+    # first; the per-user rollup happens batch-side on the drained
+    # table (a non-windowed streaming agg after a stream-stream join
+    # can't emit in append mode — operational fact, documented).
+    oracle="""
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+GROUP BY c.user_id ORDER BY c.user_id
+""",
+    doc="stream-stream join (view-to-click attribution): two streams "
+    "over events, watermarked time-range inner join, per-user "
+    "attributed-pair counts — batch-join parity is the correctness "
+    "claim",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.streaming.pipelines import (
+        stream_stream_join,
+    )
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    joined = stream_stream_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="c_ts",
+        right_ts="v_ts",
+        watermark="30 days",
+        max_lag="30 minutes",
+    )
+    out = _drain(joined, spark, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").alias("n_attributed"))
+        .orderBy("user_id")
+    )
