@@ -307,3 +307,77 @@ def w_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(w).cast("double")
         ).alias("share"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "a_rolling_distinct_hll",
+    # Rolling 7-day distinct users, twice: exactly (day-range join +
+    # distinct — what the oracle restates) and via MERGEABLE daily
+    # HLL sketches (hll_sketch_agg per day once, hll_union_agg over
+    # each 7-day window). The sketch path is the 100-TB shape — raw
+    # events are scanned once per day ever, windows merge byte-sized
+    # sketches — and its estimate rides along as a hash-safe audit
+    # boolean (within 5% of exact; lgConfigK=12 keeps worst-case
+    # error ~1.6%). The exact columns hash-check; a sketch-path
+    # regression flips est_ok red.
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), ex AS (
+  SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users
+  FROM days d
+  JOIN (SELECT CAST(ts AS DATE) AS eday, user_id FROM events) e
+    ON e.eday BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(day AS VARCHAR) AS day, exact_users, TRUE AS est_ok
+FROM ex ORDER BY day
+""",
+    doc="rolling 7-day distinct users: exact (day-range join) AND "
+    "merged daily HLL sketches — the mergeable-sketch scale path "
+    "audited against the exact count (estimate within 5% as data)",
+)
+def a_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: F401  (day-join form used)
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    days = daily.select(F.col("day").alias("d"))
+    # day-range join: the "window" side is the tiny day list, the
+    # sketch side is one row per day — both engines see the same
+    # exact counts; the sketch union is Spark-only and lands in the
+    # audit boolean
+    merged = (
+        days.join(
+            daily,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+    )
+    exact = (
+        days.join(
+            e, (e.day >= F.date_sub(F.col("d"), 6)) & (e.day <= F.col("d"))
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(merged, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                * 100 <= F.col("exact_users") * 5
+            ).alias("est_ok"),
+        )
+        .orderBy("day")
+    )
