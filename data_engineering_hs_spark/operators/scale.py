@@ -163,3 +163,57 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: Sequence[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+    bits: int = 12,
+) -> dict:
+    """One-call table maintenance — the OPTIMIZE [ZORDER BY] analog.
+
+    Without zorder_cols: plain small-files compaction (delegates to
+    sources.parquet.compact_parquet, crash-safe rename-aside swap).
+    With zorder_cols: rewrites the directory laid out along the
+    Morton curve AND right-sized (file count from on-disk bytes /
+    target), through the same crash-safe swap, so one maintenance
+    window fixes both file-count and clustering. Returns
+    {"files_before", "files_after", "bytes"}.
+    """
+    import math
+    import os
+    import shutil
+
+    from data_engineering_hs_spark.sources.parquet import compact_parquet
+
+    if not zorder_cols:
+        return compact_parquet(
+            spark, path, target_file_bytes=target_file_bytes
+        )
+
+    def data_files(d: str) -> list[str]:
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+
+    before = data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    norm = path.rstrip("/")
+    tmp, old = norm + ".__compact", norm + ".__old"
+    zorder_write(
+        spark.read.parquet(path), tmp, zorder_cols, bits=bits,
+        n_files=n_out,
+    )
+    os.replace(norm, old)
+    os.replace(tmp, norm)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(data_files(norm)),
+        "bytes": total,
+    }

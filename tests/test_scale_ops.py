@@ -545,3 +545,60 @@ class TestBandStoreCompaction:
         )
         plan = grouped._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestOptimizeTable:
+    def test_optimize_compacts_and_zorders(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from data_engineering_hs_spark.operators.scale import optimize_table
+
+        out = str(tmp_path / "t")
+        df = spark.range(20000).select(
+            F.col("id"),
+            (F.col("id") * 7919 % 1000).alias("a"),
+            (F.col("id") * 104729 % 1000).alias("b"),
+        )
+        # fragment: 40 tiny files
+        df.repartition(40).write.parquet(out)
+        assert len(glob.glob(out + "/*.parquet")) == 40
+        res = optimize_table(
+            spark, out, zorder_cols=["a", "b"], target_file_bytes=40 << 10
+        )
+        files = glob.glob(out + "/*.parquet")
+        assert res["files_after"] == len(files) < 40
+        # content identical
+        back = spark.read.parquet(out)
+        assert back.count() == 20000
+        assert back.agg(F.sum("id")).first()[0] == sum(range(20000))
+        # z-order clustering: per-file min/max ranges on BOTH columns
+        # must be tighter than the full [0, 1000) domain on average
+        spans_a, spans_b = [], []
+        for f in files:
+            md = pq.read_metadata(f)
+            lo_a = min(md.row_group(i).column(1).statistics.min
+                       for i in range(md.num_row_groups))
+            hi_a = max(md.row_group(i).column(1).statistics.max
+                       for i in range(md.num_row_groups))
+            lo_b = min(md.row_group(i).column(2).statistics.min
+                       for i in range(md.num_row_groups))
+            hi_b = max(md.row_group(i).column(2).statistics.max
+                       for i in range(md.num_row_groups))
+            spans_a.append(hi_a - lo_a)
+            spans_b.append(hi_b - lo_b)
+        assert sum(spans_a) / len(spans_a) < 900
+        assert sum(spans_b) / len(spans_b) < 900
+
+    def test_optimize_without_zorder_is_compaction(self, spark, tmp_path):
+        import glob
+
+        from data_engineering_hs_spark.operators.scale import optimize_table
+
+        out = str(tmp_path / "t2")
+        spark.range(5000).repartition(25).write.parquet(out)
+        res = optimize_table(spark, out)
+        assert res["files_before"] == 25
+        assert res["files_after"] < 25
+        assert spark.read.parquet(out).count() == 5000
