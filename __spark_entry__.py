@@ -182,7 +182,9 @@ _MEASURED_SEC = {
     # Spark+oracle at sf0.01)
     "s_pq_topk": 10.0, "s_hybrid_rrf": 1.9, "ts_cusum_changepoints": 1.2,
     "a_attribution_models": 1.5, "m_incremental_mv": 2.1, "g_kcore": 7.3,
-    "d_minhash_lsh_audit": 2.7,
+    "d_minhash_lsh_audit": 2.7, "g_grid_rollup": 3.1,
+    "st_stream_stream_join": 4.8, "a_rfm_segments": 1.1,
+    "dq_referential_integrity": 2.6, "a_rolling_distinct_hll": 1.1,
 }
 
 
