@@ -83,3 +83,35 @@ def expect_accepted_values(
     df: DataFrame, col: str, values: Sequence[str], table: str = "t"
 ) -> None:
     _gate(accepted_values_violations(df, col, values, table))
+
+
+def split_by_rules(
+    df: DataFrame, rules: Sequence[tuple[str, str]]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (valid, quarantined-with-reasons).
+
+    `rules` are (name, SQL boolean expression that is TRUE for GOOD
+    rows). Row-level DQ as a single projection — every rule evaluates
+    once per row, the reasons array collects every failed rule name
+    (not just the first), valid rows are those with zero failures.
+    The streaming/batch twin of the source-level corrupt-record
+    quarantine (sources/json.py): that one catches unparseable rows,
+    this one catches parseable-but-invalid rows. Both frames derive
+    from one plan, so writing both sides costs one scan with cached
+    input (or two scans uncached — still no shuffle)."""
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.expr(expr), F.lit(name)).otherwise(
+                    F.lit(None).cast("string")
+                )
+                for name, expr in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("__dq_reasons", reasons)
+    valid = tagged.filter(F.size("__dq_reasons") == 0).drop("__dq_reasons")
+    quarantined = tagged.filter(F.size("__dq_reasons") > 0).withColumnRenamed(
+        "__dq_reasons", "dq_reasons"
+    )
+    return valid, quarantined

@@ -811,3 +811,83 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.orderBy("edge")
+
+
+@register(
+    "dq_quarantine_split",
+    # Planted bad rows (negative value, empty type, null user) keep
+    # the split non-vacuous; the query proves row conservation
+    # (valid + quarantined == total) and per-rule failure counts as
+    # data. Multi-rule rows count once per failed rule — the reasons
+    # ARRAY is the contract, not a first-failure short-circuit.
+    oracle="""
+WITH aug AS (
+  SELECT user_id, event_type, value FROM events
+  UNION ALL SELECT NULL, 'click', 1.0
+  UNION ALL SELECT 1, '', 2.0
+  UNION ALL SELECT 2, 'view', -5.0
+  UNION ALL SELECT NULL, '', -1.0
+), flags AS (
+  SELECT (user_id IS NOT NULL) AS ok_user,
+         (event_type IS NOT NULL AND event_type <> '') AS ok_type,
+         (value >= 0) AS ok_value
+  FROM aug
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(count_if(ok_user AND ok_type AND ok_value) AS BIGINT) AS n_valid,
+       CAST(count_if(NOT (ok_user AND ok_type AND ok_value)) AS BIGINT)
+         AS n_quarantined,
+       CAST(count_if(NOT ok_user) AS BIGINT) AS n_user_null,
+       CAST(count_if(NOT ok_type) AS BIGINT) AS n_type_empty,
+       CAST(count_if(NOT ok_value) AS BIGINT) AS n_value_negative
+FROM flags
+""",
+    doc="row-level dead-letter split: every rule evaluates per row, "
+    "reasons collect ALL failed rules, valid+quarantined conserves "
+    "the input exactly (planted bad rows prove each rule fires)",
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.quality.assertions import split_by_rules
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    bad = spark.createDataFrame(
+        [
+            (None, "click", 1.0),
+            (1, "", 2.0),
+            (2, "view", -5.0),
+            (None, "", -1.0),
+        ],
+        e.schema,
+    )
+    aug = e.unionByName(bad)
+    rules = [
+        ("user_null", "user_id IS NOT NULL"),
+        ("type_empty", "event_type IS NOT NULL AND event_type <> ''"),
+        ("value_negative", "value >= 0"),
+    ]
+    valid, quar = split_by_rules(aug, rules)
+    totals = aug.agg(F.count("*").alias("n_total"))
+    nv = valid.agg(F.count("*").alias("n_valid"))
+    per_rule = quar.agg(
+        F.count("*").alias("n_quarantined"),
+        F.sum(
+            F.array_contains("dq_reasons", "user_null").cast("long")
+        ).alias("n_user_null"),
+        F.sum(
+            F.array_contains("dq_reasons", "type_empty").cast("long")
+        ).alias("n_type_empty"),
+        F.sum(
+            F.array_contains("dq_reasons", "value_negative").cast("long")
+        ).alias("n_value_negative"),
+    )
+    # 1-row scalar frames — the sanctioned crossJoin shape
+    return totals.crossJoin(nv).crossJoin(per_rule).select(
+        "n_total",
+        "n_valid",
+        "n_quarantined",
+        "n_user_null",
+        "n_type_empty",
+        "n_value_negative",
+    )
