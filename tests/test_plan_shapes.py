@@ -145,3 +145,47 @@ class TestRound6PlanShapes:
     def test_event_transitions_single_user_shuffle(self, spark):
         plan = _plan(spark, "a_event_transitions")
         assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+class TestRound7PlanShapes:
+    def test_pq_topk_lut_and_queries_broadcast(self, spark):
+        # the ADC lookup table and the query vectors must broadcast —
+        # the corpus codes are the only big side and never shuffle
+        # for the scoring join
+        from data_engineering_hs_spark.operators.similarity import (
+            pq_topk,
+            pq_train,
+        )
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        cb = pq_train(e, m=8, k=16, iters=1)
+        q = e.filter(F.col("vec_id") < 5)
+        plan = plan_string(pq_topk(e, q, cb, k=5, shortlist=20))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_grid_rollup_partial_agg_and_pruned_scan(self, spark):
+        plan = _plan(spark, "g_grid_rollup")
+        # partial aggregation before the zoom-cell shuffle
+        assert "partial_count" in plan
+        readschema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "props" not in readschema  # column pruning holds
+
+    def test_attribution_no_cartesian(self, spark):
+        plan = _plan(spark, "a_attribution_models")
+        assert "CartesianProduct" not in plan
+
+    def test_hll_rolling_reads_events_once_per_branch(self, spark):
+        plan = _plan(spark, "a_rolling_distinct_hll")
+        assert "CartesianProduct" not in plan
+
+    def test_referential_integrity_broadcasts_small_parents(self, spark):
+        from data_engineering_hs_spark.plans.inspect import plan_summary
+
+        summary = plan_summary(
+            REGISTRY["dq_referential_integrity"].fn(spark, SF001)
+        )
+        # nation/region/supplier/part/customer parents all broadcast;
+        # no sort-merge anti-join should appear at dim scale
+        assert summary["broadcast_joins"] >= 5
