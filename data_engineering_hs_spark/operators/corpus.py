@@ -513,3 +513,46 @@ def segment_dedup(
             F.concat_ws(" ", kept_in_order).alias("dedup_text"),
         )
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashing-trick count vectorizer → (id, indices, counts), sparse.
+
+    index(token) = pmod(xxhash64(token), dim); counts accumulate per
+    (id, index) and collect sorted by index — a deterministic sparse
+    vector (two shuffles on id-keyed groups; the explode→groupBy form
+    stays whole-stage-codegen'd, unlike per-element HOF lambdas).
+    The unsigned counting variant preserves the L1 invariant
+    sum(counts) == token count EXACTLY under any collision pattern —
+    the cross-engine-checkable conservation law its registry query
+    hashes. (The signed variant that unbiases dot products trades
+    that away; add a sign = xxhash64(token, 1) % 2 factor when an
+    unbiased kernel matters more than the audit.)
+    """
+    from data_engineering_hs_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    cell = toks.select(
+        id_col, F.pmod(F.xxhash64("__tok"), F.lit(dim)).alias("idx")
+    ).groupBy(id_col, "idx").agg(F.count("*").alias("cnt"))
+    return (
+        cell.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "cnt"))
+            ).alias("__cells")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__cells", lambda s: s["idx"]).alias("indices"),
+            F.transform("__cells", lambda s: s["cnt"]).alias("counts"),
+        )
+    )

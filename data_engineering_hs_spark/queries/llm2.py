@@ -1249,3 +1249,36 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "t_feature_hash",
+    # The hashed indices are engine-specific (xxhash64), but the
+    # counting vectorizer's conservation law is not: the L1 norm of
+    # every document's sparse vector equals its whitespace token
+    # count exactly, under any collision pattern. Per-row hard
+    # oracle; vector determinism (identical text → identical sparse
+    # vector) is pinned in tests.
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS l1
+FROM documents WHERE length(trim(text)) > 0
+ORDER BY doc_id
+""",
+    doc="hashing-trick count vectorizer (1024-dim sparse): per-doc "
+    "L1-conservation audit — sum(counts) must equal the token count "
+    "whatever the hash collisions do",
+)
+def t_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.corpus import feature_hash_counts
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    vecs = feature_hash_counts(d, "text", "doc_id", dim=1024)
+    return vecs.select(
+        "doc_id",
+        F.aggregate(
+            "counts", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("l1"),
+    ).orderBy("doc_id")

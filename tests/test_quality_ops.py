@@ -929,3 +929,43 @@ class TestProductQuantization:
         }
         for r in pq_topk(e, q, cb, k=5, shortlist=50).collect():
             assert r["cos_sim"] == exact[(r["query_id"], r["neighbor_id"])]
+
+
+class TestFeatureHash:
+    def test_identical_text_identical_vector_and_determinism(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            feature_hash_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma alpha"),
+                (2, "alpha beta gamma alpha"),  # byte-identical
+                (3, "delta epsilon"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: (tuple(r["indices"]), tuple(r["counts"]))
+            for r in feature_hash_counts(docs, dim=64).collect()
+        }
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+        assert sum(rows[1][1]) == 4  # L1 == token count
+        # indices sorted and within dim
+        assert list(rows[1][0]) == sorted(rows[1][0])
+        assert all(0 <= i < 64 for i in rows[1][0])
+
+    def test_collisions_conserve_l1(self, spark):
+        from data_engineering_hs_spark.operators.corpus import (
+            feature_hash_counts,
+        )
+
+        # dim=2 forces heavy collisions; L1 must still equal n_tokens
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"tok{i}" for i in range(50)))],
+            ["doc_id", "text"],
+        )
+        r = feature_hash_counts(docs, dim=2).collect()[0]
+        assert sum(r["counts"]) == 50
+        assert len(r["indices"]) <= 2
