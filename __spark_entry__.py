@@ -97,6 +97,7 @@ _RECHECK_THIS_ROUND = frozenset(
         "d_incremental_lsh",
         "d_dup_components_lsh",
         "t_pack_contexts",
+        "t_curate_training_set",  # r7: golden → composed stage SQL
     }
 )
 

@@ -1366,15 +1366,121 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rk", rk).filter(F.col("rk") <= 20).select("token", "n")
 
 
+def _curate_oracle() -> str:
+    """The whole pipeline is SQL-expressible stage by stage (each
+    stage's restatement is already proven bit-exact by its own
+    registry query), so the composition gets a hard oracle too:
+    - exact-dup collapse groups by the NORMALIZED TEXT itself instead
+      of its xxhash64 fingerprint — identical partitioning;
+    - quality/langid restate the t_quality_score / t_langid SQL over
+      the deduped survivors;
+    - boilerplate ratio restates t_boilerplate_ratio (over the FULL
+      corpus, as the pipeline computes it);
+    - the split restates t_hash_split's md5 bucketing."""
+    return f"""
+WITH {_SHINGLE_CTE},
+freq AS (
+  SELECT ngram FROM sh, UNNEST(shingles) AS t(ngram)
+  GROUP BY ngram HAVING COUNT(*) >= 5
+),
+ex AS (SELECT doc_id, ngram FROM sh, UNNEST(shingles) AS t(ngram)),
+bp AS (
+  SELECT ex.doc_id,
+         CAST(COUNT(f.ngram) AS DOUBLE) / COUNT(*) AS ratio
+  FROM ex LEFT JOIN freq f ON ex.ngram = f.ngram
+  GROUP BY ex.doc_id
+),
+dd AS (
+  SELECT doc_id, lang, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+           ORDER BY doc_id) AS rn
+  FROM documents
+),
+d1 AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1),
+qc0 AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM d1
+),
+qc AS (
+  SELECT doc_id,
+         round((least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+                + (1.0 - least(pr * 5.0, 1.0))
+                + greatest(1.0 - abs(
+                    CAST(len(list_filter(toks,
+                        t -> list_contains({_STOPWORD_SQL_LIST}, lower(t))))
+                      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+                    - 0.25) * 2.0, 0.0)) / 3.0, 6) AS quality
+  FROM qc0
+),
+lt AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM d1
+),
+ls AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','is','in','that','it','was','for'], x))) AS en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','los','las','por','una','es'], x))) AS es,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','und','das','ist','nicht','ein','mit','den','zu'], x))) AS de,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','des','est','une','dans','pour','que','qui'], x))) AS fr,
+    len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS zh
+  FROM lt
+),
+lc AS (
+  SELECT doc_id,
+    CASE WHEN greatest(en, es, de, fr, zh) > 0 THEN
+      CASE WHEN zh >= greatest(en, es, de, fr) THEN 'zh'
+           WHEN fr >= greatest(en, es, de) THEN 'fr'
+           WHEN es >= greatest(en, de) THEN 'es'
+           WHEN en >= de THEN 'en'
+           ELSE 'de' END
+    ELSE 'und' END AS pred_lang
+  FROM ls
+),
+kept AS (
+  SELECT d1.doc_id, d1.lang, qc.quality
+  FROM d1
+  JOIN qc USING (doc_id)
+  JOIN lc USING (doc_id)
+  LEFT JOIN bp ON bp.doc_id = d1.doc_id
+  WHERE qc.quality >= 0.4
+    AND lc.pred_lang = d1.lang
+    AND coalesce(bp.ratio, 0.0) <= 0.8
+)
+SELECT doc_id, lang, quality,
+       CASE WHEN CAST(concat('0x',
+                 substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST(concat('0x',
+                 substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM kept ORDER BY doc_id
+"""
+
+
 @register(
     "t_curate_training_set",
-    oracle=None,  # composes engine-defined scores (quality, langid) →
-    # golden-pinned; each stage is separately oracled/pinned
+    oracle=_curate_oracle(),
     doc="the end-to-end curation pipeline: exact-dup collapse (keep "
     "min doc_id per fingerprint) → quality floor → language filter → "
     "boilerplate ceiling → deterministic train/val/test split. One "
     "query composing six operators — the flagship LLM-training-data "
-    "use case this engine exists for",
+    "use case this engine exists for; fully restated stage-by-stage "
+    "in the DuckDB oracle (r7 conversion — was golden-pinned)",
 )
 def t_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -33,13 +33,14 @@ GOLDENS = {
     # d_winnow_fingerprints / d_incremental_lsh / d_dup_components_lsh /
     # t_pack_contexts converted to hard DuckDB invariant-audit oracles
     # (recall vs exact truth set, planted-duplicate completeness,
-    # conservation laws). The three below are the irreducible tail:
-    # raw xxhash64 pair values (benchmarked as-is), Spark-specific
-    # session-window assignment, and a pipeline composing
-    # engine-defined scores.
+    # conservation laws); t_curate_training_set converted to a full
+    # stage-by-stage SQL restatement (every stage already proven
+    # bit-exact by its own registry query). The two below are the
+    # irreducible tail: raw xxhash64 pair values (benchmarked as-is,
+    # audited by d_minhash_lsh_audit) and Spark-specific
+    # session-window assignment (batch twin + parity test cover it).
     "d_minhash_lsh": (25, "99ec31279b9c097cd9e63d2c39396317"),
     "st_session_windows": (9549, "fde46ec19869239d8247e71de6c02bfb"),
-    "t_curate_training_set": (160, "61395cfaca53fecd1bdae6179734332e"),
 }
 
 
