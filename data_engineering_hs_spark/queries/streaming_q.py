@@ -306,3 +306,37 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_attributed"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "st_dedup_stream",
+    # dropDuplicates on a stream keeps first-arrival per key with
+    # state; over a bounded availableNow drain the surviving set
+    # equals batch DISTINCT on the key, so the per-type rollup of
+    # survivors is batch-checkable. The planted duplicate rows
+    # (every 10th event re-emitted through a second stream read)
+    # prove the state actually drops: without dedup the counts would
+    # be ~10% higher and the hash would miss.
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="streaming deduplication: a duplicated event stream (every "
+    "10th event re-emitted) deduped on event_id with streaming "
+    "state; per-type counts of survivors must equal the clean "
+    "batch counts",
+)
+def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _events_stream(spark, sf_dir).select("event_id", "event_type")
+    dups = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "event_type")
+    )
+    deduped = base.unionByName(dups).dropDuplicates(["event_id"])
+    out = _drain(deduped, spark, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
