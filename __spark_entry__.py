@@ -186,6 +186,8 @@ _MEASURED_SEC = {
     "d_minhash_lsh_audit": 2.7, "g_grid_rollup": 3.1,
     "st_stream_stream_join": 4.8, "a_rfm_segments": 1.1,
     "dq_referential_integrity": 2.6, "a_rolling_distinct_hll": 1.1,
+    "t_feature_hash": 1.5, "dq_quarantine_split": 1.5,
+    "st_dedup_stream": 3.0,
 }
 
 
