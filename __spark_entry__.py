@@ -181,7 +181,7 @@ _MEASURED_SEC = {
     "d_dup_components_star": 9.0, "w_open_orders_timeline": 0.7,
     # r7 additions (new queries + audit-converted outputs, measured
     # Spark+oracle at sf0.01)
-    "s_pq_topk": 10.0, "s_hybrid_rrf": 1.9, "ts_cusum_changepoints": 1.2,
+    "s_pq_topk": 7.5, "s_hybrid_rrf": 1.9, "ts_cusum_changepoints": 1.2,
     "a_attribution_models": 1.5, "m_incremental_mv": 2.1, "g_kcore": 7.3,
     "d_minhash_lsh_audit": 2.7, "g_grid_rollup": 3.1,
     "st_stream_stream_join": 4.8, "a_rfm_segments": 1.1,

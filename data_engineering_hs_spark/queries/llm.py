@@ -702,12 +702,14 @@ def s_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "raw embeddings don't fit the cluster), emitted as a recall "
     "audit vs the exact truth set: oracle pins truth count + id "
     "checksum, query proves recall@5 >= 0.4 (floor from "
-    "tests/test_quality_ops; measured ~0.73 at 20 queries)",
+    "tests/test_quality_ops; measured ~0.73-0.76 at 20 queries and "
+    "FLAT across 1-3 Lloyd iterations on the isotropic vectors, so "
+    "the query trains 2)",
 )
 def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    cb = S.pq_train(e, m=8, k=16, iters=3)
+    cb = S.pq_train(e, m=8, k=16, iters=2)
     exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
     approx = S.pq_topk(e, q, cb, k=5, shortlist=50).select(
         "query_id", "neighbor_id"
