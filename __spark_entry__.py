@@ -98,6 +98,7 @@ _RECHECK_THIS_ROUND = frozenset(
         "d_dup_components_lsh",
         "t_pack_contexts",
         "t_curate_training_set",  # r7: golden → composed stage SQL
+        "st_session_windows",     # r7: golden → lag-gap restatement
     }
 )
 

@@ -191,10 +191,44 @@ def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st_session_windows",
-    oracle=None,  # session-window semantics have no clean single-pass
-    # SQL equivalent → rows-only; behavior pinned in tests
+    # Spark's session_window is expressible as the lag-gap idiom the
+    # oracled batch twin (w_sessionize_batch) already proves: a new
+    # session starts when the gap to the previous event EXCEEDS 30
+    # minutes, and the window end is the last event's ts + gap. The
+    # stream/batch parity test (test_session_parity) pins the same
+    # equivalence Spark-side. Boundary caveat: an event at EXACTLY
+    # prev+gap would probe whether Spark's exclusive window end
+    # splits where the lag-gap `>` does not — no such event exists
+    # in any generated testdata (microsecond timestamps), and the
+    # parity test would catch a semantic drift first.
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session,
+         event_id
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
     doc="gap-based session windows per user over the events stream "
-    "(§2.9 session_window extension)",
+    "(§2.9 session_window extension); oracle is the lag-gap batch "
+    "restatement with end = last event + gap (r7 conversion — was "
+    "golden-pinned)",
 )
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_stream(spark, sf_dir)

@@ -29,18 +29,16 @@ load_all()
 
 # (row_count, md5 of canonicalized rows) at sf0.01
 GOLDENS = {
-    # r7: s_ivf_topk / s_lsh_topk / s_embedding_near_dup /
-    # d_winnow_fingerprints / d_incremental_lsh / d_dup_components_lsh /
-    # t_pack_contexts converted to hard DuckDB invariant-audit oracles
-    # (recall vs exact truth set, planted-duplicate completeness,
-    # conservation laws); t_curate_training_set converted to a full
-    # stage-by-stage SQL restatement (every stage already proven
-    # bit-exact by its own registry query). The two below are the
-    # irreducible tail: raw xxhash64 pair values (benchmarked as-is,
-    # audited by d_minhash_lsh_audit) and Spark-specific
-    # session-window assignment (batch twin + parity test cover it).
+    # r7: the LSH/ANN/packing set converted to invariant-audit
+    # oracles (recall vs exact truth, planted-dup completeness,
+    # conservation laws); t_curate_training_set to a full composed
+    # stage-by-stage restatement; st_session_windows to the lag-gap
+    # batch restatement (end = last event + gap). The one query left
+    # is irreducible BY DESIGN: d_minhash_lsh emits raw xxhash64
+    # candidate pairs (the bench headline — kept as raw output so
+    # the benchmark measures the real operator, while its planted
+    # completeness is hash-checked by d_minhash_lsh_audit).
     "d_minhash_lsh": (25, "99ec31279b9c097cd9e63d2c39396317"),
-    "st_session_windows": (9549, "fde46ec19869239d8247e71de6c02bfb"),
 }
 
 
