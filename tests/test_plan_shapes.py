@@ -189,3 +189,47 @@ class TestRound7PlanShapes:
         # nation/region/supplier/part/customer parents all broadcast;
         # no sort-merge anti-join should appear at dim scale
         assert summary["broadcast_joins"] >= 5
+
+
+class TestParquetAggregatePushdown:
+    def test_min_max_count_answered_from_footer_stats(self, spark):
+        """Parquet V2 scans can answer MIN/MAX/COUNT from row-group
+        statistics without reading data pages — the metadata-only
+        fast path for freshness/rowcount probes over huge tables.
+        Requires BOTH spark.sql.parquet.aggregatePushdown=true AND
+        the V2 read path (useV1SourceList must exclude parquet);
+        with defaults the plan silently falls back to a full scan."""
+        from pyspark.sql import functions as F
+
+        old = {
+            "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+                "spark.sql.parquet.aggregatePushdown", None
+            ),
+            "spark.sql.sources.useV1SourceList": spark.conf.get(
+                "spark.sql.sources.useV1SourceList", None
+            ),
+        }
+        try:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+            spark.conf.set("spark.sql.sources.useV1SourceList", "")
+            df = spark.read.parquet(f"{SF001}/lineitem.parquet")
+            agg = df.agg(
+                F.min("l_shipdate").alias("lo"),
+                F.max("l_shipdate").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            plan = plan_string(agg)
+            assert "PushedAggregation" in plan, plan
+            row = agg.collect()[0]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        # stats-only answers must equal the data-path answers
+        df2 = spark.read.parquet(f"{SF001}/lineitem.parquet")
+        truth = df2.agg(
+            F.min("l_shipdate"), F.max("l_shipdate"), F.count("*")
+        ).collect()[0]
+        assert (row["lo"], row["hi"], row["n"]) == tuple(truth)
