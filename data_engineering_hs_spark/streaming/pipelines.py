@@ -358,3 +358,36 @@ def streaming_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def progress_summary(query) -> dict:
+    """Operational rollup of a StreamingQuery's recentProgress — the
+    numbers an on-call actually pages on: batches processed, rows in,
+    peak processing rate, cumulative batch wall time, and the last
+    event-time watermark. Reads the query's progress JSON only (no
+    Spark jobs), so it's free to call on a live stream.
+
+    Returns {"n_batches", "rows_total", "peak_rows_per_sec",
+    "total_batch_ms", "last_watermark"} (zeros/None when the query
+    has made no progress yet).
+    """
+    progress = [p for p in (query.recentProgress or []) if p]
+    rows_total = 0
+    peak_rate = 0.0
+    total_ms = 0
+    last_wm = None
+    for p in progress:
+        rows_total += int(p.get("numInputRows") or 0)
+        rate = float(p.get("processedRowsPerSecond") or 0.0)
+        peak_rate = max(peak_rate, rate)
+        total_ms += int((p.get("durationMs") or {}).get("triggerExecution") or 0)
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm:
+            last_wm = wm
+    return {
+        "n_batches": len(progress),
+        "rows_total": rows_total,
+        "peak_rows_per_sec": peak_rate,
+        "total_batch_ms": total_ms,
+        "last_watermark": last_wm,
+    }
