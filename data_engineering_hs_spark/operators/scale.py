@@ -217,3 +217,35 @@ def optimize_table(
         "files_after": len(data_files(norm)),
         "bytes": total,
     }
+
+
+def register_bucketed_store(
+    spark: SparkSession,
+    table_name: str,
+    schema_ddl: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    location: str,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Re-attach an existing bucketed store DIRECTORY to a new
+    session's catalog.
+
+    Managed-table METADATA is session-scoped with the in-memory
+    catalog: the warehouse files outlive the session, the table
+    registration does not — a fresh session's spark.table() knows
+    nothing about last week's store. Bucket identity lives in the
+    FILE NAMES (the _000NN suffix saveAsTable writes), so declaring
+    the same CLUSTERED BY spec over the existing directory restores
+    the full Exchange-free read contract (proven in
+    tests/test_scale_ops.py: the re-registered table's groupBy plans
+    no Exchange). The bucket spec MUST match what the files were
+    written with — Spark trusts the declaration.
+    """
+    cols = ", ".join(bucket_cols)
+    sort = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table_name} ({schema_ddl}) "
+        f"USING PARQUET CLUSTERED BY ({cols}) {sort}"
+        f"INTO {num_buckets} BUCKETS LOCATION '{location}'"
+    )

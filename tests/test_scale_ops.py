@@ -602,3 +602,47 @@ class TestOptimizeTable:
         assert res["files_before"] == 25
         assert res["files_after"] < 25
         assert spark.read.parquet(out).count() == 5000
+
+
+class TestRegisterBucketedStore:
+    def test_reattached_store_keeps_exchange_free_reads(self, spark, tmp_path):
+        """Simulates the cross-session catalog loss: write a bucketed
+        store, lose the registration (DROP on a copied dir), re-attach
+        with register_bucketed_store — rows and the Exchange-free
+        grouping contract must survive."""
+        import shutil
+
+        from data_engineering_hs_spark.operators.scale import (
+            register_bucketed_store,
+            write_bucketed,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS b_reattach_src")
+        shutil.rmtree("spark-warehouse/b_reattach_src", ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS b_reattach_back")
+        df = spark.range(500).selectExpr(
+            "id % 5 AS band", "id % 11 AS bucket", "id AS doc_id"
+        )
+        write_bucketed(
+            df, "b_reattach_src", ["band", "bucket"], num_buckets=8,
+            sort_cols=["band", "bucket"],
+        )
+        before = {tuple(r) for r in spark.table("b_reattach_src").collect()}
+        loc = str(tmp_path / "store_copy")
+        shutil.copytree("spark-warehouse/b_reattach_src", loc)
+        spark.sql("DROP TABLE b_reattach_src")  # the "new session"
+        register_bucketed_store(
+            spark,
+            "b_reattach_back",
+            "band BIGINT, bucket BIGINT, doc_id BIGINT",
+            ["band", "bucket"],
+            8,
+            loc,
+            sort_cols=["band", "bucket"],
+        )
+        t = spark.table("b_reattach_back")
+        assert {tuple(r) for r in t.collect()} == before
+        g = t.groupBy("band", "bucket").agg(F.collect_list("doc_id"))
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        spark.sql("DROP TABLE b_reattach_back")
