@@ -24,11 +24,20 @@ from pyspark.sql import functions as F
 OP_COL = "op"
 
 
-def _neq_any(left: DataFrame, right: DataFrame, cols: Sequence[str]):
-    """True when any compare column differs (null-safe)."""
+def _neq_any(left_alias: str, right_alias: str, cols: Sequence[str]):
+    """True when any compare column differs (null-safe).
+
+    Takes alias NAMES, not DataFrames: when both sides derive from the
+    same cached table their DataFrame-indexed columns carry identical
+    expression IDs and the join trips failAmbiguousSelfJoin. String-
+    qualified columns (`F.col("o.c")`) resolve against the aliases
+    instead, which is safe on both sides of a self-join.
+    """
     cond = F.lit(False)
     for c in cols:
-        cond = cond | ~left[c].eqNullSafe(right[c])
+        cond = cond | ~F.col(f"{left_alias}.{c}").eqNullSafe(
+            F.col(f"{right_alias}.{c}")
+        )
     return cond
 
 
@@ -49,25 +58,37 @@ def snapshot_diff(
 
     One full-outer shuffle join on the keys; comparisons are null-safe
     Column algebra, so the whole diff stays inside codegen.
+
+    Columns are referenced by string-qualified alias (`F.col("o.k")`)
+    rather than DataFrame indexing: when `old` and `new` both derive
+    from one cached table (the driver harness caches every source
+    table), DataFrame-indexed columns share expression IDs across the
+    two sides and Spark's failAmbiguousSelfJoin check rejects the
+    plan. Qualified names resolve against the join-side aliases, so
+    the same code handles genuine snapshots and self-join-style diffs.
     """
     compare_cols = list(compare_cols or [c for c in new.columns if c not in keys])
     o = old.alias("o")
     n = new.alias("n")
-    cond = [o[k].eqNullSafe(n[k]) for k in keys]
+    cond = [
+        F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys
+    ]
     j = o.join(n, cond, "full_outer")
     # presence detection must not rely on nullable data columns: use a
     # key column (keys are non-null by contract in both snapshots)
     k0 = keys[0]
-    new_present = n[k0].isNotNull()
-    old_present = o[k0].isNotNull()
+    new_present = F.col(f"n.{k0}").isNotNull()
+    old_present = F.col(f"o.{k0}").isNotNull()
     op = (
         F.when(~old_present, F.lit("insert"))
         .when(~new_present, F.lit("delete"))
-        .when(_neq_any(o, n, compare_cols), F.lit("update"))
+        .when(_neq_any("o", "n", compare_cols), F.lit("update"))
         .otherwise(F.lit(None))
     )
-    out_keys = [F.coalesce(n[k], o[k]).alias(k) for k in keys]
-    out_vals = [n[c].alias(c) for c in compare_cols]
+    out_keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    out_vals = [F.col(f"n.{c}").alias(c) for c in compare_cols]
     return (
         j.select(*out_keys, *out_vals, op.alias(OP_COL))
         .filter(F.col(OP_COL).isNotNull())
