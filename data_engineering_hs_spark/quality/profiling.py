@@ -7,17 +7,22 @@
   min/max serialize as strings so one long-format report covers mixed
   column types (the DuckDB oracle does the same).
 - key_skew_stats: join/groupBy-key distribution diagnostics —
-  (n_keys, n_rows, max_share, top1_cnt, p99_cnt). max_share is the
-  hot-key fraction: > a few percent means a plain shuffle join will
+  (n_keys, n_rows, top1_cnt, max_share_ppm, p99_cnt). max_share_ppm
+  is the hot-key fraction in parts-per-million: > a few percent
+  (tens of thousands of ppm) means a plain shuffle join will
   straggle and the key needs AQE skew-split or salting
   (operators.scale.salted_join). Run this BEFORE picking a join
   strategy at scale; it is the measurement the salting decision
-  should cite.
+  should cite. Every output is an INTEGER by design: the report is
+  hash-compared against cross-engine oracles, and doubles (a share
+  ratio, an interpolated percentile) diverge by ulps between
+  engines — floor-to-ppm and nearest-rank end the argument without
+  losing any precision a skew decision could use.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,20 +51,43 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
     """Single-row key-distribution summary for a prospective join/agg
-    key. Two aggregations: per-key counts (map-side combined), then
-    scalar stats over the (small) key-count frame."""
+    key. All-integer outputs (see module docstring): max_share_ppm =
+    floor(1e6 * top1_cnt / n_rows), p99_cnt = classic nearest-rank
+    percentile (the count held by the key at sorted position
+    ceil(0.99 * n_keys)).
+
+    Scale path: per-key counts reduce map-side; the percentile is
+    then computed from a HISTOGRAM of count values (count -> how many
+    keys have it), not by buffering every key's count — distinct
+    count-VALUES number in the hundreds even when distinct KEYS
+    number in the billions, so the cumulative-sum window runs over a
+    driver-trivial frame and nothing in the plan holds per-key state.
+    """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    return counts.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("__cnt").alias("n_rows"),
+    hist = counts.groupBy("__cnt").agg(F.count(F.lit(1)).alias("__freq"))
+    totals = hist.agg(
+        F.sum("__freq").alias("n_keys"),
+        F.sum(F.col("__cnt") * F.col("__freq")).alias("n_rows"),
         F.max("__cnt").alias("top1_cnt"),
-        (F.max("__cnt").cast("double") / F.sum("__cnt")).alias("max_share"),
-        # Rounded: p99 is a linear interpolation between two integer
-        # counts; shipping the raw double through an exact-hash compare
-        # is ulp-fragile across engines (DuckDB's quantile_cont agrees
-        # to ~1e-12, not bit-exactly). 4 decimals is far finer than any
-        # skew decision needs.
-        F.round(F.expr("percentile(__cnt, 0.99)"), 4).alias("p99_cnt"),
+    )
+    # Cumulative key-count up each distinct count value; the frame is
+    # tiny (distinct __cnt values), so the unpartitioned window is
+    # deliberate, not an oversight.
+    w = Window.orderBy("__cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("__cnt", F.sum("__freq").over(w).alias("__cum"))
+    p99 = (
+        cum.crossJoin(F.broadcast(totals.select("n_keys")))
+        .where(F.col("__cum") >= F.ceil(F.lit(0.99) * F.col("n_keys")))
+        .agg(F.min("__cnt").alias("p99_cnt"))
+    )
+    return totals.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "top1_cnt",
+        F.floor(F.lit(1_000_000) * F.col("top1_cnt") / F.col("n_rows"))
+        .cast("long")
+        .alias("max_share_ppm"),
+        "p99_cnt",
     )
 
 

@@ -801,16 +801,24 @@ def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq_key_skew",
     oracle="""
-SELECT COUNT(*) AS n_keys,
-       SUM(n) AS n_rows,
-       MAX(n) AS top1_cnt,
-       CAST(MAX(n) AS DOUBLE) / SUM(n) AS max_share,
-       ROUND(CAST(quantile_cont(n, 0.99) AS DOUBLE), 4) AS p99_cnt
-FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) t
+WITH c AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+     t AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows,
+                  MAX(n) AS top1_cnt FROM c),
+     r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM c)
+SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.top1_cnt AS BIGINT) AS top1_cnt,
+       CAST(FLOOR(1e6 * t.top1_cnt / t.n_rows) AS BIGINT)
+           AS max_share_ppm,
+       (SELECT CAST(MIN(n) AS BIGINT) FROM r
+        WHERE rn >= CEIL(0.99 * t.n_keys)) AS p99_cnt
+FROM t
 """,
     doc="join-key skew diagnostics on lineitem.l_suppkey: hot-key "
-    "share + p99 key count — the measurement behind the salting/"
-    "AQE-skew-join decision at scale",
+    "share (integer ppm) + nearest-rank p99 key count — the "
+    "measurement behind the salting/AQE-skew-join decision at scale. "
+    "All-integer outputs so the cross-engine hash compare is exact "
+    "by construction (no ratio/interpolation ulps).",
 )
 def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_hs_spark.quality.profiling import key_skew_stats

@@ -786,7 +786,13 @@ class TestProfiling:
         df = spark.createDataFrame(rows, ["k"])
         s = key_skew_stats(df, "k").collect()[0]
         assert s.n_keys == 11 and s.n_rows == 100
-        assert s.top1_cnt == 90 and abs(s.max_share - 0.9) < 1e-12
+        assert s.top1_cnt == 90 and s.max_share_ppm == 900_000
+        # nearest-rank p99: position ceil(0.99*11)=11 of the sorted
+        # counts [1x10, 90] -> 90; and every output is an integer
+        assert s.p99_cnt == 90
+        assert all(
+            isinstance(v, int) for v in s.asDict().values()
+        ), "key_skew_stats must emit only integers (hash-exact oracle)"
 
 
 class TestRetentionCohorts:
