@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 OP_COL = "op"
 
 
+def _qcol(alias: str, c: str):
+    """Alias-qualified column ref with the column segment backtick-
+    quoted: a raw f-string (`F.col(f"o.{c}")`) would mis-parse a
+    column name containing a dot as a nested-field path — these are
+    generic library entry points, so arbitrary names are in scope.
+    Literal backticks inside the name escape by doubling, per Spark's
+    quoted-identifier rules."""
+    return F.col(f"{alias}.`" + c.replace("`", "``") + "`")
+
+
+def _bq(c: str):
+    """Unaliased backtick-quoted column ref (same dot-safety as
+    _qcol, for single-frame selects)."""
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
 def _neq_any(left_alias: str, right_alias: str, cols: Sequence[str]):
     """True when any compare column differs (null-safe).
 
@@ -35,9 +51,7 @@ def _neq_any(left_alias: str, right_alias: str, cols: Sequence[str]):
     """
     cond = F.lit(False)
     for c in cols:
-        cond = cond | ~F.col(f"{left_alias}.{c}").eqNullSafe(
-            F.col(f"{right_alias}.{c}")
-        )
+        cond = cond | ~_qcol(left_alias, c).eqNullSafe(_qcol(right_alias, c))
     return cond
 
 
@@ -70,15 +84,13 @@ def snapshot_diff(
     compare_cols = list(compare_cols or [c for c in new.columns if c not in keys])
     o = old.alias("o")
     n = new.alias("n")
-    cond = [
-        F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys
-    ]
+    cond = [_qcol("o", k).eqNullSafe(_qcol("n", k)) for k in keys]
     j = o.join(n, cond, "full_outer")
     # presence detection must not rely on nullable data columns: use a
     # key column (keys are non-null by contract in both snapshots)
     k0 = keys[0]
-    new_present = F.col(f"n.{k0}").isNotNull()
-    old_present = F.col(f"o.{k0}").isNotNull()
+    new_present = _qcol("n", k0).isNotNull()
+    old_present = _qcol("o", k0).isNotNull()
     op = (
         F.when(~old_present, F.lit("insert"))
         .when(~new_present, F.lit("delete"))
@@ -86,9 +98,9 @@ def snapshot_diff(
         .otherwise(F.lit(None))
     )
     out_keys = [
-        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+        F.coalesce(_qcol("n", k), _qcol("o", k)).alias(k) for k in keys
     ]
-    out_vals = [F.col(f"n.{c}").alias(c) for c in compare_cols]
+    out_vals = [_qcol("n", c).alias(c) for c in compare_cols]
     return (
         j.select(*out_keys, *out_vals, op.alias(OP_COL))
         .filter(F.col(OP_COL).isNotNull())
@@ -113,10 +125,12 @@ def apply_changeset(
     when the changeset is small — the common CDC case where a day's
     changes meet a years-deep base table.
     """
-    touched = changes.select(*keys).distinct()
+    touched = changes.select(*[_bq(k).alias(k) for k in keys]).distinct()
     kept = base.join(touched, list(keys), "left_anti")
     upserts = changes.filter(F.col(op_col) != "delete").drop(op_col)
-    return kept.unionByName(upserts.select(*base.columns))
+    return kept.unionByName(
+        upserts.select(*[_bq(c).alias(c) for c in base.columns])
+    )
 
 
 def scd2_history(

@@ -767,12 +767,17 @@ def compact_band_store(
     # so each write task holds exactly one bucket → one file per
     # bucket, the minimum possible
     store = store.repartition(num_buckets, "band", "bucket")
+    # NO sort_cols: append-mode saveAsTable requires the incoming
+    # bucket spec — INCLUDING sortColumnNames — to match the table's,
+    # and commit_lsh_bands_bucketed appends with bucketBy only. A
+    # sorted compaction would make the very next increment throw
+    # AnalysisException (bucket-spec mismatch); the compaction must
+    # write the exact spec every commit path uses.
     write_bucketed(
         store,
         table_name,
         ["band", "bucket"],
         num_buckets=num_buckets,
-        sort_cols=["band", "bucket"],
         mode="overwrite",
     )
 

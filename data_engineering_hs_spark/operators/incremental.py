@@ -77,10 +77,18 @@ def commit_increment(
             if wh.startswith(prefix):
                 wh = wh[len(prefix):]
                 break
-        shutil.rmtree(
-            os.path.join(wh, table_name.split(".")[-1].lower()),
-            ignore_errors=True,
+        # Warehouse layout depends on the (qualified) name: default-db
+        # tables live at <wh>/<tbl>, any other database at
+        # <wh>/<db>.db/<tbl>. A 3-part name's catalog segment never
+        # appears in the path.
+        parts = [p.strip("`").lower() for p in table_name.split(".")]
+        tbl, db = parts[-1], parts[-2] if len(parts) >= 2 else "default"
+        loc = (
+            os.path.join(wh, tbl)
+            if db == "default"
+            else os.path.join(wh, f"{db}.db", tbl)
         )
+        shutil.rmtree(loc, ignore_errors=True)
     write_bucketed(
         partials,
         table_name,

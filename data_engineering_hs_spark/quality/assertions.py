@@ -98,13 +98,19 @@ def split_by_rules(
     quarantine (sources/json.py): that one catches unparseable rows,
     this one catches parseable-but-invalid rows. Both frames derive
     from one plan, so writing both sides costs one scan with cached
-    input (or two scans uncached — still no shuffle)."""
+    input (or two scans uncached — still no shuffle).
+
+    NULL rule results FAIL: a rule like `value >= 0` evaluates to
+    NULL when value is NULL, and three-valued logic would silently
+    pass that row through a naive NOT-filter. DQ semantics here are
+    "unknown is not valid" — each rule is coalesced to FALSE before
+    negation, so a NULL verdict quarantines with the rule's name."""
     reasons = F.array_compact(
         F.array(
             *[
-                F.when(~F.expr(expr), F.lit(name)).otherwise(
-                    F.lit(None).cast("string")
-                )
+                F.when(
+                    ~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name)
+                ).otherwise(F.lit(None).cast("string"))
                 for name, expr in rules
             ]
         )

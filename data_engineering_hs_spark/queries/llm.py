@@ -333,6 +333,36 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plant_offset(d: DataFrame, id_col: str) -> DataFrame:
+    """Collision-free planted-copy id offset for the audit queries:
+    a 1-row broadcastable frame {__off: max(id)+1}. The audits
+    previously hard-coded +1,000,000, which silently collides with
+    real ids once a corpus exceeds a million documents — deriving
+    the offset from the data keeps the planted id namespace disjoint
+    at every scale. Stays in-plan (crossJoin of a broadcast scalar
+    frame), so it adds no driver-side collect."""
+    return F.broadcast(
+        d.agg(
+            (F.coalesce(F.max(id_col), F.lit(0)).cast("long") + F.lit(1)).alias(
+                "__off"
+            )
+        )
+    )
+
+
+def _shift_ids(
+    df: DataFrame, off: DataFrame, id_col: str, mult: int = 1
+) -> DataFrame:
+    """Relabel `id_col` into the mult-th planted namespace
+    (id + mult*__off), preserving column order."""
+    cols = df.columns
+    return (
+        df.crossJoin(off)
+        .withColumn(id_col, F.col(id_col) + F.lit(mult) * F.col("__off"))
+        .select(*cols)
+    )
+
+
 @register(
     "d_minhash_lsh",
     oracle=None,  # hash-family-specific (xxhash64) → rows-only; recall
@@ -368,7 +398,7 @@ WHERE doc_id % 10 = 0
 """,
     doc="MinHash-LSH planted-duplicate completeness audit: every "
     "byte-identical planted copy (every 10th eligible doc under "
-    "doc_id+1,000,000) must surface as a candidate pair — the "
+    "doc_id+max(id)+1) must surface as a candidate pair — the "
     "recall guarantee the banding scheme is built on",
 )
 def d_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,13 +408,12 @@ def d_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length(F.trim("text")) > 0)
         & (F.size(TX.tokens("text")) >= 3)
     )
-    aug = d.unionByName(
-        planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-    )
+    off = _plant_offset(d, "doc_id")
+    aug = d.unionByName(_shift_ids(planted, off, "doc_id"))
     found = D.minhash_lsh_pairs(aug, "text", "doc_id").select("id_a", "id_b")
-    truth = planted.select(
+    truth = planted.crossJoin(off).select(
         F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + F.lit(1000000)).alias("id_b"),
+        (F.col("doc_id") + F.col("__off")).alias("id_b"),
     )
     n_true = truth.agg(F.count("*").alias("n_true_pairs"))
     n_hit = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
@@ -404,7 +433,7 @@ def d_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw text have identical token multisets → identical SimHash →
     # Hamming 0 ≤ 8 → the Manku pigeonhole blocking MUST emit the
     # pair. The corpus has no exact duplicates, so the query plants
-    # them (every 10th doc re-labeled under doc_id+1,000,000 — same
+    # them (every 10th doc re-labeled under doc_id+max(id)+1; same
     # construction in the oracle) to keep the audit non-vacuous. The
     # oracle counts the ground-truth pairs (Σ n·(n−1)/2 over raw-text
     # groups) and the query proves it found every one
@@ -413,6 +442,8 @@ def d_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH aug AS (
   SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
   UNION ALL
+  -- offset value is irrelevant here: the ground truth groups by
+  -- text only, so any distinct relabeling works
   SELECT doc_id + 1000000, text FROM documents
   WHERE length(trim(text)) > 0 AND doc_id % 10 = 0
 ), g AS (
@@ -436,8 +467,10 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     aug = d.unionByName(
-        d.filter(F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(1000000)
+        _shift_ids(
+            d.filter(F.col("doc_id") % 10 == 0),
+            _plant_offset(d, "doc_id"),
+            "doc_id",
         )
     )
     found = D.simhash_near_pairs(aug, "text", "doc_id").select("id_a", "id_b")
@@ -723,7 +756,7 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket, deterministically — so LSH + exact-cosine verify MUST
     # report every planted exact-duplicate pair (cos=1.0 >= 0.25).
     # The isotropic corpus has no true near-dups, so the query plants
-    # them (every 10th vec re-labeled under vec_id+1,000,000) and the
+    # them (every 10th vec re-labeled under vec_id+max(id)+1) and the
     # oracle counts the ground truth; completeness is emitted as data.
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
@@ -739,13 +772,12 @@ FROM embeddings WHERE vec_id % 10 = 0
 def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id") % 10 == 0)
-    aug = e.unionByName(
-        planted.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
-    )
+    off = _plant_offset(e, "vec_id")
+    aug = e.unionByName(_shift_ids(planted, off, "vec_id"))
     found = S.embedding_near_dups(aug, threshold=0.25).select("id_a", "id_b")
-    truth = planted.select(
+    truth = planted.crossJoin(off).select(
         F.col("vec_id").alias("id_a"),
-        (F.col("vec_id") + F.lit(1000000)).alias("id_b"),
+        (F.col("vec_id") + F.col("__off")).alias("id_b"),
     )
     n_true = truth.agg(F.count("*").alias("n_true_pairs"))
     n_hit = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
@@ -828,7 +860,7 @@ def t_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical fingerprint set — the passage-overlap guarantee
     # the algorithm exists for. The query plants a copy of every 10th
     # eligible doc (>=3 tokens, the shingle floor) under
-    # doc_id+1,000,000 and proves per-doc set equality; the oracle
+    # doc_id+max(id)+1 and proves per-doc set equality; the oracle
     # counts the planted ground truth.
     oracle=r"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
@@ -853,15 +885,16 @@ def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.trim("text")) > 0) & (F.size(TX.tokens("text")) >= 3)
     )
     planted = eligible.filter(F.col("doc_id") % 10 == 0)
-    aug = d.unionByName(
-        planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-    )
+    off = _plant_offset(d, "doc_id")
+    aug = d.unionByName(_shift_ids(planted, off, "doc_id"))
     fps = C.winnowing_fingerprints(aug, "text", "doc_id", k=3, window=4)
     orig = fps.join(
         planted.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "fingerprint")
-    copy = fps.filter(F.col("doc_id") >= 1000000).select(
-        (F.col("doc_id") - 1000000).alias("doc_id"), "fingerprint"
+    copy = (
+        fps.crossJoin(off)
+        .filter(F.col("doc_id") >= F.col("__off"))
+        .select((F.col("doc_id") - F.col("__off")).alias("doc_id"), "fingerprint")
     )
     # set equality per doc: |orig| == |copy| == |orig ∩ copy|
     a = orig.groupBy("doc_id").agg(F.count("*").alias("n_a"))
@@ -1256,7 +1289,8 @@ def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them), shingle-Jaccard 1.0 (verify must keep them), and a
     # connected pair graph (components must merge them). The query
     # plants 3-member identical-text groups (every 25th eligible doc
-    # copied under +1M and +2M) and emits one PER-GROUP row proving
+    # copied under +off and +2*off, off=max(id)+1) and emits one
+    # PER-GROUP row proving
     # all 3 members share a component; the oracle restates the
     # planted group keys from the same eligibility predicate.
     oracle=r"""
@@ -1283,12 +1317,9 @@ def d_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length(F.trim("text")) > 0)
         & (F.size(TX.tokens("text")) >= 3)
     )
-    aug = (
-        d.unionByName(
-            planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-        ).unionByName(
-            planted.withColumn("doc_id", F.col("doc_id") + F.lit(2000000))
-        )
+    off = _plant_offset(d, "doc_id")
+    aug = d.unionByName(_shift_ids(planted, off, "doc_id", mult=1)).unionByName(
+        _shift_ids(planted, off, "doc_id", mult=2)
     )
     cands = D.minhash_lsh_pairs(aug, "text", "doc_id").select("id_a", "id_b")
     sh = aug.select("doc_id", TX.word_shingles("text").alias("sh"))
@@ -1305,17 +1336,18 @@ def d_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     comps = D.dup_groups(verified)  # (doc_id, component)
+    p_off = planted.crossJoin(off)
     members = planted.select(
         F.col("doc_id").alias("group_rep"), F.col("doc_id").alias("member")
     ).unionByName(
-        planted.select(
+        p_off.select(
             F.col("doc_id").alias("group_rep"),
-            (F.col("doc_id") + F.lit(1000000)).alias("member"),
+            (F.col("doc_id") + F.col("__off")).alias("member"),
         )
     ).unionByName(
-        planted.select(
+        p_off.select(
             F.col("doc_id").alias("group_rep"),
-            (F.col("doc_id") + F.lit(2000000)).alias("member"),
+            (F.col("doc_id") + F.lit(2) * F.col("__off")).alias("member"),
         )
     )
     per_group = (

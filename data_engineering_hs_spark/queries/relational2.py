@@ -827,10 +827,15 @@ WITH aug AS (
   UNION ALL SELECT 1, '', 2.0
   UNION ALL SELECT 2, 'view', -5.0
   UNION ALL SELECT NULL, '', -1.0
+  UNION ALL SELECT 3, 'view', NULL
 ), flags AS (
-  SELECT (user_id IS NOT NULL) AS ok_user,
-         (event_type IS NOT NULL AND event_type <> '') AS ok_type,
-         (value >= 0) AS ok_value
+  -- COALESCE(..., FALSE): a NULL rule verdict quarantines (matches
+  -- split_by_rules' unknown-is-not-valid semantics); without it the
+  -- planted NULL-value row would be neither valid nor quarantined
+  SELECT COALESCE(user_id IS NOT NULL, FALSE) AS ok_user,
+         COALESCE(event_type IS NOT NULL AND event_type <> '', FALSE)
+           AS ok_type,
+         COALESCE(value >= 0, FALSE) AS ok_value
   FROM aug
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
@@ -858,6 +863,7 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1, "", 2.0),
             (2, "view", -5.0),
             (None, "", -1.0),
+            (3, "view", None),  # NULL rule verdict -> quarantined
         ],
         e.schema,
     )

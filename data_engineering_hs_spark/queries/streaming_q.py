@@ -196,11 +196,12 @@ def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session starts when the gap to the previous event EXCEEDS 30
     # minutes, and the window end is the last event's ts + gap. The
     # stream/batch parity test (test_session_parity) pins the same
-    # equivalence Spark-side. Boundary caveat: an event at EXACTLY
-    # prev+gap would probe whether Spark's exclusive window end
-    # splits where the lag-gap `>` does not — no such event exists
-    # in any generated testdata (microsecond timestamps), and the
-    # parity test would catch a semantic drift first.
+    # equivalence Spark-side. Boundary semantics PROVEN, not assumed:
+    # an event at EXACTLY prev+gap MERGES into the session (Spark
+    # treats a touching window as overlapping — two events 30 min
+    # apart under a 30-min gap yield ONE session of 2; pinned in
+    # test_session_parity.test_exact_gap_boundary_merges), so the
+    # lag-gap split predicate is strictly `>`, matching this oracle.
     oracle="""
 WITH marked AS (
   SELECT user_id, ts,

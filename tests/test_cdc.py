@@ -81,3 +81,26 @@ def test_scd2_tiebreak_orders_same_timestamp_rows(spark):
     )
     got = sorted((r.version, r.attr) for r in hist.collect())
     assert got == [(1, "A"), (2, "B")]
+
+
+def test_snapshot_diff_handles_dotted_column_names(spark):
+    """Column names containing dots must resolve as FLAT columns, not
+    nested-field paths — qualified refs are built with backtick-quoted
+    segments (r8, ADVICE fix)."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["the.key", "attr.v1"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], ["the.key", "attr.v1"]
+    )
+    out = {
+        (r["the.key"], r["attr.v1"], r["op"])
+        for r in cdc.snapshot_diff(old, new, keys=["the.key"]).collect()
+    }
+    assert out == {(2, "B", "update"), (3, "c", "insert")}
+    merged = cdc.apply_changeset(
+        old, cdc.snapshot_diff(old, new, keys=["the.key"]), keys=["the.key"]
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in new.collect()
+    }

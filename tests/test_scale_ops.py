@@ -500,6 +500,40 @@ class TestIncrementalMaterializedView:
         }
         assert after == before
 
+    def test_bootstrap_repairs_dangling_dir_qualified_name(self, spark):
+        """A dangling warehouse dir (left by a dead session whose
+        in-memory catalog is gone) must not block bootstrap — for
+        DB-QUALIFIED names too, whose layout is <wh>/<db>.db/<tbl>,
+        not <wh>/<tbl> (r8: the repair previously only cleared the
+        default-database path)."""
+        import os
+
+        from data_engineering_hs_spark.operators import incremental as I
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS mvdb")
+        spark.sql("DROP TABLE IF EXISTS mvdb.t_mv_q")
+        # plant the dangling dir exactly where a managed mvdb table
+        # would live; saveAsTable would throw LOCATION_ALREADY_EXISTS
+        dangling = "spark-warehouse/mvdb.db/t_mv_q"
+        os.makedirs(dangling, exist_ok=True)
+        with open(os.path.join(dangling, "stray.parquet"), "w") as f:
+            f.write("not a real file")
+        df = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+        I.commit_increment(
+            I.partial_aggs(df, ["k"], self.MEASURES),
+            "mvdb.t_mv_q", ["k"], overwrite=True, num_buckets=4,
+        )
+        got = {
+            r["k"]: r["total"]
+            for r in I.materialize(
+                spark, "mvdb.t_mv_q", ["k"], self.MEASURES
+            ).collect()
+        }
+        assert got == {1: 10, 2: 20}
+        assert not os.path.exists(os.path.join(dangling, "stray.parquet"))
+        spark.sql("DROP TABLE IF EXISTS mvdb.t_mv_q")
+        spark.sql("DROP DATABASE IF EXISTS mvdb")
+
 
 class TestBandStoreCompaction:
     def test_compaction_preserves_rows_and_bucketing(self, spark):
@@ -545,6 +579,25 @@ class TestBandStoreCompaction:
         )
         plan = grouped._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+        # the compact-then-append workflow the docstring prescribes:
+        # the NEXT increment after a compaction must land cleanly
+        # (append-mode saveAsTable rejects any bucket-spec mismatch,
+        # including sortColumnNames, so a sorted compaction would
+        # throw AnalysisException right here)
+        docs2 = spark.createDataFrame(
+            [(i, f"words of doc number {i % 9} repeated here again")
+             for i in range(160, 200)],
+            ["doc_id", "text"],
+        )
+        commit_lsh_bands_bucketed(
+            lsh_band_buckets(docs2, "text", "doc_id"),
+            "b_lsh_compact", num_buckets=4,
+        )
+        appended = {
+            tuple(r) for r in spark.table("b_lsh_compact").collect()
+        }
+        assert after_rows < appended  # strict superset: old + new rows
+        spark.sql("DROP TABLE IF EXISTS b_lsh_compact")
 
 
 class TestOptimizeTable:

@@ -25,3 +25,28 @@ class TestSessionParity:
         }
         assert s_rows == b_rows
         assert len(s_rows) > 0
+
+    def test_exact_gap_boundary_merges(self, spark):
+        """An event at EXACTLY prev + gap joins the session: Spark's
+        session_window treats a touching window as overlapping, so
+        the lag-gap batch twin must split on strictly `>` gap (not
+        `>=`). Empirically pinned so the oracles' `>` predicate is
+        evidence, not assumption."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            sessionized_counts,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00"),
+                (1, "2024-01-01 00:30:00"),  # exactly gap -> merges
+                (1, "2024-01-01 01:00:01"),  # gap exceeded -> splits
+            ],
+            ["user_id", "ts"],
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        # batch groupBy path (session_window works on batch frames too)
+        out = sessionized_counts(df).collect()
+        got = sorted((r["n_events"],) for r in out)
+        assert got == [(1,), (2,)], out
