@@ -375,3 +375,104 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "st_cdc_apply",
+    # The streaming MERGE pipeline end-to-end: a stream of
+    # snapshot_diff-shaped change batches (update / delete / insert,
+    # one file per micro-batch via maxFilesPerTrigger=1) applied to a
+    # materialized parquet table by streaming_cdc_apply's
+    # foreachBatch + rename-aside swap. The planted changesets touch
+    # disjoint key sets (updates on key%100==0, deletes on ==1,
+    # inserts relabeled under key+10,000,000 from ==2), so the final
+    # table is order-independent and the oracle restates the merge as
+    # one batch SQL expression. Output is the per-status rollup of
+    # the FINAL TABLE ON DISK (integer cents), so a wrong merge, a
+    # lost batch, or a botched swap all move the hash.
+    oracle="""
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 100 <> 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 2
+)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM merged GROUP BY o_orderstatus ORDER BY status
+""",
+    doc="streaming CDC MERGE: two change micro-batches (updates+"
+    "inserts, then deletes) applied to a parquet table via "
+    "foreachBatch apply_changeset with atomic rename-aside swap; "
+    "final on-disk table must equal the batch MERGE restatement",
+)
+def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_engineering_hs_spark.catalog import load_table
+    from data_engineering_hs_spark.streaming.pipelines import (
+        streaming_cdc_apply,
+    )
+
+    root = tempfile.mkdtemp(prefix="st_cdc_apply_")
+    table_path = f"{root}/table"
+    changes_dir = f"{root}/changes"
+    ckpt = f"{root}/ckpt"
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base.write.parquet(table_path)
+
+    # batch 1: updates (+1.00 on key%100==0) and inserts (key%100==2
+    # relabeled into a disjoint key namespace)
+    upd = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("update").alias("op"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 100 == 2).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("insert").alias("op"),
+    )
+    # batch 2: deletes carry NULL non-key columns, like snapshot_diff
+    dele = base.filter(F.col("o_orderkey") % 100 == 1).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("delete").alias("op"),
+    )
+    upd.unionByName(ins).coalesce(1).write.parquet(f"{changes_dir}/b1")
+    dele.coalesce(1).write.parquet(f"{changes_dir}/b2")
+
+    changes = (
+        spark.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(changes_dir)
+    )
+    q = streaming_cdc_apply(
+        changes, table_path, ckpt, keys=["o_orderkey"], available_now=True
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(table_path)
+    return (
+        final.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("status")
+    )
