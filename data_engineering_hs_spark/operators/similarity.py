@@ -532,11 +532,15 @@ def mmr_select(
 
     Greedy: pick the most relevant candidate, then repeatedly pick
     argmax of `lam·rel − (1−lam)·max_sim_to_selected` (ties broken by
-    id). The loop is k−1 DataFrame steps over the POOL ONLY — the
-    corpus-scale work is the relevance scan that builds the pool; the
-    greedy phase touches `pool` rows however big the corpus is, so
-    there is no scale cliff hidden in the iteration. All similarity
-    math is the engine's bit-exact sequential fold, which is what
+    id). The corpus-scale work is the distributed relevance scan that
+    builds the pool; the greedy phase operates on `pool` rows and
+    ≤ pool² pairwise sims BY CONSTRUCTION, so both collect to the
+    driver and the k-step argmax runs in plain Python — k−1
+    sequential Spark jobs over an 8-row frame were pure
+    job-scheduling overhead (~9 s at sf0.01), not distributed work.
+    All similarity math (rel, pairwise sims) stays engine-side
+    (the bit-exact sequential fold), and the greedy score arithmetic
+    is the same IEEE-double expression either way, which is what
     lets an unrolled DuckDB oracle hash-match a greedy algorithm.
 
     Returns (pick, vec_id, rel) — pick is 1-based selection order.
@@ -556,48 +560,46 @@ def mmr_select(
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(pool)
-        .localCheckpoint(eager=True)  # pool-sized; reused k times
+        .localCheckpoint(eager=True)  # pool-sized; reused below
     )
     a, b = cand.alias("a"), cand.alias("b")
-    sims = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("ia"),
-            F.col("b.vec_id").alias("ib"),
-            V.cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
-        )
-        .localCheckpoint(eager=True)
+    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        V.cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
     )
-    selected = (
-        cand.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select("vec_id", "rel", F.lit(1).alias("pick"))
+    # pool-bounded collects (≤ pool and ≤ pool² rows), sanctioned by
+    # the same driver-sized-by-construction rule as the dim lookups
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sims.collect()}
+    order = sorted(rel, key=lambda v: (-rel[v], v))
+    if not order:
+        picks: list[tuple[int, int, float]] = []
+    else:
+        chosen = [order[0]]
+        picks = [(1, order[0], rel[order[0]])]
+        for step in range(2, min(k, len(order)) + 1):
+            best_score, best_id = None, None
+            for v in order:
+                if v in chosen:
+                    continue
+                msim = max(sim[(v, s)] for s in chosen)
+                # identical IEEE-double expression to the engine/oracle
+                score = lam * rel[v] - (1.0 - lam) * msim
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and v < best_id)
+                ):
+                    best_score, best_id = score, v
+            chosen.append(best_id)
+            picks.append((step, best_id, rel[best_id]))
+    out = embeddings.sparkSession.createDataFrame(
+        picks, schema="pick int, vec_id bigint, rel double"
     )
-    for step in range(2, k + 1):
-        sel_ids = selected.select("vec_id")
-        max_sim = (
-            sims.join(sel_ids.withColumnRenamed("vec_id", "ib"), "ib")
-            .groupBy("ia")
-            .agg(F.max("sim").alias("msim"))
-        )
-        remaining = cand.join(sel_ids, "vec_id", "left_anti")
-        nxt = (
-            remaining.join(
-                max_sim, remaining.vec_id == max_sim.ia
-            )
-            .select(
-                "vec_id",
-                "rel",
-                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim")).alias(
-                    "score"
-                ),
-            )
-            .orderBy(F.desc("score"), "vec_id")
-            .limit(1)
-            .select("vec_id", "rel", F.lit(step).alias("pick"))
-        )
-        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
-    return selected.select("pick", "vec_id", F.round("rel", 6).alias("rel"))
+    # final rounding engine-side: Spark round is HALF_UP, Python's is
+    # banker's — the oracle expects the engine's
+    return out.select("pick", "vec_id", F.round("rel", 6).alias("rel"))
 
 
 # ---------------------------------------------------------------------------

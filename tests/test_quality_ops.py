@@ -975,3 +975,36 @@ class TestFeatureHash:
         r = feature_hash_counts(docs, dim=2).collect()[0]
         assert sum(r["counts"]) == 50
         assert len(r["indices"]) <= 2
+
+
+class TestMmrSelect:
+    def test_mmr_skips_near_duplicate_of_first_pick(self, spark):
+        """Pick 1 is the most relevant; pick 2 must NOT be its
+        near-duplicate even though that has the 2nd-highest relevance
+        — the diversity penalty has to dominate. Also pins the
+        (pick, vec_id, rel) contract and driver-side greedy parity
+        with the old engine-side loop."""
+        from data_engineering_hs_spark.operators.similarity import mmr_select
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),          # query
+            (1, [0.99, 0.14, 0.0]),        # most relevant
+            (2, [0.98, 0.2, 0.0]),         # near-dup of 1
+            (3, [0.7, 0.0, 0.7]),          # diverse, decent rel
+            (4, [0.6, 0.0, -0.8]),         # diverse, lower rel
+        ]
+        e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = mmr_select(e, query_vec_id=0, pool=4, k=3, lam=0.5).collect()
+        picks = {r["pick"]: r["vec_id"] for r in out}
+        assert picks[1] == 1
+        assert picks[2] == 3  # not the near-duplicate (2)
+        assert len(out) == 3 and all(r["rel"] is not None for r in out)
+
+    def test_mmr_pool_smaller_than_k(self, spark):
+        from data_engineering_hs_spark.operators.similarity import mmr_select
+
+        rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+        e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = mmr_select(e, query_vec_id=0, pool=8, k=5, lam=0.7).collect()
+        # only 2 candidates exist; selection stops there
+        assert sorted(r["pick"] for r in out) == [1, 2]
