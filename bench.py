@@ -20,6 +20,29 @@ import time
 from data_engineering_hs_spark.queries import REGISTRY, load_all
 from data_engineering_hs_spark.session import get_spark
 
+# FROZEN cross-round comparison set (the 14 headline queries as of
+# round 6/7). The headline total grows whenever a new query gains
+# bench=True, which makes round-over-round totals incomparable;
+# `comparable_14_sec` sums exactly this list every round, so the
+# driver's BENCH_r{N}.json files compare apples to apples. Do NOT
+# edit this list — add new queries to the headline set only.
+COMPARABLE_14 = [
+    "d_minhash_lsh",
+    "flagship_daily_kpi",
+    "j_broadcast_dim_join",
+    "p_compound_filter",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "s_bm25_topk",
+    "s_cosine_topk",
+    "s_cosine_topk_arrow",
+    "t_segment_dedup",
+    "t_text_stats",
+    "w_topk_per_group",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +69,9 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
+    comparable = round(
+        sum(timings[n] for n in COMPARABLE_14 if n in timings), 4
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -53,6 +79,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "comparable_14_sec": comparable,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
