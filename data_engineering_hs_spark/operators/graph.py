@@ -90,3 +90,62 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al.
+    2007) over an undirected edge list — community detection as
+    repeated neighborhood majority vote.
+
+    DETERMINISM is the design constraint (classic LPA is famously
+    order-dependent): every node starts labeled with its own id, and
+    each round every node simultaneously adopts the most frequent
+    label among its NEIGHBORS with ties broken by smallest label.
+    Synchronous update + total tie order makes the result a pure
+    function of (graph, iterations) — reproducible across engines,
+    partitionings, and AQE re-plans, which is what lets an unrolled
+    SQL oracle hash-match it. Fixed rounds, no convergence probe:
+    synchronous LPA can oscillate on bipartite structures, so a
+    convergence loop would not terminate deterministically; R rounds
+    is the contract on both sides.
+
+    Per round: one join of the (node-sized) label frame onto the
+    edge list + one (node, label) count + one per-node argmax window
+    — two shuffles on the node key, same budget as a dup_groups
+    round. Labels materialize per round via localCheckpoint to cut
+    the growing lineage. Isolated nodes (no edges) are not part of
+    the graph and don't appear in the output.
+
+    Returns (node, community) — community is the surviving label.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # re-joined every round
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        labels = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

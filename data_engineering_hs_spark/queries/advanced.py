@@ -630,6 +630,79 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "lbl0"
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(
+            f"lbl{i} AS MATERIALIZED (\n"
+            f"  SELECT a AS node, label FROM (\n"
+            f"    SELECT u.a, l.label,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY u.a\n"
+            f"             ORDER BY COUNT(*) DESC, l.label) AS rn\n"
+            f"    FROM und u JOIN {prev} l ON u.b = l.node\n"
+            f"    GROUP BY u.a, l.label\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+        prev = f"lbl{i}"
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_KCORE_EDGE_MIN}
+), und AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+), lbl0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM und
+), {", ".join(rounds)}
+SELECT node, CAST(label AS BIGINT) AS community
+FROM {prev} ORDER BY node
+"""
+
+
+@register(
+    "g_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"community detection by {_LPA_ITERS}-round deterministic "
+    "synchronous label propagation on the co-purchase graph (same "
+    "edges as g_kcore): every node simultaneously adopts its "
+    "neighborhood's majority label, ties to the smallest — fixed "
+    "rounds + total tie order make the result a pure function of "
+    "the graph, unrolled round-for-round in the oracle",
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.graph import label_propagation
+
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _KCORE_EDGE_MIN)
+        .select("u", "v")
+    )
+    out = label_propagation(
+        edges, iterations=_LPA_ITERS, src_col="u", dst_col="v"
+    )
+    return out.orderBy("node")
+
+
 @register(
     "g_grid_rollup",
     # Tile-pyramid aggregation (the map-server / hypertable shape):

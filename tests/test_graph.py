@@ -49,3 +49,35 @@ class TestPagerank:
         # the same base term, (b - base) ≈ 3 * (c - base)
         base = 0.15 / 3
         assert (got["b"] - base) / (got["c"] - base) == pytest.approx(3.0, rel=1e-3)
+
+
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge(self, spark):
+        """Hand-computed 4-round trace: triangles {1,2,3} and {4,5,6}
+        joined by bridge 3-4 settle to communities 1 and 3 (the
+        bridge drags 4's side through label 3 before it stabilizes —
+        exactly what the synchronous min-tie-break rules produce)."""
+        from data_engineering_hs_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            ["src", "dst"],
+        )
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, iterations=4).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+    def test_deterministic_across_runs_and_partitionings(self, spark):
+        from data_engineering_hs_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23],
+            ["src", "dst"],
+        )
+        a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+        b = sorted(
+            map(tuple, label_propagation(e.repartition(13), iterations=3).collect())
+        )
+        assert a == b
