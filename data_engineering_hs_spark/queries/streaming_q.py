@@ -476,3 +476,66 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "st_update_mode",
+    # Update output mode is the changelog contract: each trigger the
+    # sink receives ONLY the keys whose aggregate changed. Two
+    # deterministic micro-batches (events split by event_id parity,
+    # maxFilesPerTrigger=1) make the changelog non-trivial, and both
+    # claims are order-independent data: n_final (the max count ever
+    # emitted per key — counts grow monotonically, so max = final
+    # state = batch COUNT) and n_updates (how many triggers emitted
+    # the key = in how many halves it appears). A complete-mode or
+    # append-mode misconfiguration moves n_updates; a lost batch
+    # moves n_final.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_final,
+       CAST((CASE WHEN COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) > 0
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_updates
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="update-output-mode changelog semantics over two micro-"
+    "batches: per-key final count (max of emitted updates) plus the "
+    "number of triggers that emitted the key — §2.9 output-mode "
+    "family completed (complete/append rows exist elsewhere)",
+)
+def st_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_engineering_hs_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="st_update_mode_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{root}/h0"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{root}/h1"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    changelog = _drain(counts, spark, "update")
+    return (
+        changelog.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_final"),
+            F.count("*").alias("n_updates"),
+        )
+        .orderBy("event_type")
+    )
