@@ -381,3 +381,61 @@ def a_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "a_heavy_hitters_cms",
+    # Count-min sketch heavy hitters, audited: the top-20 keys by
+    # EXACT count (deterministic tie order: count desc, key asc)
+    # carry their exact counts through the hash plus two booleans
+    # the sketch GUARANTEES — over_ok (estimate >= exact, always:
+    # collisions only add) and bound_ok (overestimate <= 8N/width, a
+    # generous multiple of the expected N/width collision mass,
+    # deterministic for fixed data + xxhash). The sketch itself is
+    # engine-specific (hash family) and can't cross engines — the
+    # audit-boolean pattern, same as a_rolling_distinct_hll.
+    oracle="""
+SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       TRUE AS over_ok, TRUE AS bound_ok
+FROM lineitem GROUP BY l_suppkey
+ORDER BY exact_cnt DESC, suppkey LIMIT 20
+""",
+    doc="count-min sketch frequency estimates audited against the "
+    "exact top-20 key counts: one-pass fixed-size mergeable summary "
+    "(depth 4 x width 8192 cells) — the point-frequency twin of the "
+    "HLL distinct path; overestimate + error-bound guarantees "
+    "emitted as data",
+)
+def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    depth, width = 4, 8192
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    sketch = cms_build(li, "suppkey", depth=depth, width=width)
+    exact = (
+        li.groupBy("suppkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "suppkey")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, exact, "suppkey", depth=depth, width=width)
+    n_total = li.agg(F.count("*").alias("__n"))
+    return (
+        exact.join(est, "suppkey")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "suppkey",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("over_ok"),
+            (
+                F.col("est") - F.col("exact_cnt")
+                <= F.lit(8) * F.col("__n") / F.lit(width)
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), "suppkey")
+    )

@@ -1008,3 +1008,54 @@ class TestMmrSelect:
         out = mmr_select(e, query_vec_id=0, pool=8, k=5, lam=0.7).collect()
         # only 2 candidates exist; selection stops there
         assert sorted(r["pick"] for r in out) == [1, 2]
+
+
+class TestCountMinSketch:
+    def test_overestimate_and_exactness_without_collisions(self, spark):
+        from data_engineering_hs_spark.operators.sketch import (
+            cms_build,
+            cms_estimate,
+        )
+
+        rows = [(k,) for k in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+        df = spark.createDataFrame(rows, ["k"])
+        sk = cms_build(df, "k", depth=4, width=1024)
+        est = {
+            r["k"]: r["est"]
+            for r in cms_estimate(sk, df, "k", depth=4, width=1024).collect()
+        }
+        # overestimate guarantee; at 3 keys x 1024 cells collisions
+        # are absent in every depth row, so estimates are exact
+        assert est == {"a": 50, "b": 7, "c": 1}
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from data_engineering_hs_spark.operators.sketch import (
+            cms_build,
+            cms_merge,
+        )
+
+        a = spark.createDataFrame([(i % 5,) for i in range(40)], ["k"])
+        b = spark.createDataFrame([(i % 9,) for i in range(33)], ["k"])
+        merged = {
+            (r["d"], r["cell"]): r["cnt"]
+            for r in cms_merge(
+                cms_build(a, "k", 3, 64), cms_build(b, "k", 3, 64)
+            ).collect()
+        }
+        union = {
+            (r["d"], r["cell"]): r["cnt"]
+            for r in cms_build(a.unionByName(b), "k", 3, 64).collect()
+        }
+        assert merged == union
+
+    def test_unseen_key_estimates_zero_when_no_collision(self, spark):
+        from data_engineering_hs_spark.operators.sketch import (
+            cms_build,
+            cms_estimate,
+        )
+
+        df = spark.createDataFrame([(1,), (2,)], ["k"])
+        sk = cms_build(df, "k", depth=4, width=4096)
+        probe = spark.createDataFrame([(99,)], ["k"])
+        est = cms_estimate(sk, probe, "k", depth=4, width=4096).collect()
+        assert est[0]["est"] == 0
