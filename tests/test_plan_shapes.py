@@ -233,3 +233,47 @@ class TestParquetAggregatePushdown:
             F.min("l_shipdate"), F.max("l_shipdate"), F.count("*")
         ).collect()[0]
         assert (row["lo"], row["hi"], row["n"]) == tuple(truth)
+
+
+class TestRound8PlanShapes:
+    def test_cms_build_single_exchange_with_partial_agg(self, spark):
+        """The sketch build must be ONE (d, cell) hash shuffle with
+        map-side partial aggregation — the shuffle then carries at
+        most depth*width rows per map task whatever the input size."""
+        from data_engineering_hs_spark.operators.sketch import cms_build
+
+        li = spark.read.parquet(f"{SF001}/lineitem.parquet").select(
+            "l_suppkey"
+        )
+        plan = plan_string(cms_build(li, "l_suppkey", depth=4, width=1024))
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cms_estimate_no_cartesian(self, spark):
+        from data_engineering_hs_spark.operators.sketch import (
+            cms_build,
+            cms_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{SF001}/lineitem.parquet").select(
+            "l_suppkey"
+        )
+        sk = cms_build(li, "l_suppkey", depth=4, width=1024)
+        probe = li.filter(F.col("l_suppkey") < 5)
+        plan = plan_string(cms_estimate(sk, probe, "l_suppkey", 4, 1024))
+        assert "CartesianProduct" not in plan
+
+    def test_label_propagation_no_cartesian(self, spark):
+        from data_engineering_hs_spark.operators.graph import label_propagation
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(
+            [(i, (i * 3) % 17) for i in range(40) if i != (i * 3) % 17],
+            ["src", "dst"],
+        )
+        # plan of one round applied to checkpointed inputs: join on
+        # the node key + hash agg + window, never a cross product
+        plan = plan_string(label_propagation(e, iterations=1))
+        assert "CartesianProduct" not in plan

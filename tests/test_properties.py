@@ -190,3 +190,29 @@ class TestChunkPackProperties:
             )
             bin_seq = [r.bin_id for r in rows]
             assert bin_seq == sorted(bin_seq)
+
+
+class TestCmsProperties:
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=50), min_size=1, max_size=80
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_estimate_never_underestimates(self, spark, keys):
+        from collections import Counter
+
+        from data_engineering_hs_spark.operators.sketch import (
+            cms_build,
+            cms_estimate,
+        )
+
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        sk = cms_build(df, "k", depth=3, width=64)
+        est = {
+            r["k"]: r["est"]
+            for r in cms_estimate(sk, df, "k", depth=3, width=64).collect()
+        }
+        exact = Counter(keys)
+        for k, n in exact.items():
+            assert est[k] >= n, (k, n, est[k])
