@@ -247,3 +247,75 @@ def c_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("regime_priority")
     )
+
+
+@register(
+    "c_time_travel_diff",
+    # Snapshot-versioned storage end-to-end: publish v1 (an orders
+    # slice) and v2 (the same slice with planted updates on key%100
+    # ==0, deletes on ==1, inserts relabeled under key+10,000,000
+    # from ==2), TIME-TRAVEL read both versions back from the same
+    # root, and snapshot_diff them. The per-op counts restate the
+    # planted construction — a wrong marker flip, a torn version
+    # dir, or a time-travel read resolving the wrong version all
+    # move the counts. Exercises sources/publish.py's version= read
+    # path against live parquet, not just pytest fixtures.
+    oracle="""
+SELECT 'delete' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 100 = 1
+UNION ALL
+SELECT 'insert', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderkey % 100 = 2
+UNION ALL
+SELECT 'update', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderkey % 100 = 0
+ORDER BY op
+""",
+    doc="time travel over the versioned publish store: two published "
+    "snapshots diffed via snapshot_diff after reading v1 explicitly "
+    "and v2 as the committed head — per-op change counts match the "
+    "planted construction",
+)
+def c_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_engineering_hs_spark.sources.publish import (
+        publish,
+        read_published,
+    )
+
+    root = tempfile.mkdtemp(prefix="c_time_travel_")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    v2_tbl = (
+        base.filter(F.col("o_orderkey") % 100 != 1)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 100 == 0,
+                F.col("price_cents") + F.lit(100),
+            )
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 2).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "price_cents",
+            )
+        )
+    )
+    v1 = publish({"orders_slim": base}, root)
+    publish({"orders_slim": v2_tbl}, root)
+    old = read_published(spark, root, "orders_slim", version=v1)
+    new = read_published(spark, root, "orders_slim")  # committed head
+    return (
+        cdc.snapshot_diff(old, new, keys=["o_orderkey"])
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+        .orderBy("op")
+    )

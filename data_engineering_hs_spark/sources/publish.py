@@ -68,12 +68,28 @@ def publish(tables: dict[str, DataFrame], root: str) -> int:
     return version
 
 
-def read_published(spark: SparkSession, root: str, table: str) -> DataFrame:
-    """Read `table` at the committed snapshot version."""
-    v = current_version(root)
-    if v is None:
+def read_published(
+    spark: SparkSession, root: str, table: str, version: int | None = None
+) -> DataFrame:
+    """Read `table` at the committed snapshot version, or TIME-TRAVEL
+    to an explicit earlier `version` (it must not have been vacuumed
+    and must be at or below the committed marker — versions above the
+    marker are in-flight or crashed publishes, never readable)."""
+    committed = current_version(root)
+    if committed is None:
         raise FileNotFoundError(f"nothing published under {root}")
-    return spark.read.parquet(os.path.join(root, f"v={v}", table))
+    v = committed if version is None else version
+    if v > committed:
+        raise ValueError(
+            f"version {v} is above the committed marker {committed}"
+        )
+    path = os.path.join(root, f"v={v}", table)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"version {v} of {table} is missing (vacuumed or never "
+            f"published)"
+        )
+    return spark.read.parquet(path)
 
 
 def vacuum(root: str, keep: int = 2) -> list[int]:

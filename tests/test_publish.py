@@ -70,3 +70,40 @@ class TestPublish:
     def test_read_before_first_publish_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             read_published(spark, str(tmp_path / "nothing"), "t")
+
+
+def test_time_travel_reads_explicit_version(spark, tmp_path):
+    from data_engineering_hs_spark.sources.publish import (
+        publish,
+        read_published,
+    )
+
+    root = str(tmp_path / "store")
+    v1 = publish({"t": spark.range(5)}, root)
+    v2 = publish({"t": spark.range(9)}, root)
+    assert read_published(spark, root, "t", version=v1).count() == 5
+    assert read_published(spark, root, "t", version=v2).count() == 9
+    assert read_published(spark, root, "t").count() == 9  # head
+
+
+def test_time_travel_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_engineering_hs_spark.sources.publish import (
+        publish,
+        read_published,
+        vacuum,
+    )
+
+    root = str(tmp_path / "store")
+    publish({"t": spark.range(3)}, root)
+    publish({"t": spark.range(4)}, root)
+    v3 = publish({"t": spark.range(5)}, root)
+    # above the committed marker: in-flight/crashed, never readable
+    with _pytest.raises(ValueError):
+        read_published(spark, root, "t", version=v3 + 1)
+    # vacuumed version: explicit error, not a silent empty frame
+    removed = vacuum(root, keep=1)
+    assert removed
+    with _pytest.raises(FileNotFoundError):
+        read_published(spark, root, "t", version=removed[0])
