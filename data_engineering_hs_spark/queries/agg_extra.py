@@ -439,3 +439,73 @@ def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "suppkey")
     )
+
+
+@register(
+    "a_distinct_overlap_hll",
+    # Sketch SET ALGEBRA: HLL unions compose natively, intersections
+    # don't — the standard scale answer is inclusion-exclusion over
+    # mergeable sketches, est(A∩B) = est(A) + est(B) − est(A∪B).
+    # Demonstrated on a genuine partial overlap (customers ordering
+    # in 1996 vs 1997: ~926 of 1419 union members at sf0.01) with the
+    # exact counts carried through the hash and the estimate audited
+    # within 5% of the union + 2 absolute — inclusion-exclusion
+    # compounds three sketch errors, so the bound is on the UNION
+    # size, the quantity that scales the absolute error. The exact
+    # intersection requires co-locating both sides (a distinct join);
+    # the sketch path answers from kilobytes per shard — the 100-TB
+    # shape when A and B live on different clusters or days.
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1996),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1997)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM a JOIN b USING (o_custkey)) AS n_overlap,
+       TRUE AS est_ok
+""",
+    doc="distinct-customer overlap between two order years: exact "
+    "(distinct join) AND HLL inclusion-exclusion over mergeable "
+    "sketches — sketch set algebra audited against truth",
+)
+def a_distinct_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    a = o.filter(F.col("y") == 1996).select("o_custkey")
+    b = o.filter(F.col("y") == 1997).select("o_custkey")
+    exact = (
+        a.agg(F.count_distinct("o_custkey").alias("n_a"))
+        .crossJoin(b.agg(F.count_distinct("o_custkey").alias("n_b")))
+        .crossJoin(
+            a.distinct()
+            .join(b.distinct(), "o_custkey")
+            .agg(F.count("*").alias("n_overlap"))
+        )
+    )
+    sk = (
+        a.agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("ska"))
+        .crossJoin(b.agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("skb")))
+        .select(
+            F.hll_sketch_estimate("ska").alias("ea"),
+            F.hll_sketch_estimate("skb").alias("eb"),
+            F.hll_sketch_estimate(
+                F.hll_union("ska", "skb")
+            ).alias("eu"),
+        )
+        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_overlap"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .select(
+            "n_a",
+            "n_b",
+            "n_overlap",
+            (
+                F.abs(F.col("est_overlap") - F.col("n_overlap")) * 20
+                <= (F.col("n_a") + F.col("n_b") - F.col("n_overlap")) + 40
+            ).alias("est_ok"),
+        )
+    )
