@@ -509,3 +509,82 @@ def a_distinct_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+@register(
+    "a_funnel_steps",
+    # Ordered-funnel analysis (view -> click -> purchase): a user
+    # counts for step k only with an event strictly AFTER their
+    # step-(k-1) time — the sequential dependency is resolved by
+    # per-step conditional min-ts aggregations chained on the user
+    # key (after the first shuffle the frames are co-partitioned, so
+    # the chain costs one real exchange). Microsecond event
+    # timestamps make strict '>' unambiguous; counts and integer-ppm
+    # conversion rates cross engines exactly.
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_after_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after_click,
+       CAST(FLOOR(1e6 * (SELECT COUNT(*) FROM s3)
+                  / (SELECT COUNT(*) FROM s1)) AS BIGINT)
+         AS conversion_ppm
+""",
+    doc="ordered funnel view -> click -> purchase with strict "
+    "temporal sequencing (each step strictly after the user's "
+    "previous step): per-step user counts + end-to-end conversion "
+    "in integer ppm",
+)
+def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after_click")))
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("n_purchase_after_click")
+                / F.col("n_view")
+            )
+            .cast("long")
+            .alias("conversion_ppm"),
+        )
+    )

@@ -539,3 +539,39 @@ def st_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "st_stream_static_join",
+    # Stream-static enrichment: the streaming side joins a STATIC
+    # batch dim per micro-batch with no state and no watermark — the
+    # planner broadcasts the dim under every trigger, which is the
+    # lookup-enrichment shape (T8/S26 family) at any scale. The
+    # drained rollup must equal the batch join exactly.
+    oracle="""
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY segment
+""",
+    doc="stream-static join: streamed events enriched against the "
+    "static customer dim (broadcast per micro-batch, stateless), "
+    "rolled up per market segment — must equal the batch join",
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.catalog import load_table
+
+    events = _events_stream(spark, sf_dir).select("user_id", "event_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(cust), "user_id")
+    out = _drain(joined, spark, "append")
+    return (
+        out.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("segment")
+    )
