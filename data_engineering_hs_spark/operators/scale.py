@@ -249,3 +249,54 @@ def register_bucketed_store(
         f"USING PARQUET CLUSTERED BY ({cols}) {sort}"
         f"INTO {num_buckets} BUCKETS LOCATION '{location}'"
     )
+
+
+def suggest_join_strategy(
+    skew_row,
+    dim_rows: int | None = None,
+    broadcast_row_limit: int = 10_000_000,
+    hot_share_ppm: int = 20_000,
+) -> dict:
+    """Turn a `quality.profiling.key_skew_stats` measurement into the
+    join-strategy decision it exists to inform. Driver-side pure
+    function over the 1-row diagnostic — call it in the planning step
+    of a pipeline, cite the returned reason in the job's docs/logs.
+
+    Policy (the one this repo applies to its own queries):
+    - dim side known and small (row count under `broadcast_row_limit`,
+      a proxy for Spark's byte threshold when row width is sane) →
+      'broadcast': no shuffle at all, skew irrelevant.
+    - hot key holds more than `hot_share_ppm` of rows (default 2%) →
+      'salted': a plain hash join would put >2% of the table in one
+      task; AQE skew-split helps sort-merge joins but salting also
+      covers aggregations and older planners.
+    - otherwise → 'shuffle': plain hash/sort-merge join under AQE.
+
+    `skew_row` is anything dict-like with n_keys / n_rows /
+    max_share_ppm (a collected Row works: row.asDict()).
+    """
+    get = (
+        skew_row.get
+        if hasattr(skew_row, "get")
+        else skew_row.asDict().get
+    )
+    share = int(get("max_share_ppm"))
+    if dim_rows is not None and dim_rows < broadcast_row_limit:
+        return {
+            "strategy": "broadcast",
+            "reason": f"dim has {dim_rows} rows (< {broadcast_row_limit}); "
+            "broadcasting avoids the shuffle entirely, key skew is moot",
+        }
+    if share > hot_share_ppm:
+        return {
+            "strategy": "salted",
+            "reason": f"hottest key holds {share} ppm of rows "
+            f"(> {hot_share_ppm}); a plain shuffle join straggles on "
+            "one task — use salted_join (or rely on AQE skew-split "
+            "for pure sort-merge joins)",
+        }
+    return {
+        "strategy": "shuffle",
+        "reason": f"hottest key holds {share} ppm (<= {hot_share_ppm}) "
+        "and the dim is large/unknown: plain shuffle join under AQE",
+    }

@@ -699,3 +699,25 @@ class TestRegisterBucketedStore:
         plan = g._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         spark.sql("DROP TABLE b_reattach_back")
+
+
+class TestSuggestJoinStrategy:
+    def test_decision_matrix(self, spark):
+        from data_engineering_hs_spark.operators.scale import (
+            suggest_join_strategy,
+        )
+        from data_engineering_hs_spark.quality.profiling import key_skew_stats
+
+        skewed = spark.createDataFrame(
+            [(1,)] * 90 + [(k,) for k in range(2, 12)], ["k"]
+        )
+        row = key_skew_stats(skewed, "k").collect()[0]
+        # small dim wins regardless of skew
+        assert (
+            suggest_join_strategy(row, dim_rows=25)["strategy"] == "broadcast"
+        )
+        # 900k ppm hot key, big dim -> salt
+        assert suggest_join_strategy(row)["strategy"] == "salted"
+        uniform = spark.createDataFrame([(k % 50,) for k in range(5000)], ["k"])
+        urow = key_skew_stats(uniform, "k").collect()[0]
+        assert suggest_join_strategy(urow)["strategy"] == "shuffle"
