@@ -851,3 +851,44 @@ def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
     )
     return comp.select(F.col("u").alias("doc_id"), "component")
+
+
+def canonicalize_duplicates(
+    df: DataFrame,
+    group_col: str,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Post-dedup canonical selection: within each duplicate group,
+    keep the HIGHEST-quality member (ties broken by smallest id) and
+    map every member to it — the step after any dedup that decides
+    WHICH copy survives, instead of defaulting to "first seen".
+
+    Returns (id_col, group_col, canonical_id); canonical rows map to
+    themselves, so `filter(id == canonical_id)` is the surviving
+    corpus and the full frame is the redirect table an index/serving
+    layer needs.
+
+    One groupBy on the group key (argmax via max-of-struct —
+    (quality, -id) so the tie order is total) + one join back on the
+    same key: co-partitioned after the first shuffle. At corpus
+    scale pass a FINGERPRINT as group_col (xxhash64 of the
+    normalized text), not the text itself — the group key rides two
+    shuffles. Callers with near-dup groups feed the component id
+    from dup_groups/dup_groups_star as group_col.
+    """
+    best = (
+        df.groupBy(group_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("__b")
+        )
+        .select(group_col, (-F.col("__b.nid")).alias("canonical_id"))
+    )
+    return df.select(id_col, group_col).join(best, group_col).select(
+        id_col, group_col, "canonical_id"
+    )

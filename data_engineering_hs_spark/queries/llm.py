@@ -1623,3 +1623,63 @@ def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_select(
         e, query_vec_id=0, pool=_MMR_POOL, k=_MMR_K, lam=_MMR_LAM
     ).orderBy("pick")
+
+
+@register(
+    "d_canonicalize_dups",
+    # Canonical selection AFTER dedup: every duplicate group keeps
+    # its argmax-(quality, min id) member and all members redirect to
+    # it. Groups are exact raw-text matches (string group key, fine
+    # at sf; production passes a fingerprint — see the operator
+    # docstring); quality is a deterministic synthetic score
+    # (doc_id % 7) so the planted copies (every 10th eligible doc
+    # under max(id)+1) genuinely DISAGREE on quality and the argmax
+    # does real work — sometimes the copy wins, sometimes the
+    # original. The oracle restates the argmax with a window.
+    oracle="""
+WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + off.o, d.text FROM documents d, off
+  WHERE d.doc_id % 10 = 0 AND length(trim(d.text)) > 0
+),
+ranked AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY doc_id % 7 DESC, doc_id) AS rn
+  FROM aug
+),
+canon AS (SELECT text, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT a.text) AS BIGINT) AS n_groups,
+       CAST(count_if(a.doc_id <> c.canonical_id) AS BIGINT) AS n_remapped,
+       CAST(SUM(c.canonical_id) AS BIGINT) AS sum_canonical
+FROM aug a JOIN canon c ON a.text = c.text
+""",
+    doc="duplicate canonicalization: argmax-(quality, min id) member "
+    "survives per exact-dup group, all members redirect to it — the "
+    "decide-which-copy-wins step after dedup, with planted copies "
+    "whose synthetic quality disagrees with the original's",
+)
+def d_canonicalize_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.operators.dedup import (
+        canonicalize_duplicates,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 10 == 0) & (F.length(F.trim("text")) > 0)
+    )
+    aug = d.unionByName(
+        _shift_ids(planted, _plant_offset(d, "doc_id"), "doc_id")
+    ).withColumn("quality", F.pmod("doc_id", F.lit(7)))
+    mapping = canonicalize_duplicates(aug, "text", "quality", "doc_id")
+    return mapping.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("text").alias("n_groups"),
+        F.sum(
+            (F.col("doc_id") != F.col("canonical_id")).cast("long")
+        ).alias("n_remapped"),
+        F.sum("canonical_id").alias("sum_canonical"),
+    )

@@ -124,3 +124,53 @@ class TestIncrementalLsh:
         assert sorted(map(tuple, store.collect())) == sorted(
             map(tuple, direct.collect())
         )
+
+
+class TestCanonicalize:
+    def test_argmax_quality_then_min_id(self, spark):
+        from data_engineering_hs_spark.operators.dedup import (
+            canonicalize_duplicates,
+        )
+
+        rows = [
+            # group g1: id 3 has top quality -> canonical
+            (1, "g1", 5), (2, "g1", 9), (3, "g1", 9 + 1),
+            # group g2: quality tie between 10 and 11 -> min id 10
+            (10, "g2", 4), (11, "g2", 4),
+            # singleton maps to itself
+            (20, "g3", 0),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "quality"])
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in canonicalize_duplicates(
+                df, "grp", "quality", "doc_id"
+            ).collect()
+        }
+        assert got == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10, 20: 20}
+
+    def test_survivors_are_exactly_canonicals(self, spark):
+        from data_engineering_hs_spark.operators.dedup import (
+            canonicalize_duplicates,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 4}", (i * 13) % 11) for i in range(40)],
+            ["doc_id", "grp", "quality"],
+        )
+        m = canonicalize_duplicates(df, "grp", "quality", "doc_id")
+        survivors = m.filter(F.col("doc_id") == F.col("canonical_id"))
+        assert survivors.count() == 4  # one per group
+        # every group's canonical is a member of the group
+        assert (
+            m.select("grp", "canonical_id")
+            .distinct()
+            .join(
+                df.select("grp", F.col("doc_id").alias("canonical_id")),
+                ["grp", "canonical_id"],
+                "left_anti",
+            )
+            .count()
+            == 0
+        )
