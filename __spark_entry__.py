@@ -88,17 +88,12 @@ def _driver_verified() -> frozenset[str]:
 # the old green row verified a different contract.
 _RECHECK_THIS_ROUND = frozenset(
     {
-        # r7: golden → invariant-audit oracle conversions (recall vs
-        # exact truth, planted-duplicate completeness, conservation)
-        "s_ivf_topk",
-        "s_lsh_topk",
-        "s_embedding_near_dup",
-        "d_winnow_fingerprints",
-        "d_incremental_lsh",
-        "d_dup_components_lsh",
-        "t_pack_contexts",
-        "t_curate_training_set",  # r7: golden → composed stage SQL
-        "st_session_windows",     # r7: golden → lag-gap restatement
+        # r8: output schema changed (all-integer ppm/nearest-rank)
+        "dq_key_skew",
+        # r8: planted NULL-verdict row changes the counts
+        "dq_quarantine_split",
+        # r8: greedy phase moved driver-side (same oracle; re-pin)
+        "s_mmr_diversify",
     }
 )
 
@@ -176,7 +171,7 @@ _MEASURED_SEC = {
     "j_fuzzy_name_match": 0.8, "g_pagerank_nations": 6.0,
     "c_pit_join": 2.8, "dq_freshness": 0.4, "ts_ewma": 0.8,
     "f_variant_props": 1.7, "a_group_regression": 0.9,
-    "a_market_basket": 2.5, "s_mmr_diversify": 9.3,
+    "a_market_basket": 2.5, "s_mmr_diversify": 6.0,
     "a_event_transitions": 0.5, "g_triangle_count": 2.0,
     "dq_rowcounts_all": 0.8, "w_mom_growth": 0.4,
     "d_dup_components_star": 9.0, "w_open_orders_timeline": 0.7,
@@ -189,6 +184,14 @@ _MEASURED_SEC = {
     "dq_referential_integrity": 2.6, "a_rolling_distinct_hll": 1.1,
     "t_feature_hash": 1.5, "dq_quarantine_split": 1.5,
     "st_dedup_stream": 3.0,
+    # r8 additions (measured Spark+oracle at sf0.01; s_mmr_diversify
+    # re-measured after the driver-side greedy rewrite: 9.3 -> ~6
+    # cold / 1.6 warm)
+    "st_cdc_apply": 8.7, "st_update_mode": 2.5,
+    "st_stream_static_join": 1.3, "g_label_propagation": 3.5,
+    "a_heavy_hitters_cms": 0.8, "a_distinct_overlap_hll": 0.7,
+    "a_funnel_steps": 0.8, "c_time_travel_diff": 1.2,
+    "d_canonicalize_dups": 0.9,
 }
 
 

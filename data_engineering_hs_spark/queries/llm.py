@@ -1579,7 +1579,13 @@ def _mmr_oracle() -> str:
     stages = []
     prev = "sel1"
     for s in range(2, _MMR_K + 1):
-        stages.append(f"""sel{s} AS (
+        # MATERIALIZED everywhere a CTE is referenced more than once
+        # (each stage reads the previous selection twice and the
+        # cand/sims pools once): default inlining re-expands the
+        # whole upstream pipeline per reference and the oracle was
+        # measured ~8.5 s of the 9.8 s driver row — the g_kcore
+        # fd-exhaustion lesson, milder form
+        stages.append(f"""sel{s} AS MATERIALIZED (
   SELECT vec_id, rel, {s} AS pick FROM (
     SELECT c.vec_id, c.rel,
            {lam} * c.rel - {one_m} * (
@@ -1590,7 +1596,7 @@ def _mmr_oracle() -> str:
     FROM cand c
     WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
   ) ORDER BY score DESC, vec_id LIMIT 1
-), selu{s} AS (
+), selu{s} AS MATERIALIZED (
   SELECT * FROM {prev} UNION ALL SELECT * FROM sel{s}
 )""")
         prev = f"selu{s}"
@@ -1601,12 +1607,12 @@ c0 AS (
          {_cos_sql('embedding', 'q_vec')} AS rel
   FROM embeddings CROSS JOIN q WHERE vec_id != 0
 ),
-cand AS (SELECT * FROM c0 ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
-sims AS (
+cand AS MATERIALIZED (SELECT * FROM c0 ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+sims AS MATERIALIZED (
   SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos_sql('a.vec', 'b.vec')} AS sim
   FROM cand a JOIN cand b ON a.vec_id != b.vec_id
 ),
-sel1 AS (SELECT vec_id, rel, 1 AS pick FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS pick FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
 {', '.join(stages)}
 SELECT pick, vec_id, round(rel, 6) AS rel FROM {prev}
 ORDER BY pick
