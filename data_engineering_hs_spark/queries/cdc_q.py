@@ -303,8 +303,20 @@ def c_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
         .unionByName(
-            base.filter(F.col("o_orderkey") % 100 == 2).select(
-                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            # insert offset derived from max(key)+1, not a literal —
+            # a literal collides with real orderkeys at large SFs and
+            # snapshot_diff would misclassify the colliding keys as
+            # updates instead of inserts
+            base.filter(F.col("o_orderkey") % 100 == 2)
+            .crossJoin(
+                F.broadcast(
+                    base.agg(
+                        (F.max("o_orderkey") + F.lit(1)).alias("__off")
+                    )
+                )
+            )
+            .select(
+                (F.col("o_orderkey") + F.col("__off")).alias("o_orderkey"),
                 "price_cents",
             )
         )

@@ -385,20 +385,23 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized parquet table by streaming_cdc_apply's
     # foreachBatch + rename-aside swap. The planted changesets touch
     # disjoint key sets (updates on key%100==0, deletes on ==1,
-    # inserts relabeled under key+10,000,000 from ==2), so the final
-    # table is order-independent and the oracle restates the merge as
-    # one batch SQL expression. Output is the per-status rollup of
-    # the FINAL TABLE ON DISK (integer cents), so a wrong merge, a
-    # lost batch, or a botched swap all move the hash.
+    # inserts relabeled under key + max(key)+1 from ==2 — derived,
+    # not a literal, so inserted keys can never collide with real
+    # orderkeys at any SF), so the final table is order-independent
+    # and the oracle restates the merge as one batch SQL expression.
+    # Output is the per-status rollup of the FINAL TABLE ON DISK
+    # (integer cents), so a wrong merge, a lost batch, or a botched
+    # swap all move the hash.
     oracle="""
-WITH merged AS (
+WITH off AS (SELECT MAX(o_orderkey) + 1 AS o FROM orders),
+merged AS (
   SELECT o_orderkey, o_orderstatus,
          CASE WHEN o_orderkey % 100 = 0
               THEN o_totalprice + 1 ELSE o_totalprice END AS p
   FROM orders WHERE o_orderkey % 100 <> 1
   UNION ALL
-  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
-  FROM orders WHERE o_orderkey % 100 = 2
+  SELECT d.o_orderkey + off.o, d.o_orderstatus, d.o_totalprice
+  FROM orders d, off WHERE d.o_orderkey % 100 = 2
 )
 SELECT o_orderstatus AS status,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -437,11 +440,20 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
         F.lit("update").alias("op"),
     )
-    ins = base.filter(F.col("o_orderkey") % 100 == 2).select(
-        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
-        "o_orderstatus",
-        "o_totalprice",
-        F.lit("insert").alias("op"),
+    # insert offset derived from the data (max key + 1): a literal
+    # offset collides with real orderkeys once the table outgrows it
+    off = F.broadcast(
+        base.agg((F.max("o_orderkey") + F.lit(1)).alias("__off"))
+    )
+    ins = (
+        base.filter(F.col("o_orderkey") % 100 == 2)
+        .crossJoin(off)
+        .select(
+            (F.col("o_orderkey") + F.col("__off")).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("insert").alias("op"),
+        )
     )
     # batch 2: deletes carry NULL non-key columns, like snapshot_diff
     dele = base.filter(F.col("o_orderkey") % 100 == 1).select(
