@@ -192,6 +192,9 @@ _MEASURED_SEC = {
     "a_heavy_hitters_cms": 0.8, "a_distinct_overlap_hll": 0.7,
     "a_funnel_steps": 0.8, "c_time_travel_diff": 1.2,
     "d_canonicalize_dups": 0.9,
+    # r8 late additions (Spark+oracle at sf0.01; t_shuffle_shards
+    # measured cold-first — warm cost is ~1 s)
+    "t_shuffle_shards": 1.0, "s_semdedup": 4.6,
 }
 
 

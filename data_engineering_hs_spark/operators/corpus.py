@@ -556,3 +556,47 @@ def feature_hash_counts(
             F.transform("__cells", lambda s: s["cnt"]).alias("counts"),
         )
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "v1",
+    shard_col: str = "shard",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    data loaders: key = md5(seed:id), shard = uint64(key[:8 hex])
+    mod n_shards, rows ordered by key within each shard.
+
+    A training run wants the corpus in pseudo-random order, split
+    into a fixed number of shard files, and wants that order to be
+    REPRODUCIBLE — independent of input partitioning, cluster size,
+    or append order (rand()/repartition-based shuffles are none of
+    these). Keying on a cryptographic digest of (seed, id) gives an
+    order that is uniform, stable across engines, and re-drawable by
+    changing the seed.
+
+    Physical shape (the 100-TB path): ONE hash shuffle —
+    repartition(n_shards, shard) — then sortWithinPartitions(shard,
+    key): per-shard local sort, NO global order/range-exchange. All
+    rows of a shard land in one task (hash partitioning is a pure
+    function of the shard id; two shards may share a task, where the
+    leading sort key keeps them contiguous), so writing with
+    partitionBy(shard) yields one reproducible, internally-ordered
+    file per shard.
+    """
+    keyed = df.withColumn(
+        key_col,
+        F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+    ).withColumn(
+        shard_col,
+        (
+            F.conv(F.substring(F.col(key_col), 1, 8), 16, 10).cast("long")
+            % n_shards
+        ).cast("int"),
+    )
+    return keyed.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+        shard_col, key_col
+    )

@@ -872,3 +872,101 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    cents: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_strategy: str = "fold",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al.,
+    arXiv:2303.09540) → (id, cluster, c_sim, removed).
+
+    1. Assign every vector to its nearest centroid (one broadcast
+       pass; ties broken by ascending cluster label — deterministic).
+    2. Candidate pairs are generated WITHIN clusters only (equi-join
+       on the cluster id — never all-pairs): cosine >= threshold is
+       a semantic-duplicate edge.
+    3. Removal is a deterministic dominance rule derived from the
+       paper's keep-low-centroid-similarity policy: for each edge,
+       the member with the HIGHER cosine-to-centroid is removed
+       (it is the more redundant, closer-to-cluster-center copy;
+       ties by higher id). A point survives iff no above-threshold
+       neighbor dominates it.
+
+    Scale shape: the centroid table is k rows (broadcast); the only
+    shuffles are the per-cluster equi-join and one dedup on removed
+    ids. The paper's own design point makes within-cluster pairwise
+    tractable — k grows with the corpus so E[cluster size] = n/k
+    stays bounded, and a hot cluster is capped upstream by the same
+    max-bucket discipline as embedding_near_dups if needed.
+    """
+    cn = cents.withColumn("c_norm", norm("centroid"))
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("v_norm")
+    ).join(F.broadcast(cn)).select(
+        id_col,
+        vec_col,
+        "v_norm",
+        F.col("label").alias("cluster"),
+        cosine_from(
+            dot(vec_col, "centroid"), F.col("v_norm"), F.col("c_norm")
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cluster"))
+    # assigned is referenced three times below (both pair sides + the
+    # output join) — checkpoint once so the assignment pipeline does
+    # not re-evaluate per reference.
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("v_norm").alias("norm_a"),
+        F.col("c_sim").alias("csim_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("v_norm").alias("norm_b"),
+        F.col("c_sim").alias("csim_b"),
+    )
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "pair_sim",
+            cosine_from(
+                _pair_dot(dot_strategy, "vec_a", "vec_b"),
+                F.col("norm_a"),
+                F.col("norm_b"),
+            ),
+        )
+        .filter(F.col("pair_sim") >= threshold)
+    )
+    removed = (
+        edges.select(
+            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
+            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("__rm_id")
+        )
+        .distinct()
+    )
+    return assigned.join(
+        removed, assigned[id_col] == removed["__rm_id"], "left"
+    ).select(
+        id_col,
+        "cluster",
+        "c_sim",
+        F.col("__rm_id").isNotNull().alias("removed"),
+    )

@@ -21,4 +21,5 @@ def load_all() -> None:
         agg_extra,
         cdc_q,
         llm2,
+        llm3,
     )

@@ -1,0 +1,47 @@
+"""Full local oracle sweep: run every registry query side-by-side with
+its DuckDB oracle at sf0.01, exactly as the driver does. Usage:
+    python scripts_sweep.py <chunk_idx> <n_chunks>
+Prints one line per query: NAME OK|MISMATCH|ERROR <detail>.
+"""
+import sys
+import time
+import traceback
+
+from pyspark.sql import SparkSession
+
+chunk_idx, n_chunks = int(sys.argv[1]), int(sys.argv[2])
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+sys.path.insert(0, "tests")
+from data_engineering_hs_spark.queries import load_all
+
+load_all()
+from data_engineering_hs_spark.queries import REGISTRY
+from oracle_harness import compare_query
+
+names = sorted(REGISTRY.keys())
+mine = [n for i, n in enumerate(names) if i % n_chunks == chunk_idx]
+print(f"chunk {chunk_idx}/{n_chunks}: {len(mine)} queries", flush=True)
+bad = 0
+for name in mine:
+    t0 = time.time()
+    try:
+        res = compare_query(spark, name, "/root/testdata/sf0.01")
+        dt = time.time() - t0
+        if res:
+            bad += 1
+            print(f"FAIL {name} ({dt:.1f}s): {res}", flush=True)
+        else:
+            print(f"OK   {name} ({dt:.1f}s)", flush=True)
+    except Exception as e:
+        bad += 1
+        print(f"ERROR {name}: {e!r}", flush=True)
+        traceback.print_exc()
+print(f"chunk {chunk_idx}: {bad} failures", flush=True)

@@ -1,0 +1,96 @@
+"""Behavior tests for the round-8 additions: deterministic shuffle
+sharding (corpus.shuffle_shards) and SemDeDup cluster-scoped
+semantic dedup (similarity.semdedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.operators import similarity as S
+from data_engineering_hs_spark.operators.corpus import shuffle_shards
+
+SF001 = "/root/testdata/sf0.01"
+
+
+class TestShuffleShards:
+    def test_partition_local_order_and_coverage(self, spark):
+        d = load_table(spark, SF001, "documents").select("doc_id")
+        sh = shuffle_shards(d, "doc_id", n_shards=4, seed="v1")
+        parts = sh.select("shard", "shuffle_key").rdd.glom().collect()
+        # each shard lives entirely in ONE task; within a task rows
+        # are sorted by (shard, key) so shards are contiguous and
+        # internally key-ordered
+        shard_home: dict[int, int] = {}
+        for i, p in enumerate(parts):
+            pairs = [(r.shard, r.shuffle_key) for r in p]
+            assert pairs == sorted(pairs)
+            for s in {r.shard for r in p}:
+                assert shard_home.setdefault(s, i) == i
+        assert sum(len(p) for p in parts) == d.count()
+
+    def test_reproducible_and_partitioning_invariant(self, spark):
+        d = load_table(spark, SF001, "documents").select("doc_id")
+        a = shuffle_shards(d, "doc_id", n_shards=4).select(
+            "doc_id", "shard", "shuffle_key"
+        )
+        b = shuffle_shards(d.repartition(13), "doc_id", n_shards=4).select(
+            "doc_id", "shard", "shuffle_key"
+        )
+        assert sorted(a.collect()) == sorted(b.collect())
+
+    def test_seed_redraws_assignment(self, spark):
+        d = load_table(spark, SF001, "documents").select("doc_id")
+        a = shuffle_shards(d, "doc_id", n_shards=4, seed="v1")
+        b = shuffle_shards(d, "doc_id", n_shards=4, seed="v2")
+        moved = (
+            a.select("doc_id", "shard")
+            .join(
+                b.select("doc_id", F.col("shard").alias("shard2")), "doc_id"
+            )
+            .filter(F.col("shard") != F.col("shard2"))
+            .count()
+        )
+        assert moved > 0
+
+
+class TestSemDeDup:
+    def _aug(self, spark):
+        e = load_table(spark, SF001, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        off = e.agg((F.max("vec_id") + 1).alias("o")).collect()[0].o
+        copies = e.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(off)
+        )
+        return e.unionByName(copies), off
+
+    def test_removes_exactly_the_planted_copies(self, spark):
+        aug, off = self._aug(spark)
+        cents = S.centroids(aug)
+        res = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.95)
+        removed = {r.vec_id for r in res.filter("removed").collect()}
+        expected = {
+            r.vec_id + off
+            for r in aug.filter(
+                (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < off)
+            ).collect()
+        }
+        assert removed == expected
+
+    def test_lower_threshold_removes_more_never_fewer(self, spark):
+        aug, _ = self._aug(spark)
+        cents = S.centroids(aug)
+        hi = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.95)
+        lo = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.30)
+        hi_ids = {r.vec_id for r in hi.filter("removed").collect()}
+        lo_ids = {r.vec_id for r in lo.filter("removed").collect()}
+        assert hi_ids <= lo_ids
+        assert len(lo_ids) > len(hi_ids)
+
+    def test_every_row_assigned_once(self, spark):
+        aug, _ = self._aug(spark)
+        cents = S.centroids(aug)
+        res = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.95)
+        assert res.count() == aug.count()
+        assert res.select("vec_id").distinct().count() == aug.count()
