@@ -69,9 +69,11 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    comparable = round(
-        sum(timings[n] for n in COMPARABLE_14 if n in timings), 4
-    )
+    # the frozen subset must stay INTACT to mean anything round-over-
+    # round: a silently shrunken sum would read as a perf win
+    missing = [n for n in COMPARABLE_14 if n not in timings]
+    assert not missing, f"comparable_14 queries missing from bench: {missing}"
+    comparable = round(sum(timings[n] for n in COMPARABLE_14), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

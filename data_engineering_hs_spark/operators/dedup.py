@@ -869,26 +869,43 @@ def canonicalize_duplicates(
     corpus and the full frame is the redirect table an index/serving
     layer needs.
 
-    One groupBy on the group key (argmax via max-of-struct —
-    (quality, -id) so the tie order is total) + one join back on the
-    same key: co-partitioned after the first shuffle. At corpus
+    One groupBy on the group key (argmax via min-of-struct —
+    (-quality, id), so the tie order is total and the id can be ANY
+    orderable type, numeric or not; a NULL quality coalesces to -inf
+    and loses to every scored member) + one join back on the same
+    key: co-partitioned after the first shuffle. Rows whose
+    group_col is NULL are not duplicates of anything — they map to
+    themselves instead of being grouped together (or dropped by a
+    null-unsafe join). `quality_col` must be numeric. At corpus
     scale pass a FINGERPRINT as group_col (xxhash64 of the
     normalized text), not the text itself — the group key rides two
     shuffles. Callers with near-dup groups feed the component id
     from dup_groups/dup_groups_star as group_col.
     """
+    grouped = df.filter(F.col(group_col).isNotNull())
     best = (
-        df.groupBy(group_col)
+        grouped.groupBy(group_col)
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col(quality_col).alias("q"),
-                    (-F.col(id_col)).alias("nid"),
+                    (
+                        -F.coalesce(
+                            F.col(quality_col).cast("double"),
+                            F.lit(float("-inf")),
+                        )
+                    ).alias("nq"),
+                    F.col(id_col).alias("cid"),
                 )
             ).alias("__b")
         )
-        .select(group_col, (-F.col("__b.nid")).alias("canonical_id"))
+        .select(group_col, F.col("__b.cid").alias("canonical_id"))
     )
-    return df.select(id_col, group_col).join(best, group_col).select(
+    mapped = grouped.select(id_col, group_col).join(best, group_col).select(
         id_col, group_col, "canonical_id"
     )
+    selfmapped = df.filter(F.col(group_col).isNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(id_col).alias("canonical_id"),
+    )
+    return mapped.unionByName(selfmapped)

@@ -254,7 +254,7 @@ def register_bucketed_store(
 def suggest_join_strategy(
     skew_row,
     dim_rows: int | None = None,
-    broadcast_row_limit: int = 10_000_000,
+    broadcast_row_limit: int = 100_000,
     hot_share_ppm: int = 20_000,
 ) -> dict:
     """Turn a `quality.profiling.key_skew_stats` measurement into the
@@ -263,9 +263,11 @@ def suggest_join_strategy(
     of a pipeline, cite the returned reason in the job's docs/logs.
 
     Policy (the one this repo applies to its own queries):
-    - dim side known and small (row count under `broadcast_row_limit`,
-      a proxy for Spark's byte threshold when row width is sane) →
-      'broadcast': no shuffle at all, skew irrelevant.
+    - dim side known and small (row count under `broadcast_row_limit`;
+      the 100k default proxies Spark's 10 MB autoBroadcastJoinThreshold
+      at ~100 B/row — raise it only alongside the byte threshold and
+      executor headroom) → 'broadcast': no shuffle at all, skew
+      irrelevant.
     - hot key holds more than `hot_share_ppm` of rows (default 2%) →
       'salted': a plain hash join would put >2% of the table in one
       task; AQE skew-split helps sort-merge joins but salting also

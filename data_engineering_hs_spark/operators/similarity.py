@@ -558,6 +558,11 @@ def mmr_select(
             F.col(vec_col).alias("vec"),
             V.cosine(vec_col, "__q").alias("rel"),
         )
+        # a NULL rel (null/malformed embedding) is un-scorable: keep
+        # it out of the pool rather than let the driver-side greedy
+        # compare None (the engine-side loop it replaced sorted such
+        # rows last via SQL null ordering)
+        .filter(F.col("rel").isNotNull())
         .orderBy(F.desc("rel"), "vec_id")
         .limit(pool)
         .localCheckpoint(eager=True)  # pool-sized; reused below
@@ -583,9 +588,20 @@ def mmr_select(
             for v in order:
                 if v in chosen:
                     continue
-                msim = max(sim[(v, s)] for s in chosen)
-                # identical IEEE-double expression to the engine/oracle
-                score = lam * rel[v] - (1.0 - lam) * msim
+                # a NULL pairwise sim (null vector elements) makes
+                # the MMR score NULL in SQL, which sorts last — so a
+                # candidate with no computable sims scores -inf here
+                known = [
+                    s2
+                    for s in chosen
+                    if (s2 := sim.get((v, s))) is not None
+                ]
+                if len(known) < len(chosen):
+                    score = float("-inf")
+                else:
+                    # identical IEEE-double expression to the
+                    # engine/oracle
+                    score = lam * rel[v] - (1.0 - lam) * max(known)
                 if (
                     best_score is None
                     or score > best_score

@@ -422,6 +422,9 @@ def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "suppkey")
         .limit(20)
+        # referenced twice (probe keys + final join): checkpoint the
+        # 20-row frame so the full groupBy+sort doesn't run twice
+        .localCheckpoint(eager=True)
     )
     est = cms_estimate(sketch, exact, "suppkey", depth=depth, width=width)
     n_total = li.agg(F.count("*").alias("__n"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
 from data_engineering_hs_spark.operators import cdc
+from data_engineering_hs_spark.queries.llm import _plant_offset, _shift_ids
 from data_engineering_hs_spark.queries.registry import register
 
 
@@ -307,17 +308,10 @@ def c_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a literal collides with real orderkeys at large SFs and
             # snapshot_diff would misclassify the colliding keys as
             # updates instead of inserts
-            base.filter(F.col("o_orderkey") % 100 == 2)
-            .crossJoin(
-                F.broadcast(
-                    base.agg(
-                        (F.max("o_orderkey") + F.lit(1)).alias("__off")
-                    )
-                )
-            )
-            .select(
-                (F.col("o_orderkey") + F.col("__off")).alias("o_orderkey"),
-                "price_cents",
+            _shift_ids(
+                base.filter(F.col("o_orderkey") % 100 == 2),
+                _plant_offset(base, "o_orderkey"),
+                "o_orderkey",
             )
         )
     )

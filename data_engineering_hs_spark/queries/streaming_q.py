@@ -442,19 +442,13 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # insert offset derived from the data (max key + 1): a literal
     # offset collides with real orderkeys once the table outgrows it
-    off = F.broadcast(
-        base.agg((F.max("o_orderkey") + F.lit(1)).alias("__off"))
-    )
-    ins = (
-        base.filter(F.col("o_orderkey") % 100 == 2)
-        .crossJoin(off)
-        .select(
-            (F.col("o_orderkey") + F.col("__off")).alias("o_orderkey"),
-            "o_orderstatus",
-            "o_totalprice",
-            F.lit("insert").alias("op"),
-        )
-    )
+    from data_engineering_hs_spark.queries.llm import _plant_offset, _shift_ids
+
+    ins = _shift_ids(
+        base.filter(F.col("o_orderkey") % 100 == 2),
+        _plant_offset(base, "o_orderkey"),
+        "o_orderkey",
+    ).withColumn("op", F.lit("insert"))
     # batch 2: deletes carry NULL non-key columns, like snapshot_diff
     dele = base.filter(F.col("o_orderkey") % 100 == 1).select(
         "o_orderkey",

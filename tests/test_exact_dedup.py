@@ -174,3 +174,64 @@ class TestCanonicalize:
             .count()
             == 0
         )
+
+
+class TestCanonicalizeEdges:
+    def test_null_group_rows_self_map(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_engineering_hs_spark.operators.dedup import (
+            canonicalize_duplicates,
+        )
+
+        rows = [
+            (1, "g1", 5), (2, "g1", 9),
+            (7, None, 3), (8, None, 99),  # NOT duplicates of each other
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "quality"])
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in canonicalize_duplicates(
+                df, "grp", "quality", "doc_id"
+            ).collect()
+        }
+        # null-group rows map to themselves, nothing is dropped
+        assert got == {1: 2, 2: 2, 7: 7, 8: 8}
+
+    def test_string_ids_tie_breaks_lexically(self, spark):
+        from data_engineering_hs_spark.operators.dedup import (
+            canonicalize_duplicates,
+        )
+
+        rows = [
+            ("doc-b", "g1", 4), ("doc-a", "g1", 4),  # tie -> doc-a
+            ("doc-z", "g2", 1), ("doc-y", "g2", 7),  # doc-y wins
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "quality"])
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in canonicalize_duplicates(
+                df, "grp", "quality", "doc_id"
+            ).collect()
+        }
+        assert got == {
+            "doc-a": "doc-a", "doc-b": "doc-a",
+            "doc-y": "doc-y", "doc-z": "doc-y",
+        }
+
+    def test_null_quality_loses(self, spark):
+        from data_engineering_hs_spark.operators.dedup import (
+            canonicalize_duplicates,
+        )
+
+        rows = [(1, "g1", None), (2, "g1", 0)]
+        df = spark.createDataFrame(
+            rows, "doc_id int, grp string, quality int"
+        )
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in canonicalize_duplicates(
+                df, "grp", "quality", "doc_id"
+            ).collect()
+        }
+        assert got == {1: 2, 2: 2}
