@@ -14,7 +14,9 @@ quality checks (quality.assertions) like `dbt test`.
 
 Incremental materialization mirrors fct_orders.sql:9-32
 (delete+insert on unique_key within a lookback window): the runner
-passes `ctx.is_incremental` + `ctx.lookback_filter(...)`, and
+exposes `ctx.is_incremental` / `ctx.existing()`, the model applies
+its own lookback predicate (see magic_shop.fct_orders's
+`order_ts >= now - INTERVAL 30 DAYS`), and
 `materialize_incremental` implements delete+insert as key-dedup
 partition overwrite — only touched partitions rewrite (dynamic
 partitionOverwriteMode), which is the scalable MERGE emulation.
@@ -23,6 +25,7 @@ partitionOverwriteMode), which is the scalable MERGE emulation.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
@@ -172,8 +175,31 @@ class ModelRunner:
             .join(fresh.select(m.unique_key), m.unique_key, "left_anti")
         )
         out = kept.unionByName(fresh.select(*kept.columns))
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.partitionBy(m.partition_by).mode("overwrite").parquet(path)
+        # Dynamic overwrite rewrites only partitions PRESENT in the
+        # output: a touched partition whose rows ALL moved elsewhere
+        # (e.g. the only order in a month got its ts corrected) has
+        # zero output rows, so the stale directory would survive as a
+        # ghost copy of the moved keys. Compute those emptied
+        # partitions BEFORE the write (touched is increment-sized, so
+        # the collect is driver-safe) and delete them after.
+        emptied = [
+            r[0]
+            for r in touched.join(
+                out.select(m.partition_by).distinct(),
+                m.partition_by,
+                "left_anti",
+            ).collect()
+        ]
+        # per-write option, NOT spark.conf.set: a session-global flip
+        # would silently change every later partitioned overwrite
+        out.write.partitionBy(m.partition_by).mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(path)
+        for v in emptied:
+            shutil.rmtree(
+                os.path.join(path, f"{m.partition_by}={v}"),
+                ignore_errors=True,
+            )
         return self.spark.read.parquet(path)
 
     # -- graph / selectors -------------------------------------------------
@@ -292,7 +318,14 @@ class ModelRunner:
         return out
 
     def test(self) -> list[str]:
-        """`dbt test`: run every model's checks; returns failure messages."""
+        """`dbt test`: re-run every built model's checks, collecting
+        failure messages instead of raising. Deliberately a SECOND
+        pass over the current warehouse state (dbt's own `run` then
+        `test` shape): run() already gates each materialization —
+        raising on the first failing check — so what test() adds is
+        the post-hoc audit that catches external mutation of
+        materialized tables between run and test (the built frames of
+        table/incremental models re-read their parquet on use)."""
         failures = []
         for name, m in self.models.items():
             df = self._built.get(name)
@@ -310,10 +343,33 @@ class ModelRunner:
         EVERY output as one snapshot version, flip the marker
         atomically (sources.publish protocol). Readers never see a
         half-updated set of models — the multi-table consistency dbt
-        leaves to warehouse transactions."""
-        from data_engineering_hs_spark.sources.publish import publish
+        leaves to warehouse transactions.
 
-        return publish(self.run(select), root)
+        A selector rebuilds only the selected models, but the
+        committed snapshot must not SHRINK: tables published before
+        and not selected now are carried forward from the current
+        version into the new one, so `read_published` keeps resolving
+        them. (Carrying forward re-writes the data — versions share
+        nothing by design; a manifest layer would turn this into a
+        metadata-only reference at lakehouse scale.)"""
+        from data_engineering_hs_spark.sources.publish import (
+            current_version,
+            publish,
+        )
+
+        out = dict(self.run(select))
+        if select is not None:
+            prev = current_version(root)
+            if prev is not None:
+                prev_dir = os.path.join(root, f"v={prev}")
+                for t in sorted(os.listdir(prev_dir)):
+                    if t not in out and os.path.isdir(
+                        os.path.join(prev_dir, t)
+                    ):
+                        out[t] = self.spark.read.parquet(
+                            os.path.join(prev_dir, t)
+                        )
+        return publish(out, root)
 
     # -- declarative config / docs ----------------------------------------
 

@@ -55,10 +55,27 @@ def publish(tables: dict[str, DataFrame], root: str) -> int:
     Returns the published version number. The marker flip (tmp file +
     os.replace) is the ONLY commit point: every table of version N is
     fully on disk before any reader can resolve N.
+
+    Concurrent publishers are detected, not merged: the version
+    directory is claimed with an exclusive mkdir, so two writers that
+    race to the same next version get DISTINCT versions instead of
+    interleaving their tables into one corrupted "committed"
+    snapshot; the later marker flip wins (possibly pointing at the
+    lower version number if that writer finished last — still a
+    complete, consistent snapshot), and the other version stays
+    readable via time travel.
     """
     os.makedirs(root, exist_ok=True)
-    version = (max(_versions(root)) + 1) if _versions(root) else 1
-    vdir = os.path.join(root, f"v={version}")
+    seen = _versions(root)
+    version = (max(seen) + 1) if seen else 1
+    while True:
+        vdir = os.path.join(root, f"v={version}")
+        try:
+            # exclusive claim — the atomic "allocate a version" step
+            os.makedirs(vdir, exist_ok=False)
+            break
+        except FileExistsError:
+            version += 1
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(vdir, name))
     tmp = os.path.join(root, _MARKER + ".tmp")

@@ -122,8 +122,15 @@ def file_watch_ingest(
             good = batch.filter(valid_predicate.eqNullSafe(True))
             bad = batch.filter(~valid_predicate.eqNullSafe(True))
             if quarantine_dir is not None:
-                bad.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
+                # batch_id-partitioned dynamic overwrite, not append:
+                # a replayed batch (crash between this write and the
+                # checkpoint commit) rewrites ITS OWN partition
+                # instead of duplicating quarantine rows — same
+                # idempotency discipline as the good-row upsert
+                bad.withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.partitionBy("batch_id").mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
                 ).parquet(quarantine_dir)
         upsert_parquet(spark, target_dir, good, list(keys))
 
@@ -143,13 +150,17 @@ def tumbling_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """§2.9 gap: event-time tumbling window with watermark — late rows
-    beyond the watermark drop; append-mode emits finalized windows."""
+    beyond the watermark drop; append-mode emits finalized windows.
+    `value_col` names the summed measure (parameterized like the
+    rest of the signature; streams without one should pass a literal
+    column or a different measure, not be forced to carry `value`)."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
@@ -313,6 +324,7 @@ def streaming_cdc_apply(
     checkpoint_dir: str,
     keys: list[str],
     available_now: bool = True,
+    seq_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming MERGE: apply a stream of snapshot_diff-shaped
     changesets (insert/update/delete rows with an `op` column) to a
@@ -327,6 +339,14 @@ def streaming_cdc_apply(
     idempotent: re-applying a changeset deletes already-absent keys
     (no-op) and re-upserts identical rows — asserted by test.
 
+    apply_changeset assumes AT MOST ONE row per key per batch (the
+    snapshot_diff shape). A file source can coalesce several change
+    files into one micro-batch, so: pass `seq_col` (a monotonically
+    increasing change-sequence column) and the batch reduces to the
+    LAST op per key before applying; without one, a batch carrying a
+    conflicting key raises instead of silently resurrecting deleted
+    rows or duplicating updates.
+
     At scale the merged rewrite is the standard copy-on-write MERGE
     cost (Delta/Hudi CoW); the anti-join side broadcasts when the
     batch is small. Partition-pruned rewrites (only touched
@@ -336,13 +356,43 @@ def streaming_cdc_apply(
     import os
     import shutil
 
+    from pyspark.sql import Window
+
     from data_engineering_hs_spark.operators.cdc import apply_changeset
+    from data_engineering_hs_spark.sources.parquet import recover_swap
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         norm = table_path.rstrip("/")
+        # self-heal a torn swap from a crashed predecessor run —
+        # otherwise a crash between the two os.replace calls leaves
+        # no directory at table_path and every replay dies on read
+        recover_swap(norm, tmp_suffixes=("__merge",))
+        b = batch
+        if seq_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            conflict = (
+                b.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if conflict:
+                raise ValueError(
+                    "micro-batch contains multiple ops for key "
+                    f"{tuple(conflict[0][k] for k in keys)}; pass "
+                    "seq_col so the batch can reduce to the last op "
+                    "per key"
+                )
         current = spark.read.parquet(norm)
-        merged = apply_changeset(current, batch, keys=keys)
+        merged = apply_changeset(current, b, keys=keys)
         tmp, old = norm + ".__merge", norm + ".__old"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)

@@ -339,3 +339,51 @@ class TestBlueGreenPublish:
         v2 = runner2.publish_run(root)
         assert v2 == 2 and current_version(root) == 2
         assert read_published(spark, root, "fct_orders").count() >= base
+
+
+class TestIncrementalEmptiedPartition:
+    def test_emptied_partition_directory_is_removed(self, spark, tmp_path):
+        import os
+
+        # order 13 is the ONLY row in its May partition; the second
+        # run moves it to June. Dynamic overwrite alone cannot rewrite
+        # a partition with zero output rows — the runner must delete
+        # the emptied directory or a ghost copy of order 13 survives.
+        wh = str(tmp_path / "wh_ghost")
+        raw1 = _raw(spark, orders_extra=[
+            ("13", "2", "2025-05-20 09:00:00", "cloak", "pending", "10.00"),
+        ])
+        build_runner(spark, raw1, warehouse_dir=wh, now_expr=NOW).run()
+        assert os.path.exists(f"{wh}/fct_orders/order_month=202505")
+        raw2 = _raw(spark, orders_extra=[
+            ("13", "2", "2025-06-05 09:00:00", "cloak", "pending", "10.00"),
+        ])
+        build_runner(spark, raw2, warehouse_dir=wh, now_expr=NOW).run()
+        fct = spark.read.parquet(f"{wh}/fct_orders")
+        rows = fct.filter(F.col("order_id") == 13).collect()
+        assert len(rows) == 1
+        assert rows[0]["order_month"] == 202506
+        assert fct.count() == 4
+        assert not os.path.exists(f"{wh}/fct_orders/order_month=202505")
+
+
+class TestSelectorPublishCarryForward:
+    def test_unselected_tables_survive_a_partial_release(self, spark, tmp_path):
+        from data_engineering_hs_spark.sources.publish import (
+            current_version,
+            read_published,
+        )
+
+        root = str(tmp_path / "pub_sel")
+        runner = build_runner(spark, _raw(spark), now_expr=NOW)
+        runner.publish_run(root)
+        dim_before = read_published(spark, root, "dim_customers").count()
+        assert dim_before > 0
+
+        runner2 = build_runner(spark, _raw(spark), now_expr=NOW)
+        v2 = runner2.publish_run(root, select="fct_orders")
+        assert v2 == 2 and current_version(root) == 2
+        # the partial release carried dim_customers forward — the
+        # snapshot did not shrink
+        assert read_published(spark, root, "dim_customers").count() == dim_before
+        assert read_published(spark, root, "fct_orders").count() > 0

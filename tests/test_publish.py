@@ -107,3 +107,15 @@ def test_time_travel_guards(spark, tmp_path):
     assert removed
     with _pytest.raises(FileNotFoundError):
         read_published(spark, root, "t", version=removed[0])
+
+
+def test_version_claim_is_exclusive(spark, tmp_path):
+    """A competing writer's already-claimed version directory is
+    skipped, not co-written: the next publish claims a fresh number."""
+    from data_engineering_hs_spark.sources.publish import publish
+
+    root = str(tmp_path / "race")
+    df = spark.range(3)
+    assert publish({"t": df}, root) == 1
+    os.makedirs(os.path.join(root, "v=2"))  # another writer mid-stage
+    assert publish({"t": df}, root) == 3

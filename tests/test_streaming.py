@@ -336,3 +336,116 @@ class TestProgressSummary:
         # reports; presence is the contract here.
         assert s["last_watermark"] is not None
         q.stop()
+
+
+class TestStreamingCdcApplyEdges:
+    _SCHEMA = "k long, v string, op string"
+    _SEQ_SCHEMA = "k long, v string, op string, seq long"
+
+    def _start_table(self, spark, path):
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        ).write.parquet(path)
+
+    def test_conflicting_key_in_one_batch_raises_without_seq(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            streaming_cdc_apply,
+        )
+
+        table = str(tmp_path / "tbl")
+        src = str(tmp_path / "changes")
+        os.makedirs(src)
+        self._start_table(spark, table)
+        schema = T2._parse_datatype_string(self._SCHEMA)
+        # two files land BEFORE the stream starts -> one micro-batch
+        # with two ops for k=9 (insert then delete, order undefined)
+        spark.createDataFrame([(9, "x", "insert")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        spark.createDataFrame([(9, None, "delete")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q = streaming_cdc_apply(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            str(tmp_path / "ckpt"),
+            keys=["k"],
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        assert q.exception() is not None
+        assert "multiple ops" in str(q.exception())
+        # table untouched — the refusal happened before any write
+        got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_seq_col_resolves_last_op_per_key(self, spark, tmp_path):
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            streaming_cdc_apply,
+        )
+
+        table = str(tmp_path / "tbl")
+        src = str(tmp_path / "changes")
+        os.makedirs(src)
+        self._start_table(spark, table)
+        schema = T2._parse_datatype_string(self._SEQ_SCHEMA)
+        # one batch: k=2 updated twice (seq decides), k=9 inserted
+        # then deleted (net no-op)
+        spark.createDataFrame(
+            [(2, "B2", "update", 1), (9, "x", "insert", 2)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(2, "B3", "update", 3), (9, None, "delete", 4)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_cdc_apply(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            str(tmp_path / "ckpt"),
+            keys=["k"],
+            seq_col="seq",
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+        assert got == [(1, "a"), (2, "B3")]
+
+    def test_torn_swap_self_heals_on_next_batch(self, spark, tmp_path):
+        import shutil as sh
+
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            streaming_cdc_apply,
+        )
+
+        table = str(tmp_path / "tbl")
+        src = str(tmp_path / "changes")
+        os.makedirs(src)
+        self._start_table(spark, table)
+        # simulate a crash between the two os.replace calls: the
+        # table dir moved aside, nothing at the table path
+        os.replace(table, table + ".__old")
+        assert not os.path.exists(table)
+        schema = T2._parse_datatype_string(self._SCHEMA)
+        spark.createDataFrame([(5, "e", "insert")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q = streaming_cdc_apply(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            str(tmp_path / "ckpt"),
+            keys=["k"],
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+        assert got == [(1, "a"), (2, "b"), (5, "e")]
+        sh.rmtree(table + ".__old", ignore_errors=True)
