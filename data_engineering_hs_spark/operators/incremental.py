@@ -67,28 +67,28 @@ def commit_increment(
     overwrite mode, so the bootstrap drops the catalog entry AND
     clears the default location first."""
     if overwrite:
-        import os
-        import shutil
-
         spark = partials.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-                break
         # Warehouse layout depends on the (qualified) name: default-db
         # tables live at <wh>/<tbl>, any other database at
         # <wh>/<db>.db/<tbl>. A 3-part name's catalog segment never
         # appears in the path.
         parts = [p.strip("`").lower() for p in table_name.split(".")]
         tbl, db = parts[-1], parts[-2] if len(parts) >= 2 else "default"
-        loc = (
-            os.path.join(wh, tbl)
-            if db == "default"
-            else os.path.join(wh, f"{db}.db", tbl)
+        loc = f"{wh.rstrip('/')}/{tbl}" if db == "default" else (
+            f"{wh.rstrip('/')}/{db}.db/{tbl}"
         )
-        shutil.rmtree(loc, ignore_errors=True)
+        # Delete through Hadoop's FileSystem, not shutil: the
+        # warehouse can be file:, hdfs:, or s3a: — a local rmtree on
+        # a remote URI is a silent no-op and the bootstrap still dies
+        # with LOCATION_ALREADY_EXISTS off local FS.
+        jvm = spark._jvm  # noqa: SLF001
+        jpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        fs.delete(jpath, True)
     write_bucketed(
         partials,
         table_name,

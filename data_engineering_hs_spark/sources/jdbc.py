@@ -115,33 +115,56 @@ def upsert_statements(
     ]
 
 
-def _execute_driver_sql(spark: SparkSession, url: str, statements: Sequence[str]) -> None:
-    """Run DDL/DML on the driver through java.sql.DriverManager."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+def _execute_driver_sql(
+    spark: SparkSession, url: str, statements: Sequence[str], conn=None
+) -> None:
+    """Run DDL/DML on the driver through java.sql.DriverManager.
+    Pass `conn` to reuse a connection (per-batch callers open one and
+    thread it through instead of paying setup per statement group)."""
+    own = conn is None
+    if own:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
     try:
         stmt = conn.createStatement()
         for sql in statements:
             stmt.execute(sql)
         stmt.close()
     finally:
-        conn.close()
+        if own:
+            conn.close()
 
 
-def _table_exists(spark: SparkSession, url: str, table: str) -> bool:
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+def _table_exists(spark: SparkSession, url: str, table: str, conn=None) -> bool:
+    own = conn is None
+    if own:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
     try:
-        # Unquoted identifiers fold per backend: Derby/H2 store them
-        # UPPER, PostgreSQL lower — probe every folding.
+        # getTables takes the SCHEMA as its own argument, and `_`/`%`
+        # in the name pattern are wildcards — so split a qualified
+        # name, then post-filter the result set for an EXACT match
+        # (an underscore name like fuel_sales would otherwise match
+        # fuelXsales). Unquoted identifiers fold per backend
+        # (Derby/H2 UPPER, PostgreSQL lower) — compare case-folded.
+        schema, _, bare = table.rpartition(".")
         meta = conn.getMetaData()
-        for candidate in {table, table.upper(), table.lower()}:
-            rs = meta.getTables(None, None, candidate, None)
-            found = rs.next()
+        # schemaPattern=None (not the raw schema string): pattern
+        # matching is case-sensitive, so a lowercase caller schema
+        # would miss Derby's upper-folded catalog — fold in Python
+        rs = meta.getTables(None, None, "%", None)
+        try:
+            while rs.next():
+                got_schema = rs.getString("TABLE_SCHEM") or ""
+                got_name = rs.getString("TABLE_NAME") or ""
+                if got_name.lower() == bare.lower() and (
+                    not schema or got_schema.lower() == schema.lower()
+                ):
+                    return True
+        finally:
             rs.close()
-            if found:
-                return True
         return False
     finally:
-        conn.close()
+        if own:
+            conn.close()
 
 
 def jdbc_upsert_batch(
@@ -189,20 +212,31 @@ def jdbc_upsert_batch(
             ", ".join(f"{c} {string_type}" for c in string_cols),
         )
     writer.save()
-    if not _table_exists(spark, url, table):
+    # one driver connection for the whole exists-check + DDL + MERGE
+    # sequence — per-batch connection churn dominates small frequent
+    # streaming batches against remote databases
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        if not _table_exists(spark, url, table, conn=conn):
+            _execute_driver_sql(
+                spark,
+                url,
+                create_target_statements(dialect, table, stage, keys),
+                conn=conn,
+            )
+        # Spark's JDBC writer emits column names QUOTED (so Derby
+        # stores them case-sensitive lowercase) but table names
+        # unquoted; the driver-side SQL (_q) matches that convention.
         _execute_driver_sql(
-            spark, url, create_target_statements(dialect, table, stage, keys)
+            spark,
+            url,
+            upsert_statements(
+                dialect, table, stage, keys, deduped.columns, update_on_match
+            ),
+            conn=conn,
         )
-    # Spark's JDBC writer emits column names QUOTED (so Derby stores
-    # them case-sensitive lowercase) but table names unquoted; the
-    # driver-side SQL (_q) matches that convention.
-    _execute_driver_sql(
-        spark,
-        url,
-        upsert_statements(
-            dialect, table, stage, keys, deduped.columns, update_on_match
-        ),
-    )
+    finally:
+        conn.close()
 
 
 def foreach_batch_jdbc_upsert(

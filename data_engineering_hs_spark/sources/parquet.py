@@ -98,19 +98,33 @@ def compact_parquet(
     sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
     norm = path.rstrip("/")
     tmp = norm + ".__compact"
-    old = norm + ".__old"
     sized.write.mode("overwrite").parquet(tmp)
-    # Swap via rename-aside: rmtree(path) before the rename would
-    # leave a crash window with NO dataset at `path`.
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(norm, old)
-    os.replace(tmp, norm)
-    shutil.rmtree(old)
+    # Swap via rename-aside (shared protocol): rmtree(path) before
+    # the rename would leave a crash window with NO dataset at path.
+    swap_in(tmp, norm)
     return {
         "files_before": len(before),
         "files_after": len(data_files(path)),
         "bytes": total,
     }
+
+
+def swap_in(tmp: str, path: str) -> None:
+    """Commit a fully-written `tmp` dataset to `path` via the
+    rename-aside protocol (the ONE shared implementation — the
+    ordering is crash-sensitive and `recover_swap` assumes exactly
+    these states): park the current dataset at `.__old`, rename tmp
+    in, drop the parked copy. Every crash point leaves a complete
+    dataset at a name recover_swap knows how to finish from."""
+    import os
+    import shutil
+
+    norm = path.rstrip("/")
+    old = norm + ".__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(norm, old)
+    os.replace(tmp, norm)
+    shutil.rmtree(old)
 
 
 def recover_swap(path: str, tmp_suffixes: tuple[str, ...] = ("__compact", "__merge")) -> str:
@@ -179,19 +193,33 @@ def delete_keys_partitioned(
     Returns {"partitions_rewritten", "rows_deleted"}.
     """
     df = spark.read.parquet(path)
-    doomed = keys.select(F.col(key_col)).distinct()
+    # null-safe key matching throughout: a doomed NULL key must
+    # delete NULL-key rows (plain equi-joins silently drop them)
+    doomed = keys.select(F.col(key_col).alias("__doomed_key")).distinct()
+    key_match = F.col(key_col).eqNullSafe(F.col("__doomed_key"))
     parts = [
         r[0]
-        for r in df.join(doomed, key_col, "left_semi")
+        for r in df.join(doomed, key_match, "left_semi")
         .select(partition_col)
         .distinct()
         .collect()  # partition VALUES only — dim-sized by definition
     ]
     if not parts:
         return {"partitions_rewritten": 0, "rows_deleted": 0}
-    affected = df.filter(F.col(partition_col).isin(parts))
+    # isin() never matches NULL, so a NULL partition value (the
+    # __HIVE_DEFAULT_PARTITION__ directory) gets its own branch;
+    # the literal isin keeps static partition pruning for the rest
+    non_null = [v for v in parts if v is not None]
+    cond = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if len(non_null) < len(parts):
+        cond = cond | F.col(partition_col).isNull()
+    affected = df.filter(cond)
     before = affected.count()
-    kept = affected.join(doomed, key_col, "left_anti").localCheckpoint(eager=True)
+    kept = affected.join(doomed, key_match, "left_anti").localCheckpoint(
+        eager=True
+    )
     kept_n = kept.count()
     (
         kept.write.mode("overwrite")
@@ -202,16 +230,31 @@ def delete_keys_partitioned(
     # dynamic overwrite only replaces partitions PRESENT in the
     # written frame — a partition whose every row is doomed writes
     # nothing and would silently survive. Drop those directories
-    # explicitly.
+    # explicitly, resolving the ON-DISK names: Spark percent-escapes
+    # special chars in partition paths (: / % = #) and spells NULL as
+    # __HIVE_DEFAULT_PARTITION__, so a hand-built f"{col}={v}" would
+    # miss exactly the values that get escaped.
     import os
     import shutil
+    from urllib.parse import unquote
 
-    kept_parts = {r[0] for r in kept.select(partition_col).distinct().collect()}
-    for v in parts:
-        if v not in kept_parts:
-            shutil.rmtree(
-                os.path.join(path, f"{partition_col}={v}"), ignore_errors=True
-            )
+    kept_parts = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    gone = [v for v in parts if v not in kept_parts]
+    if gone:
+        gone_strs = {str(v) for v in gone if v is not None}
+        gone_null = any(v is None for v in gone)
+        prefix = f"{partition_col}="
+        for d in os.listdir(path):
+            if not d.startswith(prefix):
+                continue
+            raw = d[len(prefix):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                if gone_null:
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            elif unquote(raw) in gone_strs:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {
         "partitions_rewritten": len(parts),
         "rows_deleted": before - kept_n,

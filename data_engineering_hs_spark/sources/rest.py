@@ -70,7 +70,13 @@ def fetch_with_retry(
         if 200 <= status < 300:
             return status, attempt, body
         if status == 429:
-            retry_after = float(headers.get("Retry-After", backoff_base))
+            # RFC 7231 allows Retry-After as either delta-seconds or
+            # an HTTP-date; a date (or garbage) must fall back to the
+            # backoff, not raise out of the task mid-fetch
+            try:
+                retry_after = float(headers.get("Retry-After", backoff_base))
+            except (TypeError, ValueError):
+                retry_after = backoff_base * (2 ** (attempt - 1))
             if attempt < max_attempts:
                 time.sleep(retry_after)
             continue
@@ -96,7 +102,13 @@ def fetch_ids(
     Each task runs its own TokenBucket, so global rate ≈
     rps_per_task × tasks — set num_tasks to respect a server-side
     limit (reference: 18 rps client vs 20 rps server)."""
-    src = ids_df.select(F.col(id_col).cast("long").alias("id"))
+    # try_cast, not cast: under ANSI (the Spark 4 default) a bad id
+    # string would throw mid-job; non-ANSI cast nulls it and the NULL
+    # reaches pandas as NaN, where int(NaN) kills the task after
+    # burning rate-limited requests. try_cast + drop handles both.
+    src = ids_df.select(
+        F.col(id_col).try_cast("long").alias("id")
+    ).filter(F.col("id").isNotNull())
     if num_tasks:
         src = src.repartition(num_tasks)
 
@@ -155,11 +167,28 @@ def flatten_orders(fetched: DataFrame) -> DataFrame:
             T.StructField("subtotal", T.DoubleType()),
             T.StructField("total", T.DoubleType()),
             T.StructField("created_at", T.StringType()),
+            # PERMISSIVE-mode catch-all: from_json parks the raw body
+            # here when it cannot parse, instead of silently emitting
+            # a struct whose every field is null
+            T.StructField("_corrupt", T.StringType()),
         ]
     )
-    parsed = fetched.filter(
-        (F.col("status") >= 200) & (F.col("status") < 300)
-    ).withColumn("o", F.from_json("body", body_schema))
+    parsed = (
+        fetched.filter((F.col("status") >= 200) & (F.col("status") < 300))
+        .withColumn(
+            "o",
+            F.from_json(
+                "body",
+                body_schema,
+                {"columnNameOfCorruptRecord": "_corrupt"},
+            ),
+        )
+        # a malformed 2xx body (truncated JSON, HTML error page)
+        # would otherwise become an all-NULL output row
+        # indistinguishable from real data — drop it rather than
+        # poison downstream joins
+        .filter(F.col("o").isNotNull() & F.col("o._corrupt").isNull())
+    )
     return parsed.select(
         F.col("o.order_id").alias("order_id"),
         F.col("o.account_id").alias("account_id"),

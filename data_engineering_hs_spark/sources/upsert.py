@@ -39,10 +39,22 @@ def upsert_parquet(
 ) -> int:
     """Insert-if-absent by key; returns rows actually appended."""
     deduped = batch.dropDuplicates(list(keys))
-    if os.path.exists(target_path):
+    # Probe the target THROUGH Spark, not os.path.exists: the driver's
+    # local filesystem says nothing about hdfs:/s3a: targets (where
+    # exists() is always False and every replayed batch would append
+    # duplicates, silently breaking idempotency), and an existing but
+    # empty directory (crash between mkdir and first commit) must
+    # count as absent rather than fail schema inference.
+    try:
         existing_keys = spark.read.parquet(target_path).select(*keys)
         fresh = deduped.join(existing_keys, list(keys), "left_anti")
-    else:
+    except Exception as e:  # noqa: BLE001 — AnalysisException subclasses vary
+        if not (
+            "PATH_NOT_FOUND" in str(e)
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+            or "Path does not exist" in str(e)
+        ):
+            raise
         fresh = deduped
     # Materialize the anti-join BEFORE appending. cache()+count() is
     # NOT a correctness barrier — evicted partitions recompute lazily

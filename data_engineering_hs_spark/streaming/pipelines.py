@@ -353,13 +353,13 @@ def streaming_cdc_apply(
     partitions) are the compose-with-partitioning upgrade, same
     protocol per partition directory.
     """
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
     from data_engineering_hs_spark.operators.cdc import apply_changeset
-    from data_engineering_hs_spark.sources.parquet import recover_swap
+    from data_engineering_hs_spark.sources.parquet import (
+        recover_swap,
+        swap_in,
+    )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -393,12 +393,9 @@ def streaming_cdc_apply(
                 )
         current = spark.read.parquet(norm)
         merged = apply_changeset(current, b, keys=keys)
-        tmp, old = norm + ".__merge", norm + ".__old"
+        tmp = norm + ".__merge"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(norm, old)
-        os.replace(tmp, norm)
-        shutil.rmtree(old)
+        swap_in(tmp, norm)
 
     writer = (
         changes_stream.writeStream.outputMode("append")

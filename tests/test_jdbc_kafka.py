@@ -192,3 +192,42 @@ class TestJdbcDialects:
         assert "WHEN NOT MATCHED THEN INSERT" in sql
         (ddl,) = create_target_statements("ansi", "fuel", "fuel_stage", ["transaction_id"])
         assert ddl == "CREATE TABLE fuel AS SELECT * FROM fuel_stage WITH NO DATA"
+
+
+class TestTableExistsExactMatch:
+    def test_underscore_is_not_a_wildcard(self, spark):
+        # JDBC getTables treats `_` as a single-char wildcard: a table
+        # FUELXSALES must NOT satisfy an existence probe for
+        # fuel_sales (the false positive skips CREATE and the MERGE
+        # then dies with table-not-found)
+        from data_engineering_hs_spark.sources.jdbc import (
+            _execute_driver_sql,
+            _table_exists,
+        )
+
+        url = "jdbc:derby:memory:test_wild;create=true"
+        _execute_driver_sql(
+            spark, url, ["CREATE TABLE FUELXSALES (id INT)"]
+        )
+        assert _table_exists(spark, url, "fuelxsales")
+        assert not _table_exists(spark, url, "fuel_sales")
+
+    def test_schema_qualified_name_resolves(self, spark):
+        # getTables takes the schema as a separate argument; a
+        # qualified name passed whole as the name pattern never
+        # matches, so batch 2 of a stream would re-CREATE and die
+        from data_engineering_hs_spark.sources.jdbc import (
+            _execute_driver_sql,
+            _table_exists,
+        )
+
+        url = "jdbc:derby:memory:test_qual;create=true"
+        _execute_driver_sql(
+            spark,
+            url,
+            ["CREATE SCHEMA APPX", "CREATE TABLE APPX.FUEL (id INT)"],
+        )
+        assert _table_exists(spark, url, "APPX.FUEL")
+        assert _table_exists(spark, url, "appx.fuel")
+        assert not _table_exists(spark, url, "APPX.MISSING")
+        assert not _table_exists(spark, url, "OTHER.FUEL")

@@ -99,3 +99,42 @@ class TestDistributedFetch:
             "order_id", "account_id", "company", "contact_email",
             "status", "currency", "subtotal", "total", "created_at",
         }
+
+
+class TestRetryAndInputEdges:
+    def test_retry_after_http_date_falls_back_to_backoff(self):
+        # RFC 7231 allows an HTTP-date Retry-After; float() on it must
+        # not escape the retry loop as a ValueError
+        t = make_flaky_transport(
+            {7: _order(7)},
+            fail_plan={
+                7: [(429, {"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"})]
+            },
+        )
+        status, attempts, body = fetch_with_retry(
+            "http://x/item/7", t, backoff_base=0.0
+        )
+        assert status == 200 and attempts == 2 and body
+
+    def test_null_and_unparseable_ids_are_dropped(self, spark):
+        responses = {1: _order(1), 2: _order(2)}
+        t = make_flaky_transport(responses)
+        ids = spark.createDataFrame(
+            [("1",), (None,), ("nope",), ("2",)], "id string"
+        )
+        fetched = fetch_ids(ids, "http://x/item/{id}", t, rps_per_task=10_000)
+        got = sorted(r["id"] for r in fetched.collect())
+        assert got == [1, 2]
+
+    def test_malformed_2xx_body_is_dropped_not_null_row(self, spark):
+        rows = [
+            (1, 200, 1, '{"order_id": 1, "account_id": 101, '
+             '"contact": {"email": "a@x.com"}}'),
+            (2, 200, 1, "<html>gateway error that returned 200</html>"),
+        ]
+        fetched = spark.createDataFrame(
+            rows, "id long, status int, attempts int, body string"
+        )
+        flat = flatten_orders(fetched)
+        got = [r["order_id"] for r in flat.collect()]
+        assert got == [1]

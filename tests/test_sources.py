@@ -567,3 +567,60 @@ class TestOrcAndBinary:
         assert set(rows) == {"a.bin", "b.bin"}
         assert bytes(rows["a.bin"]["content"]) == b"\x00\x01\x02payload-a"
         assert rows["b.bin"]["length"] == 900
+
+
+class TestDeleteKeysPartitionedEdges:
+    def test_escaped_partition_value_fully_doomed(self, spark, tmp_path):
+        # timestamps in partition values get percent-escaped on disk
+        # (':' -> %3A) — a fully-doomed escaped partition must still
+        # be removed, not silently survive a hand-built path miss
+        from data_engineering_hs_spark.sources.parquet import (
+            delete_keys_partitioned,
+        )
+
+        path = str(tmp_path / "t_esc")
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (2, "2024-02-02 11:30:00")],
+            "k long, p string",
+        ).write.partitionBy("p").parquet(path)
+        # sanity: the dir name really is escaped
+        assert any("%3A" in d for d in os.listdir(path))
+        doomed = spark.createDataFrame([(1,)], "k long")
+        stats = delete_keys_partitioned(spark, path, doomed, "k", "p")
+        assert stats["rows_deleted"] == 1
+        left = spark.read.parquet(path)
+        assert [r.k for r in left.collect()] == [2]
+        assert sum(d.startswith("p=") for d in os.listdir(path)) == 1
+
+    def test_null_partition_and_null_key(self, spark, tmp_path):
+        # a doomed NULL key must delete NULL-key rows, and a NULL
+        # partition value (__HIVE_DEFAULT_PARTITION__ dir) must be
+        # reachable by the delete
+        from data_engineering_hs_spark.sources.parquet import (
+            delete_keys_partitioned,
+        )
+
+        path = str(tmp_path / "t_null")
+        spark.createDataFrame(
+            [(1, "a"), (None, None), (3, None), (4, "b")],
+            "k long, p string",
+        ).write.partitionBy("p").parquet(path)
+        doomed = spark.createDataFrame([(None,), (1,)], "k long")
+        stats = delete_keys_partitioned(spark, path, doomed, "k", "p")
+        assert stats["rows_deleted"] == 2
+        left = spark.read.parquet(path)
+        assert sorted(r.k for r in left.collect()) == [3, 4]
+
+
+class TestUpsertEmptyTargetDir:
+    def test_existing_empty_dir_counts_as_absent(self, spark, tmp_path):
+        # a crash between mkdir and first commit leaves an empty
+        # target dir; the next batch must bootstrap, not die on
+        # schema inference
+        from data_engineering_hs_spark.sources.upsert import upsert_parquet
+
+        target = str(tmp_path / "t_up")
+        os.makedirs(target)
+        b = spark.createDataFrame([(1, "a")], "transaction_id long, v string")
+        assert upsert_parquet(spark, target, b, ["transaction_id"]) == 1
+        assert upsert_parquet(spark, target, b, ["transaction_id"]) == 0
