@@ -49,8 +49,13 @@ def full_name(first: ColumnOrName, last: ColumnOrName) -> Column:
 
 
 def split_packed_list(c: ColumnOrName, sep: str = ",") -> Column:
-    """Comma-packed list-in-string → array<string> (lab01 `items` col)."""
-    return F.split(_col(c), sep)
+    """Comma-packed list-in-string → array<string> (lab01 `items` col).
+    `sep` is a LITERAL separator — F.split takes a Java regex, so a
+    caller's '|' or '.' would silently shred the string per char
+    without the escape."""
+    import re
+
+    return F.split(_col(c), re.escape(sep))
 
 
 # --- time ops (F10-F16) ----------------------------------------------------
@@ -59,8 +64,11 @@ LOG_TS_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"  # lab02/tasks.ipynb:189
 
 
 def to_log_timestamp(c: ColumnOrName) -> Column:
-    """Parse nginx-style '%d/%b/%Y:%H:%M:%S %z' timestamps."""
-    return F.to_timestamp(_col(c), LOG_TS_FORMAT)
+    """Parse nginx-style '%d/%b/%Y:%H:%M:%S %z' timestamps.
+    try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+    mode a single garbled log line would otherwise kill the whole
+    job — a dirty-log parser wants NULL + downstream quarantine."""
+    return F.try_to_timestamp(_col(c), F.lit(LOG_TS_FORMAT))
 
 
 def month_bucket(c: ColumnOrName) -> Column:
@@ -70,9 +78,24 @@ def month_bucket(c: ColumnOrName) -> Column:
 
 def time_of_day_between(c: ColumnOrName, start_hhmm: str, end_hhmm: str) -> Column:
     """ts::time >= 'HH:mm' AND ts::time < 'HH:mm'
-    (lab03/sql/script1.sql:17-18). Requires UTC session tz."""
+    (lab03/sql/script1.sql:17-18). Requires UTC session tz.
+
+    Bounds are compared as zero-padded strings, so they MUST be
+    'HH:mm' — '9:00' would silently compare false for every row
+    (char '0' < '9'); validated here instead. A start > end range
+    wraps past midnight (22:00-06:00 = late-night bucket)."""
+    import re as _re
+
+    for v in (start_hhmm, end_hhmm):
+        if not _re.fullmatch(r"(?:[01]\d|2[0-3]):[0-5]\d", v):
+            raise ValueError(
+                f"time_of_day_between bound {v!r} must be zero-padded "
+                "'HH:mm' (00:00-23:59)"
+            )
     tod = F.date_format(_col(c), "HH:mm")
-    return (tod >= start_hhmm) & (tod < end_hhmm)
+    if start_hhmm <= end_hhmm:
+        return (tod >= start_hhmm) & (tod < end_hhmm)
+    return (tod >= start_hhmm) | (tod < end_hhmm)
 
 
 def epoch_millis_to_ts(c: ColumnOrName) -> Column:

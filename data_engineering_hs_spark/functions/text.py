@@ -49,8 +49,14 @@ def char_count(c: ColumnOrName) -> Column:
 
 
 def punct_ratio(c: ColumnOrName) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
-    clean = F.regexp_replace(_col(c), r"[A-Za-z0-9\s]", "")
+    """Fraction of characters that are not letters/digits/space.
+    Unicode classes, not [A-Za-z0-9]: the ASCII class counted every
+    accented or CJK letter as punctuation, flooring quality_score for
+    exactly the non-English documents lang_id advertises (a clean
+    German/Chinese doc scored as punctuation-soup). \\p{L}/\\p{N} are
+    the Unicode categories in both Java regex and DuckDB's RE2, so
+    the SQL oracles mirror term-for-term."""
+    clean = F.regexp_replace(_col(c), r"[\p{L}\p{N}\s]", "")
     return F.length(clean).cast("double") / F.greatest(F.length(_col(c)), F.lit(1)).cast("double")
 
 
@@ -114,12 +120,20 @@ def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
 
 
 def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
-    """Distinct character n-grams → array<string> (SimHash/Jaccard input)."""
+    """Distinct character n-grams → array<string> (SimHash/Jaccard
+    input). A short non-empty string is its own single gram; NULL and
+    empty strings yield an EMPTY array — the old [NULL]/[''] outputs
+    made every pair of blank documents Jaccard-identical and
+    clustered unrelated empties as near-duplicates."""
     s = _col(c)
     ln = F.length(s)
     idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: F.substring(s, i, n))
-    return F.when(ln >= n, F.array_distinct(grams)).otherwise(F.array(s))
+    return (
+        F.when(ln >= n, F.array_distinct(grams))
+        .when(ln > 0, F.array(s))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def fingerprint64(c: ColumnOrName) -> Column:

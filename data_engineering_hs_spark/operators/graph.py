@@ -45,20 +45,44 @@ def pagerank(
     out-edges) contribute nothing (their mass leaks, the simple
     variant). Returns (node, rank) after `iterations` rounds from a
     uniform start, each round rounded to `round_decimals`.
+
+    Determinism is exact, not probabilistic: every DISTRIBUTED sum in
+    the loop runs over scaled integers (weights quantized to 1e-6,
+    per-edge contribution terms to 1e-12), so partition/AQE merge
+    order cannot move an ulp — a double F.sum before the per-round
+    rounding could still flip the rounded last decimal when a value
+    lands on a rounding boundary (the same argument that makes
+    key_skew_stats all-integer). The double ops that remain
+    (rank·wi/out_wi, base/n) take deterministic integer operands.
+    Bounds: |w|·1e6 and (per-node in-degree)·1e12 must fit in int64 —
+    holds to million-node graphs with million-scale weights;
+    pre-normalize weights beyond that.
     """
+    _W_SCALE = 1_000_000  # weight quantum: 1e-6
+    _C_SCALE = 1_000_000_000_000  # contribution quantum: 1e-12
     w = F.col(weight_col) if weight_col else F.lit(1.0)
+    # loop invariants checkpoint ONCE: e / nodes / out_w / n_nodes are
+    # re-joined every iteration, and without the checkpoint each round
+    # replays the caller's whole upstream edge pipeline (g_pagerank
+    # builds edges from a 5-table join) several times per iteration —
+    # same discipline as label_propagation's `und`
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
-        w.cast("double").alias("w"),
-    )
+        F.round(w.cast("double") * _W_SCALE).cast("long").alias("wi"),
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    n_nodes = nodes.agg(F.count("*").alias("n"))
+    out_w = (
+        e.groupBy("src")
+        .agg(F.sum("wi").alias("out_wi"))  # exact integer sum
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
     base = (1.0 - damping)
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -66,16 +90,21 @@ def pagerank(
         F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"),
     )
     for _ in range(iterations):
+        term = (
+            F.col("rank")
+            * F.col("wi").cast("double")
+            / F.col("out_wi").cast("double")
+        )
         contribs = (
             ranks.withColumnRenamed("node", "src")
             .join(out_w, "src")
             .join(e, "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+                F.round(term * _C_SCALE).cast("long").alias("ci"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("c"))
+            .agg(F.sum("ci").alias("ci"))  # exact integer sum
         )
         ranks = (
             nodes.join(contribs, "node", "left")
@@ -83,7 +112,12 @@ def pagerank(
             .select(
                 "node",
                 F.round(
-                    base / F.col("n") + damping * F.coalesce("c", F.lit(0.0)),
+                    base / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce("ci", F.lit(0)).cast("double")
+                        / F.lit(float(_C_SCALE))
+                    ),
                     round_decimals,
                 ).alias("rank"),
             )

@@ -111,7 +111,12 @@ def freshness(
         F.max(ts_col)
     )
     status = (
-        F.when(lag > error_after_hours * 3600, "error")
+        # no data at all (empty table / all-NULL ts) is the WORST
+        # freshness state, not a pass: a NULL max would null both lag
+        # comparisons and fall through to 'pass' otherwise — dbt
+        # source-freshness errors here too
+        F.when(F.max(ts_col).isNull(), "error")
+        .when(lag > error_after_hours * 3600, "error")
         .when(lag > warn_after_hours * 3600, "warn")
         .otherwise("pass")
     )

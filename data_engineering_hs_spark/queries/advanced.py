@@ -427,14 +427,22 @@ _PR_DEC = 8
 
 
 def _pagerank_oracle() -> str:
+    # mirrors operators.graph.pagerank's integer-scaled sums: weights
+    # quantized to 1e-6 (wi BIGINT), per-edge contribution terms to
+    # 1e-12 (ci BIGINT) — every distributed SUM runs over integers so
+    # engine/partition merge order cannot move an ulp
     its = []
     for i in range(1, _PR_ITERS + 1):
         its.append(f"""r{i} AS (
   SELECT n.node,
          round({1.0 - _PR_DAMPING!r} / (SELECT n FROM nn)
-               + {_PR_DAMPING!r} * coalesce(s.c, 0.0), {_PR_DEC}) AS rank
+               + {_PR_DAMPING!r} * (CAST(coalesce(s.ci, 0) AS DOUBLE)
+                                    / 1000000000000.0), {_PR_DEC}) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node, SUM(r.rank * e.w / o.out_w) AS c
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(round(r.rank * CAST(e.wi AS DOUBLE)
+                                / CAST(o.out_wi AS DOUBLE)
+                                * 1000000000000.0) AS BIGINT)) AS BIGINT) AS ci
     FROM r{i - 1} r
     JOIN out_w o ON r.node = o.src
     JOIN edges e ON r.node = e.src
@@ -445,7 +453,8 @@ def _pagerank_oracle() -> str:
     return f"""
 WITH edges AS (
   SELECT cn.n_name AS src, sn.n_name AS dst,
-         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS w
+         CAST(round(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) * 1000000) AS BIGINT) AS wi
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -458,7 +467,7 @@ WITH edges AS (
     SELECT src AS node FROM edges UNION SELECT dst FROM edges
   )
 ), nn AS (SELECT COUNT(*) AS n FROM nodes),
-out_w AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+out_w AS (SELECT src, CAST(SUM(wi) AS BIGINT) AS out_wi FROM edges GROUP BY src),
 r0 AS (
   SELECT node, round(1.0 / (SELECT n FROM nn), {_PR_DEC}) AS rank FROM nodes
 ),

@@ -65,7 +65,7 @@ SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
        length(text) AS n_chars_exact,
-       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
          / greatest(length(text), 1) AS punct_ratio,
        CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
          / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -85,7 +85,7 @@ def t_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.length("text").alias("n_chars_exact"),
         (
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+            F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")).cast("double")
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("punct_ratio"),
         (non_space.cast("double") / F.greatest(n_tok, F.lit(1))).alias("mean_word_len"),
@@ -150,7 +150,7 @@ WITH c AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(text), '\\s+') END AS toks
@@ -1436,7 +1436,7 @@ qc0 AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(text), '\\s+') END AS toks

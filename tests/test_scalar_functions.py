@@ -96,3 +96,84 @@ class TestScalarHelpers:
         ).collect()[0]
         assert float(row["raw"]) == 9.5
         assert row["parsed"]["price"] == 9.5
+
+
+class TestHardeningEdges:
+    def test_punct_ratio_unicode_letters_are_letters(self, spark):
+        from data_engineering_hs_spark.functions.text import punct_ratio
+
+        df = spark.createDataFrame(
+            [("Müller wohnt über der Straße",), ("你好世界 这是 中文",)],
+            ["text"],
+        )
+        vals = [r[0] for r in df.select(punct_ratio("text")).collect()]
+        assert all(v == 0.0 for v in vals), vals
+
+    def test_char_ngrams_null_and_empty_yield_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_engineering_hs_spark.functions.text import char_ngrams
+
+        df = spark.createDataFrame(
+            [(None,), ("",), ("ab",), ("abcdef",)], "text string"
+        )
+        got = df.select(
+            F.coalesce("text", F.lit("<null>")).alias("t"),
+            char_ngrams("text", 5).alias("g"),
+        ).collect()
+        by = {r["t"]: r["g"] for r in got}
+        assert by["<null>"] == []
+        assert by[""] == []
+        assert by["ab"] == ["ab"]  # short doc = its own single gram
+        assert len(by["abcdef"]) == 2
+
+    def test_to_log_timestamp_null_on_garbage(self, spark):
+        from data_engineering_hs_spark.functions.scalar import (
+            to_log_timestamp,
+        )
+
+        df = spark.createDataFrame(
+            [("10/Oct/2023:13:55:36 +0000",), ("32/Foo/2024:99:99:99 +0000",)],
+            ["raw"],
+        )
+        got = [r[0] for r in df.select(to_log_timestamp("raw")).collect()]
+        assert got[0] is not None and got[1] is None
+
+    def test_time_of_day_validates_and_wraps(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.functions.scalar import (
+            time_of_day_between,
+        )
+
+        with _pytest.raises(ValueError):
+            time_of_day_between(F.lit("x"), "9:00", "17:00")
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 23, 30),), (dt.datetime(2024, 1, 1, 3, 0),),
+             (dt.datetime(2024, 1, 1, 12, 0),)],
+            ["ts"],
+        )
+        late_night = df.filter(time_of_day_between("ts", "22:00", "06:00"))
+        assert late_night.count() == 2
+
+    def test_split_packed_list_literal_separator(self, spark):
+        from data_engineering_hs_spark.functions.scalar import (
+            split_packed_list,
+        )
+
+        df = spark.createDataFrame([("a|b|c",)], ["s"])
+        assert df.select(split_packed_list("s", "|")).collect()[0][0] == [
+            "a", "b", "c",
+        ]
+
+    def test_freshness_empty_and_all_null_is_error(self, spark):
+        from data_engineering_hs_spark.quality.profiling import freshness
+
+        empty = spark.createDataFrame([], "ts timestamp")
+        row = freshness(empty, "ts", "2025-01-01 00:00:00").collect()[0]
+        assert row["status"] == "error" and row["max_ts"] is None
+        nulls = spark.createDataFrame([(None,), (None,)], "ts timestamp")
+        row2 = freshness(nulls, "ts", "2025-01-01 00:00:00").collect()[0]
+        assert row2["status"] == "error"
