@@ -37,28 +37,44 @@ def asof_join(
     Returns all left columns plus `value_cols` from the matched right
     row (null when no right row precedes). `on` is the equi-key;
     timestamps compared on their native type (caller aligns units).
+
+    The matched right row is carried as ONE struct, not per-column:
+    a per-column last(ignorenulls) would back-fill a genuinely-NULL
+    right field from an OLDER right row, returning a frankenrow that
+    never existed (merge_asof returns the whole matched row,
+    NULL fields included). The struct itself is non-null for every
+    right row, so ignorenulls only skips the left-side tags.
+
+    `ts_tiebreak` names any right column (not necessarily in
+    value_cols) that orders equal-timestamp right rows; without it,
+    which of several equal-ts right rows wins is engine-dependent.
     """
     lcols = left.columns
-    tagged_left = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),  # left sorts after right at equal ts
-        F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-    )
+    rstruct_cols = list(value_cols)
+    if ts_tiebreak and ts_tiebreak not in rstruct_cols:
+        rstruct_cols.append(ts_tiebreak)
     tagged_right = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(
-            tagged_left.schema["__l"].dataType
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in rstruct_cols]).alias("__r"),
+    )
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            tagged_right.schema["__r"].dataType
+        ).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if ts_tiebreak:
-        order.insert(1, F.col(f"__r_{ts_tiebreak}").asc_nulls_last())
+        order.insert(1, F.col(f"__r.{ts_tiebreak}").asc_nulls_last())
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
@@ -67,14 +83,11 @@ def asof_join(
     carried = unioned.select(
         "__side",
         "__l",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
     return carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"__m.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 
@@ -100,10 +113,14 @@ def asof_join_pandas(
     schema = T.StructType(fields)
 
     def merge(key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        ldf = ldf.sort_values(left_ts)
-        rdf = rdf.sort_values(right_ts)[[right_ts, *value_cols]].rename(
-            columns={c: f"asof_{c}" for c in value_cols}
-        )
+        # merge_asof RAISES on null merge keys; the window form
+        # tolerates them — match that: null-ts left rows pass through
+        # with null asof columns, null-ts right rows can never match
+        null_left = ldf[ldf[left_ts].isna()].copy()
+        ldf = ldf[ldf[left_ts].notna()].sort_values(left_ts)
+        rdf = rdf[rdf[right_ts].notna()].sort_values(right_ts)[
+            [right_ts, *value_cols]
+        ].rename(columns={c: f"asof_{c}" for c in value_cols})
         merged = pd.merge_asof(
             ldf,
             rdf,
@@ -113,6 +130,10 @@ def asof_join_pandas(
             tolerance=tolerance,
         )
         keep = list(ldf.columns) + [f"asof_{c}" for c in value_cols]
+        if len(null_left):
+            for c in value_cols:
+                null_left[f"asof_{c}"] = None
+            merged = pd.concat([merged[keep], null_left[keep]])
         return merged[keep]
 
     return (

@@ -303,10 +303,10 @@ def extract_features(
                     }
                 )
 
-    cfg = {"spark.sql.execution.arrow.maxRecordsPerBatch": str(batch_size)}
-    spark = df.sparkSession
-    for k, v in cfg.items():
-        spark.conf.set(k, v)
+    # the inner loop re-chunks every Arrow batch to batch_size, so no
+    # session conf change is needed — mutating the session-global
+    # arrow.maxRecordsPerBatch here would silently shrink every later
+    # Arrow operation's batches for the rest of the session
     return df.select("media_id", "content").mapInPandas(
         run, schema=FEATURES_SCHEMA
     )

@@ -65,10 +65,17 @@ def range_join(
     if how == "left":
         matched = pt.join(iv, keys).filter(bounds).drop("__bucket")
         interval_cols = [c for c in iv.columns if c not in set(pt.columns)]
-        unmatched = pt.drop("__bucket").join(
-            matched.select(*points.columns).distinct(),
-            on=list(points.columns),
-            how="left_anti",
+        # null-safe anti-join: a matched point row carrying a NULL in
+        # any column would never equal itself under `=`, so it would
+        # ALSO be classified unmatched and emitted twice
+        p_alias = pt.drop("__bucket").alias("__p")
+        m_keys = matched.select(*points.columns).distinct().alias("__m")
+        cond = None
+        for c in points.columns:
+            e = F.col(f"__p.`{c}`").eqNullSafe(F.col(f"__m.`{c}`"))
+            cond = e if cond is None else (cond & e)
+        unmatched = p_alias.join(m_keys, cond, "left_anti").select(
+            *points.columns
         )
         for c in interval_cols:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(iv.schema[c].dataType))

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def resample(
@@ -140,15 +141,26 @@ def detect_gaps(
     One window shuffle on the key; the lag and the epoch subtraction
     are codegen Column algebra. At 100 TB the shuffle carries
     (key, ts) only — project before calling.
+
+    Accepts BOTH timestamp columns and the numeric epoch-seconds
+    columns the rest of this module (resample/interpolate) works in:
+    unix_timestamp() on a numeric column string-parses under ANSI and
+    throws (or nulls every gap with ANSI off), so numerics subtract
+    directly.
     """
+    is_numeric = isinstance(
+        df.schema[ts_col].dataType, (T.LongType, T.IntegerType, T.DoubleType,
+                                     T.FloatType, T.DecimalType),
+    )
+
+    def _epoch(c) -> Column:
+        return F.col(c).cast("long") if is_numeric else F.unix_timestamp(F.col(c))
+
     w = Window.partitionBy(key_col).orderBy(ts_col)
     return (
         df.select(key_col, ts_col)
         .withColumn("__prev", F.lag(ts_col).over(w))
-        .withColumn(
-            "gap_seconds",
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__prev")),
-        )
+        .withColumn("gap_seconds", _epoch(ts_col) - _epoch("__prev"))
         .filter(F.col("gap_seconds") >= min_gap_seconds)
         .select(
             key_col,

@@ -265,6 +265,15 @@ def read_avro(
                             file_schema = json.loads(v)
                     meta_n = _zigzag_decode(buf)
                 ftypes = _field_types(file_schema)
+                # records decode under the FILE's schema but columns
+                # come from the caller's — a name mismatch would
+                # silently produce all-NaN columns, so fail loudly
+                missing = {n for n, _ in fields} - {n for n, _ in ftypes}
+                if missing:
+                    raise ValueError(
+                        f"avro reader schema fields {sorted(missing)} "
+                        "absent from the file's writer schema"
+                    )
                 buf.read(16)
                 while True:
                     head = buf.read(1)
@@ -304,6 +313,12 @@ def decode_avro_column(
 
         recs = []
         for v in s:
+            if v is None:
+                # Kafka tombstone (null value) — from_avro, the
+                # documented equivalent, returns null; bytes(None)
+                # would kill the whole query instead
+                recs.append({n: None for n, _ in fields})
+                continue
             buf = io.BytesIO(bytes(v))
             recs.append({n: _decode_value(buf, t) for n, t in fields})
         return pd.DataFrame(recs, columns=[n for n, _ in fields])

@@ -160,6 +160,12 @@ class DocsGenStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["id"]), int(end["id"])
+        # Restart resync for the advance_per_poll cursor: the poll
+        # cursor is in-memory, so after a checkpoint restart Spark's
+        # start offset can be AHEAD of it — without the fast-forward,
+        # latestOffset would regress below the committed offset and
+        # re-plan already-emitted ranges. start is authoritative.
+        self._cur = max(getattr(self, "_cur", 0), lo)
         if hi <= lo:
             return [_Range(0, 0)]
         step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
@@ -170,6 +176,8 @@ class DocsGenStreamReader(DataSourceStreamReader):
             yield _doc(self.seed, doc_id)
 
     def commit(self, end: dict) -> None:
-        pass
+        # same fast-forward on commit: monotonic cursor even if
+        # partitions() was not consulted for a batch
+        self._cur = max(getattr(self, "_cur", 0), int(end["id"]))
 
 

@@ -127,5 +127,9 @@ def stateful_counter_tws(
         Counter(),
         outputStructType=COUNTER_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        # state TTL is only legal under ProcessingTime — with
+        # timeMode="None" Spark rejects the getValueState ttl at
+        # query start (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+        # ASSIGN_TTL), so the TTL path could never run
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

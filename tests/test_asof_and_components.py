@@ -188,3 +188,72 @@ class TestStarComponents:
                 ).dup_groups_star(df).collect()
             }
             assert a == b
+
+
+class TestAsofJoinEdges:
+    def test_matched_row_is_one_row_not_a_mix(self, spark):
+        # right rows: (ts=10, px=100, size=NULL), (ts=20, px=NULL,
+        # size=5). The as-of match at ts=30 is the ts=20 ROW — px must
+        # be NULL, not back-filled from ts=10 (a row that never
+        # existed). merge_asof semantics, pinned against the pandas
+        # twin.
+        left = spark.createDataFrame([("A", 30, 1)], ["sym", "t", "lid"])
+        right = spark.createDataFrame(
+            [("A", 10, 100.0, None), ("A", 20, None, 5)],
+            "sym string, t long, px double, size int",
+        )
+        got = asof_join(
+            left, right, "sym", "t", "t", ["px", "size"]
+        ).collect()[0]
+        assert got["asof_px"] is None and got["asof_size"] == 5
+        got_pd = asof_join_pandas(
+            left, right, "sym", "t", "t", ["px", "size"]
+        ).collect()[0]
+        assert got_pd["asof_px"] is None and got_pd["asof_size"] == 5
+
+    def test_ts_tiebreak_outside_value_cols(self, spark):
+        left = spark.createDataFrame([("A", 10, 1)], ["sym", "t", "lid"])
+        right = spark.createDataFrame(
+            [("A", 10, 1.0, 2), ("A", 10, 2.0, 1)],
+            "sym string, t long, px double, qid int",
+        )
+        got = asof_join(
+            left, right, "sym", "t", "t", ["px"], ts_tiebreak="qid"
+        ).collect()[0]
+        # highest qid sorts last in the carry-forward -> wins
+        assert got["asof_px"] == 1.0
+
+    def test_pandas_form_tolerates_null_ts(self, spark):
+        left = spark.createDataFrame(
+            [("A", 30, 1), ("A", None, 2)], "sym string, t long, lid int"
+        )
+        right = spark.createDataFrame(
+            [("A", 10, 100.0), ("A", None, 999.0)],
+            "sym string, t long, px double",
+        )
+        got = {
+            r["lid"]: r["asof_px"]
+            for r in asof_join_pandas(
+                left, right, "sym", "t", "t", ["px"]
+            ).collect()
+        }
+        assert got == {1: 100.0, 2: None}
+
+
+class TestRangeJoinNullColumns:
+    def test_left_join_does_not_duplicate_null_carrying_matches(self, spark):
+        from data_engineering_hs_spark.operators.range_join import range_join
+
+        points = spark.createDataFrame(
+            [(1, 15, None), (1, 99, "x")],
+            "k int, t long, note string",
+        )
+        intervals = spark.createDataFrame(
+            [(1, 10, 20, "w")], "k int, lo long, hi long, tag string"
+        )
+        out = range_join(
+            points, intervals, "t", "lo", "hi", on="k", how="left"
+        )
+        rows = sorted((r["t"], r["tag"]) for r in out.collect())
+        # matched null-note row appears ONCE (tagged), unmatched once
+        assert rows == [(15, "w"), (99, None)]

@@ -624,3 +624,62 @@ class TestUpsertEmptyTargetDir:
         b = spark.createDataFrame([(1, "a")], "transaction_id long, v string")
         assert upsert_parquet(spark, target, b, ["transaction_id"]) == 1
         assert upsert_parquet(spark, target, b, ["transaction_id"]) == 0
+
+
+class TestAvroEdges:
+    def test_decode_null_tombstone_yields_null_fields(self, spark):
+        import json as _json
+
+        from data_engineering_hs_spark.catalog import KAFKA_EVENT_AVRO_SCHEMA
+        from data_engineering_hs_spark.sources import avro as A2
+
+        schema = _json.loads(KAFKA_EVENT_AVRO_SCHEMA)
+        good = A2.encode_record(
+            {"user": "u_1", "event": "click", "amount": 1.0,
+             "ts": 1700000000000},
+            schema,
+        )
+        df = spark.createDataFrame(
+            [(good,), (None,)], "value binary"
+        )
+        rows = (
+            A2.decode_avro_column(df, "value", KAFKA_EVENT_AVRO_SCHEMA)
+            .select("data.*")
+            .collect()
+        )
+        by_user = {r["user"] for r in rows}
+        assert by_user == {"u_1", None}  # tombstone -> null fields, no crash
+
+    def test_read_avro_schema_name_mismatch_raises(self, spark, tmp_path):
+        import json as _json
+
+        from data_engineering_hs_spark.sources import avro as A2
+
+        schema = {
+            "type": "record", "name": "R",
+            "fields": [{"name": "amount", "type": "long"}],
+        }
+        p = str(tmp_path / "f.avro")
+        A2.write_container(p, [{"amount": 5}], schema)
+        bad_reader = _json.dumps({
+            "type": "record", "name": "R",
+            "fields": [{"name": "amt", "type": "long"}],
+        })
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="absent from the file"):
+            A2.read_avro(
+                spark, p, bad_reader, use_native=False
+            ).collect()
+
+
+class TestDetectGapsNumeric:
+    def test_epoch_seconds_column(self, spark):
+        from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+        df = spark.createDataFrame(
+            [("k", 0), ("k", 100), ("k", 5000)], "k string, bucket long"
+        )
+        gaps = detect_gaps(df, "k", "bucket", 1000).collect()
+        assert len(gaps) == 1
+        assert gaps[0]["gap_seconds"] == 4900
