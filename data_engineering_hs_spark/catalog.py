@@ -68,6 +68,18 @@ def enable_table_cache(enabled: bool = True) -> None:
         _TABLE_CACHE.clear()
 
 
+def _parquet_ts_is_nanos(path: str) -> bool:
+    """Footer probe: does this parquet file's `ts` field use the
+    TIMESTAMP(NANOS) physical type Spark can only scan with the
+    legacy nanosAsLong flag?"""
+    try:
+        import pyarrow.parquet as pq
+
+        return "ns" in str(pq.read_schema(path).field("ts").type)
+    except Exception:  # noqa: BLE001 — absent field/file: let Spark decide
+        return False
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize `events.ts` to session-zoned TimestampType (UTC).
 
@@ -88,7 +100,14 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # FLOOR to micros, not `div` (truncation toward zero): a
+        # pre-epoch nano value like -1500 must floor to -2 µs the way
+        # DuckDB reads it, not round up to -1 µs. (ts - pmod) is
+        # exact integer arithmetic at any magnitude.
+        return df.withColumn(
+            "ts",
+            F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"),
+        )
     if ts_type == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -111,8 +130,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Harmless for micros files; required to scan legacy nanos ones.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Set the legacy-nanos flag ONLY when the footer really is
+        # TIMESTAMP(NANOS): setting it unconditionally changed how
+        # every later parquet read in the shared session decodes
+        # nanos columns (bigint instead of error/timestamp). For a
+        # legacy file the flag must stay set for the frame's lifetime
+        # (the scan consults it at execution, not at read()).
+        if _parquet_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = normalize_event_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)

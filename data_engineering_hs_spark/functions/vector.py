@@ -103,11 +103,40 @@ def dot_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
 
     @F.pandas_udf(DoubleType())
     def _pdot(x: pd.Series, y: pd.Series) -> pd.Series:
-        xa = np.array(x.tolist(), dtype=np.float64)
-        ya = np.array(y.tolist(), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", xa, ya))
+        xa, ya, bad = _pair_arrays(x, y)
+        out = np.einsum("ij,ij->i", xa, ya)
+        # nullable Float64 so masked rows become real NULLs (a NaN
+        # would survive Arrow as NaN, not null — the fold returns
+        # NULL for null/ragged inputs)
+        return pd.Series(out).astype("Float64").mask(bad)
 
     return _pdot(_col(a), _col(b))
+
+
+def _pair_arrays(x: "pd.Series", y: "pd.Series"):
+    """(xa, ya, bad): dense 2-D float arrays plus a mask of rows whose
+    vectors are NULL or length-mismatched. The fold-based `dot`
+    returns NULL for such rows; without the mask a single dirty row
+    turned the einsum into an object-array crash that killed the
+    whole job — a success/failure divergence between the two
+    strategies, not the documented few-ulp one."""
+    xs, ys = x.tolist(), y.tolist()
+    dims = [len(v) for v in xs if v is not None] + [
+        len(v) for v in ys if v is not None
+    ]
+    dim = max(dims, default=1)
+    bad = np.zeros(len(xs), dtype=bool)
+    zeros = [0.0] * dim
+    for i, (u, v) in enumerate(zip(xs, ys)):
+        if u is None or v is None or len(u) != len(v) or len(u) != dim:
+            bad[i] = True
+            xs[i] = zeros
+            ys[i] = zeros
+    return (
+        np.array(xs, dtype=np.float64),
+        np.array(ys, dtype=np.float64),
+        bad,
+    )
 
 
 def cosine_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
@@ -116,12 +145,11 @@ def cosine_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
 
     @F.pandas_udf(DoubleType())
     def _pcos(x: pd.Series, y: pd.Series) -> pd.Series:
-        xa = np.array(x.tolist(), dtype=np.float64)
-        ya = np.array(y.tolist(), dtype=np.float64)
+        xa, ya, bad = _pair_arrays(x, y)
         d = np.einsum("ij,ij->i", xa, ya)
         nn = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
         out = np.where(nn == 0, 0.0, d / np.where(nn == 0, 1.0, nn))
-        return pd.Series(out)
+        return pd.Series(out).astype("Float64").mask(bad)
 
     return _pcos(_col(a), _col(b))
 

@@ -23,13 +23,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-
-
 def get_spark(
     app_name: str = "data_engineering_hs_spark",
     master: str | None = None,
-    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
@@ -37,6 +34,12 @@ def get_spark(
     On a cluster, ``master`` is left to spark-submit; locally defaults
     to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    if shuffle_partitions is None:
+        # read per call, not at import: a harness that sets the env
+        # var after importing this module must still be honored
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -53,13 +56,15 @@ def get_spark(
         # (the reference projects 9 of ~15 nested order fields,
         # client_async.py:32-42).
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
-        # Spill-aware scan sizing. 128m is right when files dwarf the
-        # core count (production); at test SFs a single 11 MB parquet
-        # would scan as ONE task while 31 cores idle, so the local
-        # default splits small files across the machine. Override with
-        # SPARK_GRAFT_MAX_PARTITION_BYTES (use 128m+ on a cluster).
+        # Spill-aware scan sizing, keyed on the master: 128m is right
+        # when files dwarf the core count (a cluster run would turn a
+        # 1 TB input into ~1M tasks at 1m splits); at local test SFs a
+        # single 11 MB parquet would scan as ONE task while 31 cores
+        # idle, so LOCAL masters split small files across the machine.
+        # SPARK_GRAFT_MAX_PARTITION_BYTES overrides either way.
         "spark.sql.files.maxPartitionBytes": os.environ.get(
-            "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+            "SPARK_GRAFT_MAX_PARTITION_BYTES",
+            "1m" if master.startswith("local") else "128m",
         ),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",

@@ -39,10 +39,15 @@ def read_with_header(
     """S2/S4: header CSV; explicit schema preferred, inference as the
     demonstrated fallback (mini-lab-hdfs+spark-local/spark.ipynb:205-208
     — which mis-infers elevation_ft; explicit schema is the fix)."""
+    if schema is None and not infer:
+        raise ValueError(
+            "read_with_header needs schema= or infer=True — without "
+            "either, every column silently reads as string"
+        )
     reader = spark.read.option("header", True)
     if schema is not None:
         reader = reader.schema(schema)
-    elif infer:
+    else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
 

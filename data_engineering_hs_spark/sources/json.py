@@ -45,8 +45,19 @@ def read_document_array(
     array_field: str,
 ) -> DataFrame:
     """S6: one JSON document with an embedded array of records →
-    one row per element, envelope fields carried alongside."""
-    doc = spark.read.option("multiLine", True).schema(doc_schema).json(path)
+    one row per element, envelope fields carried alongside.
+
+    Parses FAILFAST: a malformed/truncated document under the default
+    PERMISSIVE mode becomes one all-null row whose NULL array
+    explode()s to ZERO rows — an empty result indistinguishable from
+    legitimately empty input. An envelope read is one document; a
+    parse failure should be loud, not an empty DataFrame."""
+    doc = (
+        spark.read.option("multiLine", True)
+        .option("mode", "FAILFAST")
+        .schema(doc_schema)
+        .json(path)
+    )
     envelope_cols = [c for c in doc.columns if c != array_field]
     return doc.select(
         *envelope_cols, F.explode(F.col(array_field)).alias("_rec")

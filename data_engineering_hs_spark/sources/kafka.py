@@ -25,9 +25,17 @@ KAFKA_SOURCE_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
 
 
 def kafka_connector_available(spark: SparkSession) -> bool:
-    """True when the spark-sql-kafka connector jar is on the classpath."""
+    """True when the spark-sql-kafka connector jar is loadable.
+
+    Resolves through Spark's own classloader (Utils.classForName),
+    not java.lang.Class.forName via py4j: the py4j caller sits on the
+    system classpath, so jars added with --packages /
+    spark.jars.packages (Spark's MutableURLClassLoader) would be
+    reported missing even though format("kafka") loads fine."""
     try:
-        spark._jvm.java.lang.Class.forName(KAFKA_SOURCE_CLASS)  # noqa: SLF001
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+            KAFKA_SOURCE_CLASS, False, False
+        )
         return True
     except Exception:  # noqa: BLE001 — py4j raises Py4JJavaError/JError
         return False

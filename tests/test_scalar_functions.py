@@ -177,3 +177,76 @@ class TestHardeningEdges:
         nulls = spark.createDataFrame([(None,), (None,)], "ts timestamp")
         row2 = freshness(nulls, "ts", "2025-01-01 00:00:00").collect()[0]
         assert row2["status"] == "error"
+
+
+class TestVectorAndSourceEdges:
+    def test_pandas_dot_and_cosine_tolerate_null_and_ragged(self, spark):
+        from data_engineering_hs_spark.functions.vector import (
+            cosine_pandas,
+            dot,
+            dot_pandas,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], [3.0, 4.0]),
+                (2, None, [1.0, 1.0]),
+                (3, [1.0, 2.0, 3.0], [1.0, 1.0]),  # ragged
+            ],
+            "i int, a array<double>, b array<double>",
+        )
+        got = {
+            r["i"]: (r["d"], r["c"])
+            for r in df.select(
+                "i",
+                dot_pandas("a", "b").alias("d"),
+                cosine_pandas("a", "b").alias("c"),
+            ).collect()
+        }
+        assert got[1][0] == 11.0
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)
+        # fold parity on the null row
+        fold = df.select("i", dot("a", "b").alias("d")).collect()
+        assert {r["i"]: r["d"] for r in fold}[2] is None
+
+    def test_read_document_array_malformed_raises(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.sources.json import (
+            read_document_array,
+        )
+
+        p = str(tmp_path / "bad.json")
+        with open(p, "w") as f:
+            f.write('{"users": [  truncated')
+        schema = T2.StructType(
+            [
+                T2.StructField(
+                    "users",
+                    T2.ArrayType(
+                        T2.StructType([T2.StructField("id", T2.StringType())])
+                    ),
+                )
+            ]
+        )
+        with _pytest.raises(Exception):
+            read_document_array(spark, p, schema, "users").collect()
+
+    def test_read_with_header_requires_schema_or_infer(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.sources.csv import read_with_header
+
+        with _pytest.raises(ValueError, match="schema= or infer"):
+            read_with_header(spark, "/nonexistent")
+
+    def test_negative_nanos_floor_to_micros(self, spark):
+        from data_engineering_hs_spark.catalog import normalize_event_ts
+
+        df = spark.createDataFrame([(-1500,), (1500,)], "ts long")
+        out = normalize_event_ts(df).select(
+            F.unix_micros("ts").alias("us")
+        ).collect()
+        assert sorted(r["us"] for r in out) == [-2, 1]
