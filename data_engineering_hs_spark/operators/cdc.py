@@ -127,7 +127,7 @@ def apply_changeset(
     """
     touched = changes.select(*[_bq(k).alias(k) for k in keys]).distinct()
     kept = base.join(touched, list(keys), "left_anti")
-    upserts = changes.filter(F.col(op_col) != "delete").drop(op_col)
+    upserts = changes.filter(_bq(op_col) != "delete").drop(op_col)
     return kept.unionByName(
         upserts.select(*[_bq(c).alias(c) for c in base.columns])
     )
@@ -151,22 +151,24 @@ def scd2_history(
     rows resolve deterministically. Change detection is a null-safe
     lag comparison; interval close is a lead over the change rows —
     two window passes over ONE shuffle (both windows share the
-    partition key, so Spark reuses the exchange).
+    partition key, so Spark reuses the exchange). Column refs go
+    through the module's backtick quoting (_bq), same dotted-name
+    safety as snapshot_diff/apply_changeset.
     """
-    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
-    w = Window.partitionBy(key).orderBy(*order)
+    order = [_bq(ts_col), *[_bq(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(_bq(key)).orderBy(*order)
     changed = F.lit(False)
     for c in attr_cols:
-        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = changed | ~_bq(c).eqNullSafe(F.lag(_bq(c)).over(w))
     first = F.row_number().over(w) == 1
     marked = df.withColumn("__chg", first | changed).filter("__chg")
-    w2 = Window.partitionBy(key).orderBy(*order)
+    w2 = Window.partitionBy(_bq(key)).orderBy(*order)
     return (
         marked.select(
-            key,
-            *attr_cols,
-            F.col(ts_col).alias("valid_from"),
-            F.lead(ts_col).over(w2).alias("valid_to"),
+            _bq(key).alias(key),
+            *[_bq(c).alias(c) for c in attr_cols],
+            _bq(ts_col).alias("valid_from"),
+            F.lead(_bq(ts_col)).over(w2).alias("valid_to"),
             F.row_number().over(w2).alias("version"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())

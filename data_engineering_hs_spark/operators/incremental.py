@@ -75,7 +75,16 @@ def commit_increment(
         # <wh>/<db>.db/<tbl>. A 3-part name's catalog segment never
         # appears in the path.
         parts = [p.strip("`").lower() for p in table_name.split(".")]
-        tbl, db = parts[-1], parts[-2] if len(parts) >= 2 else "default"
+        tbl = parts[-1]
+        # a 1-part name resolves to the session's CURRENT database,
+        # not literally 'default' — assuming 'default' pointed the
+        # cleanup at the wrong directory whenever setCurrentDatabase
+        # was in effect, and the bootstrap still died
+        db = (
+            parts[-2]
+            if len(parts) >= 2
+            else spark.catalog.currentDatabase().lower()
+        )
         loc = f"{wh.rstrip('/')}/{tbl}" if db == "default" else (
             f"{wh.rstrip('/')}/{db}.db/{tbl}"
         )

@@ -62,7 +62,19 @@ def salted_join(
     Use when one key's row count dwarfs the per-task budget; for
     moderate skew prefer plain join + AQE skewJoin (on by default in
     this engine's session factory).
+
+    Only inner and left joins are supported: the dim side is
+    REPLICATED across all salt buckets, so right/full-outer would
+    surface one NULL-padded row per unmatched dim COPY (and per salt
+    value a matched key's fact rows don't hash to) — silently wrong
+    multiplicity. Put the replicated side on the left of a plain AQE
+    join if you need outer-dim semantics.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only, not {how!r}: the "
+            "replicated dim side breaks right/full-outer multiplicity"
+        )
     # Salt from the row's POSITION, not its content: a content hash
     # (xxhash64 of all columns) sends byte-identical duplicate fact
     # rows to ONE salt bucket, so salting degrades exactly on the
@@ -136,7 +148,27 @@ def zorder_write(
     repartitionByRange + sortWithinPartitions (one range shuffle).
     Column stats come from one tiny agg broadcast into the scan, not
     a driver collect.
+
+    Columns must be numeric/date/timestamp: a string column's
+    cast('double') would NULL every row, silently collapsing the
+    layout into one unclustered partition — fail loudly instead
+    (hash or dictionary-encode strings to a numeric surrogate first).
     """
+    from pyspark.sql import types as T
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(
+            dt,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+             T.TimestampType, T.TimestampNTZType, T.BooleanType),
+        ):
+            raise TypeError(
+                f"zorder_write column {c!r} has non-numeric type "
+                f"{dt.simpleString()}; z-ordering needs a numeric/"
+                "temporal column (hash strings to a surrogate first)"
+            )
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
@@ -184,7 +216,6 @@ def optimize_table(
     """
     import math
     import os
-    import shutil
 
     from data_engineering_hs_spark.sources.parquet import compact_parquet
 
@@ -204,14 +235,18 @@ def optimize_table(
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
     norm = path.rstrip("/")
-    tmp, old = norm + ".__compact", norm + ".__old"
+    tmp = norm + ".__compact"
     zorder_write(
         spark.read.parquet(path), tmp, zorder_cols, bits=bits,
         n_files=n_out,
     )
-    os.replace(norm, old)
-    os.replace(tmp, norm)
-    shutil.rmtree(old)
+    # the ONE shared swap implementation (sources.parquet.swap_in):
+    # a hand-rolled copy here previously skipped the leftover-.__old
+    # cleanup, so a crash after the second rename wedged every later
+    # optimize run on ENOTEMPTY
+    from data_engineering_hs_spark.sources.parquet import swap_in
+
+    swap_in(tmp, norm)
     return {
         "files_before": len(before),
         "files_after": len(data_files(norm)),
@@ -282,13 +317,23 @@ def suggest_join_strategy(
         if hasattr(skew_row, "get")
         else skew_row.asDict().get
     )
-    share = int(get("max_share_ppm"))
     if dim_rows is not None and dim_rows < broadcast_row_limit:
+        # decided before touching the skew stat: the broadcast branch
+        # doesn't depend on it, and an empty-frame measurement
+        # legitimately carries max_share_ppm = NULL
         return {
             "strategy": "broadcast",
             "reason": f"dim has {dim_rows} rows (< {broadcast_row_limit}); "
             "broadcasting avoids the shuffle entirely, key skew is moot",
         }
+    raw_share = get("max_share_ppm")
+    if raw_share is None:
+        return {
+            "strategy": "shuffle",
+            "reason": "no skew measurement (empty frame): plain "
+            "shuffle join under AQE",
+        }
+    share = int(raw_share)
     if share > hot_share_ppm:
         return {
             "strategy": "salted",

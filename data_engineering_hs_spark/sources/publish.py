@@ -27,6 +27,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _MARKER = "_LATEST"
+_COMMITTED = "_COMMITTED"
 
 
 def _versions(root: str) -> list[int]:
@@ -62,8 +63,14 @@ def publish(tables: dict[str, DataFrame], root: str) -> int:
     interleaving their tables into one corrupted "committed"
     snapshot; the later marker flip wins (possibly pointing at the
     lower version number if that writer finished last — still a
-    complete, consistent snapshot), and the other version stays
-    readable via time travel.
+    complete, consistent snapshot), and the other COMMITTED version
+    stays time-travel readable.
+
+    Each version carries its own `_COMMITTED` marker, written after
+    every table and before the `_LATEST` flip. That is what separates
+    a complete snapshot from a crashed half-write: without it, a
+    crashed orphan below a LATER committed version would silently
+    become "readable" torn time-travel data.
     """
     os.makedirs(root, exist_ok=True)
     seen = _versions(root)
@@ -78,6 +85,8 @@ def publish(tables: dict[str, DataFrame], root: str) -> int:
             version += 1
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(vdir, name))
+    with open(os.path.join(vdir, _COMMITTED), "w") as f:
+        f.write("ok")
     tmp = os.path.join(root, _MARKER + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -85,22 +94,34 @@ def publish(tables: dict[str, DataFrame], root: str) -> int:
     return version
 
 
+def _is_committed(root: str, v: int) -> bool:
+    return os.path.exists(os.path.join(root, f"v={v}", _COMMITTED))
+
+
 def read_published(
     spark: SparkSession, root: str, table: str, version: int | None = None
 ) -> DataFrame:
     """Read `table` at the committed snapshot version, or TIME-TRAVEL
-    to an explicit earlier `version` (it must not have been vacuumed
-    and must be at or below the committed marker — versions above the
-    marker are in-flight or crashed publishes, never readable)."""
+    to any explicitly COMMITTED `version` (its _COMMITTED marker
+    proves the snapshot finished; crashed half-writes never carry
+    one, whatever their version number — so neither an orphan below
+    the marker nor a concurrent publisher's higher complete version
+    is misclassified)."""
     committed = current_version(root)
     if committed is None:
         raise FileNotFoundError(f"nothing published under {root}")
     v = committed if version is None else version
-    if v > committed:
-        raise ValueError(
-            f"version {v} is above the committed marker {committed}"
+    vdir = os.path.join(root, f"v={v}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {v} is missing (vacuumed or never published)"
         )
-    path = os.path.join(root, f"v={v}", table)
+    if not _is_committed(root, v):
+        raise ValueError(
+            f"version {v} was never committed (crashed or in-flight "
+            "publish) — only committed snapshots are readable"
+        )
+    path = os.path.join(vdir, table)
     if not os.path.isdir(path):
         raise FileNotFoundError(
             f"version {v} of {table} is missing (vacuumed or never "
@@ -110,22 +131,23 @@ def read_published(
 
 
 def vacuum(root: str, keep: int = 2) -> list[int]:
-    """Drop all but the newest `keep` versions at or below the
-    committed one, plus any orphan versions NEWER than the marker
-    (crashed publishes). Never touches the committed version.
+    """Drop all but the newest `keep` COMMITTED versions, plus every
+    uncommitted version (crashed publishes, whatever their number —
+    the _COMMITTED marker, not position relative to _LATEST, is what
+    distinguishes them). Never touches the marker's version.
     Returns the removed version numbers.
 
-    Run in the maintenance window only: an orphan newer than the
-    marker is indistinguishable from a publish IN FLIGHT, so a
-    concurrent vacuum could tear it down mid-stage — the same
-    single-writer caveat as compact_parquet's swap."""
+    Run in the maintenance window only: an uncommitted version is
+    indistinguishable from a publish IN FLIGHT, so a concurrent
+    vacuum could tear it down mid-stage — the same single-writer
+    caveat as compact_parquet's swap."""
     committed = current_version(root)
     if committed is None:
         return []
     removed = []
-    live = [v for v in _versions(root) if v <= committed]
+    live = [v for v in _versions(root) if _is_committed(root, v)]
     doomed = set(live[:-keep]) if keep > 0 else set(live[:-1])
-    doomed |= {v for v in _versions(root) if v > committed}
+    doomed |= {v for v in _versions(root) if not _is_committed(root, v)}
     doomed.discard(committed)
     for v in sorted(doomed):
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)

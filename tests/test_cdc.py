@@ -104,3 +104,29 @@ def test_snapshot_diff_handles_dotted_column_names(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in new.collect()
     }
+
+
+class TestDottedNames:
+    def test_scd2_and_apply_changeset_with_dotted_columns(self, spark):
+        from data_engineering_hs_spark.operators.cdc import (
+            apply_changeset,
+            scd2_history,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (1, "a", 20), (1, "b", 30)],
+            ["user.id", "profile.tier", "event.ts"],
+        )
+        hist = scd2_history(
+            df, key="user.id", attr_cols=["profile.tier"],
+            ts_col="event.ts",
+        ).collect()
+        assert len(hist) == 2
+        assert [r["version"] for r in sorted(hist, key=lambda r: r["valid_from"])] == [1, 2]
+
+        base = spark.createDataFrame([(1, "x")], ["the.key", "v"])
+        changes = spark.createDataFrame(
+            [(2, "y", "insert")], ["the.key", "v", "cdc.op"]
+        )
+        out = apply_changeset(base, changes, keys=["the.key"], op_col="cdc.op")
+        assert sorted(r["v"] for r in out.collect()) == ["x", "y"]

@@ -99,8 +99,13 @@ def test_time_travel_guards(spark, tmp_path):
     publish({"t": spark.range(3)}, root)
     publish({"t": spark.range(4)}, root)
     v3 = publish({"t": spark.range(5)}, root)
-    # above the committed marker: in-flight/crashed, never readable
-    with _pytest.raises(ValueError):
+    # nonexistent version: explicit not-found
+    with _pytest.raises(FileNotFoundError):
+        read_published(spark, root, "t", version=v3 + 10)
+    # staged-but-uncommitted version (in-flight or crashed publish —
+    # no _COMMITTED marker): never readable, whatever its number
+    os.makedirs(os.path.join(root, f"v={v3 + 1}"))
+    with _pytest.raises(ValueError, match="never committed"):
         read_published(spark, root, "t", version=v3 + 1)
     # vacuumed version: explicit error, not a silent empty frame
     removed = vacuum(root, keep=1)
@@ -119,3 +124,29 @@ def test_version_claim_is_exclusive(spark, tmp_path):
     assert publish({"t": df}, root) == 1
     os.makedirs(os.path.join(root, "v=2"))  # another writer mid-stage
     assert publish({"t": df}, root) == 3
+
+
+def test_crashed_orphan_below_later_commit_never_readable(spark, tmp_path):
+    """A publish that crashed mid-write must stay unreadable even
+    after LATER publishes commit past its version number — the
+    per-version _COMMITTED marker, not position vs _LATEST, decides."""
+    import pytest as _pytest
+
+    from data_engineering_hs_spark.sources.publish import (
+        publish,
+        read_published,
+        vacuum,
+    )
+
+    root = str(tmp_path / "store")
+    publish({"a": spark.range(2)}, root)  # v1 committed
+    # simulate a crash: v2 claimed, table written, NO commit marker
+    orphan = os.path.join(root, "v=2", "a")
+    spark.range(99).write.parquet(orphan)
+    v3 = publish({"a": spark.range(3)}, root)  # commits past the orphan
+    assert v3 == 3
+    with _pytest.raises(ValueError, match="never committed"):
+        read_published(spark, root, "a", version=2)
+    # vacuum reclaims the orphan even though its number < committed
+    removed = vacuum(root, keep=5)
+    assert 2 in removed and not os.path.exists(os.path.join(root, "v=2"))

@@ -721,3 +721,61 @@ class TestSuggestJoinStrategy:
         uniform = spark.createDataFrame([(k % 50,) for k in range(5000)], ["k"])
         urow = key_skew_stats(uniform, "k").collect()[0]
         assert suggest_join_strategy(urow)["strategy"] == "shuffle"
+
+
+class TestScaleGuards:
+    def test_salted_join_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.scale import salted_join
+
+        f = spark.createDataFrame([(1, "x")], "k long, v string")
+        d = spark.createDataFrame([(1, "d")], "k long, w string")
+        with _pytest.raises(ValueError, match="inner/left only"):
+            salted_join(f, d, "k", how="full")
+        with _pytest.raises(ValueError, match="inner/left only"):
+            salted_join(f, d, "k", how="right")
+
+    def test_zorder_write_rejects_string_columns(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.scale import zorder_write
+
+        df = spark.createDataFrame(
+            [("de", 1.0)], "country string, amount double"
+        )
+        with _pytest.raises(TypeError, match="non-numeric"):
+            zorder_write(df, str(tmp_path / "z"), ["country", "amount"])
+
+    def test_suggest_join_strategy_null_share(self):
+        from data_engineering_hs_spark.operators.scale import (
+            suggest_join_strategy,
+        )
+
+        row = {"n_keys": 0, "n_rows": 0, "max_share_ppm": None}
+        assert suggest_join_strategy(row, dim_rows=10)["strategy"] == (
+            "broadcast"
+        )
+        assert suggest_join_strategy(row)["strategy"] == "shuffle"
+
+    def test_optimize_table_recovers_from_leftover_old_dir(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from data_engineering_hs_spark.operators.scale import optimize_table
+
+        path = str(tmp_path / "t")
+        spark.range(100).selectExpr(
+            "id", "cast(id % 7 as double) as a", "cast(id % 3 as double) as b"
+        ).write.parquet(path)
+        # leftover from a crash after the second rename
+        os.makedirs(path + ".__old")
+        with open(path + ".__old/junk", "w") as f:
+            f.write("x")
+        stats = optimize_table(
+            spark, path, zorder_cols=["a", "b"], target_file_bytes=1 << 20
+        )
+        assert stats["files_after"] >= 1
+        assert not os.path.exists(path + ".__old")
+        assert spark.read.parquet(path).count() == 100
