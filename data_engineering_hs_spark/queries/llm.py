@@ -246,8 +246,9 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band join against the persisted store MUST surface the cross
     # pair — without re-signaturing the corpus. The query plants a
     # copy of every 10th eligible store doc (doc_id%10==0, >=3
-    # tokens) into the new batch under doc_id+1,000,001; the oracle
-    # counts the planted cross-boundary ground truth.
+    # tokens) into the new batch under doc_id + max(id)+1 (derived,
+    # collision-free at any corpus size); the oracle counts the
+    # planted cross-boundary ground truth.
     oracle=r"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_cross,
        CAST(COUNT(*) AS BIGINT) AS n_found_cross,
@@ -270,14 +271,15 @@ def d_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length(F.trim("text")) > 0)
         & (F.size(TX.tokens("text")) >= 3)
     )
+    off = _plant_offset(d, "doc_id")
     batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(
-        planted.withColumn("doc_id", F.col("doc_id") + F.lit(1000001))
+        _shift_ids(planted, off, "doc_id")
     )
     store = D.lsh_band_buckets(store_docs, "text", "doc_id")
     pairs, _ = D.incremental_minhash_lsh(batch, store, "text", "doc_id")
-    truth = planted.select(
+    truth = planted.crossJoin(off).select(
         F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + F.lit(1000001)).alias("id_b"),
+        (F.col("doc_id") + F.col("__off")).alias("id_b"),
     )
     n_true = truth.agg(F.count("*").alias("n_true_cross"))
     n_hit = truth.join(
@@ -576,6 +578,12 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 S_COSINE_ARROW_ORACLE = S_COSINE_ORACLE.replace(
     "SELECT query_id, rank, neighbor_id, cos_sim FROM (",
     "SELECT query_id, rank, neighbor_id FROM (",
+)
+# a silent no-op replace (anchor reworded in a future edit) would
+# surface much later as a confusing driver column-shape mismatch —
+# fail at import instead
+assert S_COSINE_ARROW_ORACLE != S_COSINE_ORACLE, (
+    "arrow-oracle anchor no longer matches S_COSINE_ORACLE"
 )
 
 
@@ -1247,6 +1255,14 @@ def t_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_tokens",
     )
+    # chunks feeds pack_sequences AND the n_chunks audit; packed (a
+    # Python applyInPandas stage, not ReuseExchange-covered) feeds
+    # bins + totals — so the pandas stage does execute more than
+    # once. Checkpointing both was MEASURED (3-run medians, sf0.1):
+    # 1.0-1.4 s vs 0.9-1.05 s without — the two eager blocking
+    # materializations cost more than the duplicated work at this
+    # corpus size. Re-measure before checkpointing at a corpus where
+    # the pandas packing dominates.
     packed = pack_sequences(
         chunks, "n_tokens", "chunk_uid", target=256, shards=8
     )

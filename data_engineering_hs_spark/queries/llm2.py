@@ -70,6 +70,21 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 15
 
+# single-source-of-truth SQL fragments generated from _BM25_TERMS so
+# editing the vocabulary edits the Spark side, this oracle, and the
+# RRF oracle together
+_BM25_CONTRIB_SQL = (
+    "ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    f" * tf.tf * ({_BM25_K1} + 1.0)"
+    f" / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}"
+    " * dl.dl / stats.avgdl))"
+)
+_BM25_TERM_SUMS_SQL = "\n         + ".join(
+    f"SUM(CASE WHEN term = '{t}' THEN {_BM25_CONTRIB_SQL} ELSE 0.0 END)"
+    for t in _BM25_TERMS
+)
+_BM25_TERM_IN_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
 
 @register(
     "s_bm25_topk",
@@ -84,7 +99,7 @@ WITH toks AS (
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-  WHERE term IN ('spark', 'join', 'window')
+  WHERE term IN ({_BM25_TERM_IN_SQL})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
@@ -96,21 +111,7 @@ WITH toks AS (
   -- added in FIXED term order — the distributed-double-sum
   -- nondeterminism cannot reach the hash
   SELECT tf.doc_id,
-         SUM(CASE WHEN term = 'spark' THEN
-           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * tf.tf * ({_BM25_K1} + 1.0)
-           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-           ELSE 0.0 END)
-         + SUM(CASE WHEN term = 'join' THEN
-           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * tf.tf * ({_BM25_K1} + 1.0)
-           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-           ELSE 0.0 END)
-         + SUM(CASE WHEN term = 'window' THEN
-           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           * tf.tf * ({_BM25_K1} + 1.0)
-           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-           ELSE 0.0 END) AS score
+         {_BM25_TERM_SUMS_SQL} AS score
   FROM tf
   JOIN df USING (term)
   JOIN dl USING (doc_id)
@@ -139,6 +140,11 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
     term — the shared scoring core of s_bm25_topk and the RRF fusion."""
     from data_engineering_hs_spark.functions.text import tokens
 
+    # toks feeds THREE branches (tf, dl, stats), each re-tokenizing —
+    # a localCheckpoint here was MEASURED (interleaved A/B, sf0.1,
+    # 4 medians) at +4%: the eager materialization costs more than
+    # the duplicated tokenize saves at this corpus size. At a corpus
+    # where tokenize dominates scan, re-measure before checkpointing.
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     # postings: filter to the query vocabulary BEFORE the explode's
     # shuffle so only matching tokens move
@@ -198,9 +204,11 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
 
 
 def _quality_cte() -> str:
-    from data_engineering_hs_spark.functions import text as TX
+    # the ONE stopword SQL literal (llm.py builds it from
+    # TX.STOPWORDS) — a second copy of the quoting logic could drift
+    from data_engineering_hs_spark.queries.llm import _STOPWORD_SQL_LIST
 
-    sw_list = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+    sw_list = _STOPWORD_SQL_LIST
     return f"""
 c AS (
   SELECT doc_id, lang,
@@ -545,7 +553,8 @@ def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
        date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00')
          AS lag_seconds,
-       CASE WHEN date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00') > 168 * 3600
+       CASE WHEN max(ts) IS NULL THEN 'error'
+            WHEN date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00') > 168 * 3600
             THEN 'error'
             WHEN date_diff('second', max(ts), TIMESTAMP '2026-01-01 00:00:00') > 24 * 3600
             THEN 'warn'
@@ -668,9 +677,11 @@ WITH pts AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope_cents_per_sec,
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8)
+         AS slope_cents_per_sec,
        round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS corr_xy
+             / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 8)
+         AS corr_xy
 FROM sums
 ORDER BY event_type
 """,
@@ -697,11 +708,17 @@ def a_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
     den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate groups (1 event, constant x or y): denominator 0.
+    # Spark's zero-divide yields NULL but DuckDB yields IEEE NaN —
+    # pin NULL on both sides (nullif in the oracle)
+    corr_den = F.sqrt(den_x * den_y)
     return sums.select(
         "event_type",
         "n",
-        F.round(num / den_x, 8).alias("slope_cents_per_sec"),
-        F.round(num / F.sqrt(den_x * den_y), 8).alias("corr_xy"),
+        F.round(num / F.when(den_x != 0, den_x), 8).alias(
+            "slope_cents_per_sec"
+        ),
+        F.round(num / F.when(corr_den != 0, corr_den), 8).alias("corr_xy"),
     ).orderBy("event_type")
 
 
@@ -924,49 +941,64 @@ def dq_rowcounts_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w_mom_growth",
-    # Monthly revenue with MoM and YoY growth — lag over the
-    # aggregated series (dim-sized frame, trivial window after the
-    # one groupBy shuffle). Revenue is exact cents; growth ratios are
-    # single divisions rounded to 6.
+    # Monthly revenue with MoM and YoY growth — CALENDAR-addressed
+    # (join on month − 1/12 months), not lag(n) over rows: a row-lag
+    # silently compares against the wrong month whenever any month
+    # has zero orders (gapped series), shipping a wrong number that
+    # no cross-engine check can catch because both sides would share
+    # the bug. Revenue is exact cents; ratios are single divisions
+    # rounded to 6, NULL when the comparison month is absent.
     oracle="""
 WITH monthly AS (
-  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_d,
          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS revenue_cents
   FROM orders GROUP BY 1
 )
-SELECT month, revenue_cents,
-       round(CAST(revenue_cents AS DOUBLE)
-             / lag(revenue_cents) OVER (ORDER BY month) - 1.0, 6) AS mom,
-       round(CAST(revenue_cents AS DOUBLE)
-             / lag(revenue_cents, 12) OVER (ORDER BY month) - 1.0, 6) AS yoy
-FROM monthly
+SELECT strftime(m.month_d, '%Y-%m-%d') AS month, m.revenue_cents,
+       round(CAST(m.revenue_cents AS DOUBLE)
+             / NULLIF(pm.revenue_cents, 0) - 1.0, 6) AS mom,
+       round(CAST(m.revenue_cents AS DOUBLE)
+             / NULLIF(py.revenue_cents, 0) - 1.0, 6) AS yoy
+FROM monthly m
+LEFT JOIN monthly pm ON pm.month_d = m.month_d - INTERVAL 1 MONTH
+LEFT JOIN monthly py ON py.month_d = m.month_d - INTERVAL 12 MONTH
 ORDER BY month
 """,
-    doc="monthly revenue with MoM and YoY growth rates",
+    doc="monthly revenue with calendar-addressed MoM and YoY growth",
 )
 def w_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from data_engineering_hs_spark.functions.scalar import money_cents
 
     o = load_table(spark, sf_dir, "orders")
     monthly = (
         o.groupBy(
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
-                "month"
-            )
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_d")
         )
         .agg(F.sum(money_cents("o_totalprice")).alias("revenue_cents"))
+        .localCheckpoint(eager=True)  # dim-sized; referenced 3×
     )
-    w = Window.orderBy("month")
     rev = F.col("revenue_cents").cast("double")
-    return monthly.select(
-        "month",
-        "revenue_cents",
-        F.round(rev / F.lag("revenue_cents").over(w) - 1.0, 6).alias("mom"),
-        F.round(rev / F.lag("revenue_cents", 12).over(w) - 1.0, 6).alias("yoy"),
-    ).orderBy("month")
+
+    def _back(n: int, alias: str) -> DataFrame:
+        return monthly.select(
+            F.add_months(F.col("month_d"), n).alias("month_d"),
+            F.col("revenue_cents").alias(alias),
+        )
+
+    return (
+        monthly.join(_back(1, "__pm"), "month_d", "left")
+        .join(_back(12, "__py"), "month_d", "left")
+        .select(
+            F.date_format("month_d", "yyyy-MM-dd").alias("month"),
+            "revenue_cents",
+            F.round(rev / F.when(F.col("__pm") != 0, F.col("__pm")) - 1.0, 6)
+            .alias("mom"),
+            F.round(rev / F.when(F.col("__py") != 0, F.col("__py")) - 1.0, 6)
+            .alias("yoy"),
+        )
+        .orderBy("month")
+    )
 
 
 @register(
@@ -1142,16 +1174,11 @@ _RRF_DEPTH = 50
 def _rrf_oracle() -> str:
     from data_engineering_hs_spark.queries.llm import _dot_sql, _norm2_sql
 
-    bm25_contrib = (
-        f"ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
-        f" * tf.tf * ({_BM25_K1} + 1.0)"
-        f" / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}"
-        f" * dl.dl / stats.avgdl))"
-    )
-    term_sums = " + ".join(
-        f"SUM(CASE WHEN term = '{t}' THEN {bm25_contrib} ELSE 0.0 END)"
-        for t in ("spark", "join", "window")
-    )
+    # shared fragments generated from _BM25_TERMS — the SAME constant
+    # the Spark side scores with, so editing the vocabulary edits the
+    # query, the BM25 oracle, and this fused oracle together
+    term_sums = _BM25_TERM_SUMS_SQL
+    term_in = _BM25_TERM_IN_SQL
     cos = (
         f"CASE WHEN sqrt({_norm2_sql('q.q_vec')}) * "
         f"sqrt({_norm2_sql('c.embedding')}) = 0 THEN 0.0 "
@@ -1169,7 +1196,7 @@ WITH toks AS (
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-  WHERE term IN ('spark', 'join', 'window')
+  WHERE term IN ({term_in})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
