@@ -121,6 +121,16 @@ def money_cents(c: ColumnOrName) -> Column:
     return F.round(_col(c) * 100).cast("long")
 
 
+def discounted_revenue_cents() -> Column:
+    """TPC-H discounted revenue l_extendedprice*(1-l_discount) as
+    exact integer cents — THE shared expression for every revenue
+    aggregation (the engine's core determinism idiom; previously
+    re-inlined at nine sites that had to stay in lockstep)."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
 def cents_to_amount(c: ColumnOrName) -> Column:
     """BIGINT cents → double amount (single deterministic division)."""
     return _col(c).cast("double") / F.lit(100.0)

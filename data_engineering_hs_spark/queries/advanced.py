@@ -20,8 +20,12 @@ WITH purchases AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
   FROM events WHERE event_type = 'purchase'
 ), clicks AS (
-  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS ts_ms
+  -- one click per (user, ms): several clicks can share a millisecond
+  -- after truncation, and which one an ASOF join returns is engine-
+  -- arbitrary — keep the max click_id so the winner is pinned
+  SELECT user_id, epoch_ms(ts) AS ts_ms, MAX(event_id) AS click_id
   FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_ms(ts)
 )
 SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
 FROM purchases p
@@ -40,10 +44,12 @@ def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.unix_millis("ts").alias("ts_ms"),
+    # same dedup as the oracle: one click per (user, ms), max id wins
+    # — otherwise equal-ts ties are engine/partitioning-dependent
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_millis("ts").alias("ts_ms"))
+        .agg(F.max("event_id").alias("click_id"))
     )
     return asof_join(
         purchases,
@@ -53,56 +59,6 @@ def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts_ms",
         value_cols=["click_id"],
     ).select("event_id", "user_id", "asof_click_id")
-
-
-@register(
-    "d_dup_components",
-    oracle="""
-WITH RECURSIVE edges AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM (SELECT doc_id, lang,
-               list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
-        FROM documents WHERE length(trim(text)) > 0) a
-  JOIN (SELECT doc_id, lang,
-               list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
-        FROM documents WHERE length(trim(text)) > 0) b
-    ON a.lang = b.lang AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.9
-), undirected AS (
-  SELECT id_a AS src, id_b AS dst FROM edges
-  UNION SELECT id_b, id_a FROM edges
-), reach AS (
-  SELECT src, dst FROM undirected
-  UNION
-  SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
-)
-SELECT src AS doc_id,
-       LEAST(src, MIN(dst)) AS component
-FROM reach GROUP BY src
-""",
-    doc="near-dup connected components: collapse exact-Jaccard pairs "
-    "into canonical dedup clusters via iterative min-label propagation; "
-    "oracle is a recursive reachability query",
-)
-def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = d.select(
-        "doc_id", "lang", F.array_distinct(TX.tokens("text")).alias("tok_set")
-    )
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect("a.tok_set", "b.tok_set"))
-    union = F.size(F.array_distinct(F.concat("a.tok_set", "b.tok_set")))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(inter.cast("double") / union >= 0.9)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
-    return dup_groups(pairs)
 
 
 _DUP_COMPONENTS_ORACLE = '''
@@ -148,6 +104,21 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter.cast("double") / union >= 0.9)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
+
+
+@register(
+    "d_dup_components",
+    # Shares _DUP_COMPONENTS_ORACLE and _jaccard_pairs with
+    # d_dup_components_star — ONE copy of the pair plan and the
+    # recursive oracle keeps the algorithm twins hash-checked against
+    # the identical contract.
+    oracle=_DUP_COMPONENTS_ORACLE,
+    doc="near-dup connected components: collapse exact-Jaccard pairs "
+    "into canonical dedup clusters via iterative min-label propagation; "
+    "oracle is a recursive reachability query",
+)
+def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_groups(_jaccard_pairs(spark, sf_dir))
 
 
 @register(
@@ -536,6 +507,43 @@ _KCORE_EDGE_MIN = 2  # co-purchase threshold: ordered together >= 2x
 _KCORE_ORACLE_ROUNDS = 16
 
 
+# ONE copy of the co-purchase graph, shared by g_kcore and
+# g_label_propagation (the doc contract "same edges" is enforced by
+# construction, not by keeping two copies in lockstep)
+_COPURCHASE_CTES = """items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {edge_min}
+), und AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v) co-purchase part pairs ordered together >= edge_min
+    times — the Spark twin of _COPURCHASE_CTES."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _KCORE_EDGE_MIN)
+        .select("u", "v")
+    )
+
+
 def _kcore_oracle() -> str:
     rounds = []
     prev = "n0"
@@ -553,18 +561,9 @@ def _kcore_oracle() -> str:
             f")"
         )
         prev = f"n{i}"
+    ctes = _COPURCHASE_CTES.format(edge_min=_KCORE_EDGE_MIN)
     return f"""
-WITH items AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM items a JOIN items b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY a.l_partkey, b.l_partkey
-  HAVING COUNT(*) >= {_KCORE_EDGE_MIN}
-), und AS MATERIALIZED (
-  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
-), n0 AS MATERIALIZED (
+WITH {ctes}, n0 AS MATERIALIZED (
   SELECT DISTINCT a AS node FROM und
 ), {", ".join(rounds)}
 SELECT u.a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree,
@@ -587,22 +586,7 @@ ORDER BY node
     "its within-core degree and the convergence flag",
 )
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _KCORE_EDGE_MIN)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     und = (
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
@@ -613,7 +597,8 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = nodes.count()  # scalar convergence probe (sanctioned)
     converged = False
-    for _ in range(30):
+    rounds_used = 0
+    for rounds_used in range(1, 31):
         survivors = (
             und.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
@@ -629,6 +614,16 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
         n_nodes = n_next
+    # the oracle unrolls EXACTLY _KCORE_ORACLE_ROUNDS peel rounds and
+    # hard-codes converged=TRUE; a deeper graph (testdata regen) would
+    # otherwise surface as a confusing hash mismatch — fail loudly
+    # with the remedy instead (measured margin: 11 rounds at sf0.01)
+    if not converged or rounds_used > _KCORE_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"k-core peel used {rounds_used} rounds "
+            f"(converged={converged}) but the oracle unrolls only "
+            f"{_KCORE_ORACLE_ROUNDS}; raise _KCORE_ORACLE_ROUNDS"
+        )
     return (
         und.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
         .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
@@ -658,18 +653,9 @@ def _lpa_oracle() -> str:
             f")"
         )
         prev = f"lbl{i}"
+    ctes = _COPURCHASE_CTES.format(edge_min=_KCORE_EDGE_MIN)
     return f"""
-WITH items AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM items a JOIN items b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY a.l_partkey, b.l_partkey
-  HAVING COUNT(*) >= {_KCORE_EDGE_MIN}
-), und AS MATERIALIZED (
-  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
-), lbl0 AS MATERIALIZED (
+WITH {ctes}, lbl0 AS MATERIALIZED (
   SELECT DISTINCT a AS node, a AS label FROM und
 ), {", ".join(rounds)}
 SELECT node, CAST(label AS BIGINT) AS community
@@ -690,22 +676,7 @@ FROM {prev} ORDER BY node
 def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_hs_spark.operators.graph import label_propagation
 
-    l = load_table(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _KCORE_EDGE_MIN)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     out = label_propagation(
         edges, iterations=_LPA_ITERS, src_col="u", dst_col="v"
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
-from data_engineering_hs_spark.functions.scalar import money_cents
+from data_engineering_hs_spark.functions.scalar import discounted_revenue_cents, money_cents
 from data_engineering_hs_spark.operators import relational as R
 from data_engineering_hs_spark.queries.registry import register
 
@@ -19,9 +19,7 @@ from data_engineering_hs_spark.queries.registry import register
 def _revenue_cents():
     # Exact integer-cents revenue: deterministic across engines
     # (see functions.scalar.money_cents).
-    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    return discounted_revenue_cents()
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +155,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
     base = money_cents(F.col("l_extendedprice"))
-    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    disc = discounted_revenue_cents()
     charge = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
     ).cast("long")

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
-from data_engineering_hs_spark.functions.scalar import money_cents
+from data_engineering_hs_spark.functions.scalar import discounted_revenue_cents, money_cents
 from data_engineering_hs_spark.queries.registry import register
 
 
@@ -210,9 +210,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") > F.lit("1995-03-15").cast("date")
     )
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    rev = discounted_revenue_cents()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -255,9 +253,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    rev = discounted_revenue_cents()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -309,9 +305,13 @@ def w_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
+            # FULL-precision gap test (micros), matching the oracle's
+            # interval comparison: a whole-second cast would disagree
+            # with DuckDB on gaps that straddle the 30-min boundary
+            # by sub-second amounts (prev .400s, next +30m .600s)
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 30 * 60
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
             ),
             1,
         )
@@ -437,8 +437,6 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 )
 def a_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    qty = F.round("l_quantity").cast("long")
-    cents = money_cents("l_extendedprice")
     return (
         l.groupBy("l_returnflag")
         .agg(

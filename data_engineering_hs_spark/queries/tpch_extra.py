@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.functions.scalar import discounted_revenue_cents
 from data_engineering_hs_spark.queries.registry import register
 
 
@@ -72,9 +73,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    rev = discounted_revenue_cents()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -147,9 +146,7 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    rev = discounted_revenue_cents()
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("long"))
     return l.join(p, l.l_partkey == p.p_partkey).agg(
         (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(

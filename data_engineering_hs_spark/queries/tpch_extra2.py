@@ -15,15 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.functions.scalar import discounted_revenue_cents
 from data_engineering_hs_spark.queries.registry import register
 
 _REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 
 
 def _rev_cents() -> F.Column:
-    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    return discounted_revenue_cents()
 
 
 @register(
