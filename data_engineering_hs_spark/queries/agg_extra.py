@@ -172,9 +172,17 @@ def j_argmin_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "o_date_spine",
+    # bounds truncate to MONTH START before stepping: Spark's
+    # sequence() computes lo + i*INTERVAL while DuckDB's
+    # generate_series iterates with a sticky end-of-month clamp, so a
+    # lo day-of-month >= 29 makes the engines generate DIFFERENT
+    # month counts near hi (verified: from Jan 31, Spark stops at
+    # Feb 28 where DuckDB continues to Mar 28). Month-start steps are
+    # identical in both.
     oracle="""
 WITH bounds AS (
-  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
   FROM orders WHERE o_custkey = 1
 ), spine AS (
   SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start
@@ -185,12 +193,11 @@ WITH bounds AS (
   FROM orders WHERE o_custkey = 1
   GROUP BY 1
 )
-SELECT strftime(CAST(date_trunc('month', s.month_start) AS DATE), '%Y-%m-%d')
-         AS month_start,
-       CAST(COALESCE(CAST(SUM(m.cents) AS BIGINT), 0) AS BIGINT) AS cents
+SELECT strftime(s.month_start, '%Y-%m-%d') AS month_start,
+       CAST(COALESCE(m.cents, 0) AS BIGINT) AS cents
 FROM spine s
-LEFT JOIN monthly m ON date_trunc('month', s.month_start) = m.month_start
-GROUP BY 1 ORDER BY 1
+LEFT JOIN monthly m ON s.month_start = m.month_start
+ORDER BY 1
 """,
     doc="date-spine gap fill: generate a continuous month sequence "
     "(F.sequence + explode) and left-join sparse facts so empty "
@@ -199,24 +206,24 @@ GROUP BY 1 ORDER BY 1
 def o_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 1)
     bounds = o.agg(
-        F.min(F.to_date("o_orderdate")).alias("lo"),
-        F.max(F.to_date("o_orderdate")).alias("hi"),
+        F.trunc(F.min(F.to_date("o_orderdate")), "month").alias("lo"),
+        F.trunc(F.max(F.to_date("o_orderdate")), "month").alias("hi"),
     )
     spine = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
         ).alias("month_start")
-    ).select(F.trunc("month_start", "month").alias("month_start"))
+    )
     monthly = o.groupBy(
         F.trunc("o_orderdate", "month").alias("month_start")
     ).agg(F.sum(money_cents("o_totalprice")).alias("cents"))
+    # 1:1 left join (spine and monthly are both month-unique) — no
+    # re-aggregation needed
     return (
         spine.join(monthly, "month_start", "left")
-        .groupBy("month_start")
-        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
         .select(
             F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
-            "cents",
+            F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
         )
         .orderBy("month_start")
     )

@@ -285,7 +285,9 @@ def c_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_published,
     )
 
-    root = tempfile.mkdtemp(prefix="c_time_travel_")
+    from data_engineering_hs_spark.queries.streaming_q import _work_dir
+
+    root = _work_dir("c_time_travel", sf_dir)
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias(

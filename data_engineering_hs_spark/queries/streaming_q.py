@@ -67,19 +67,58 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"spark_stream_{table}_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    # lexists, not exists: a stale symlink whose target vanished
+    # (regenerated testdata) reads as absent under exists() and the
+    # re-create raises FileExistsError; replace it instead. The
+    # except arm absorbs the check-then-act race between two
+    # concurrent sweeps on the same sf_dir.
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+        target
+    ):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def _work_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch dir, WIPED on entry:
+    mkdtemp accreted a full parquet copy of the working tables per
+    sweep/bench invocation, unboundedly; a fixed name bounds the
+    footprint to one copy per query."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_q_{tag}_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
     return d
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_engineering_hs_spark.catalog import (
+        _parquet_ts_is_nanos,
+        normalize_event_ts,
+    )
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # legacy-nanos flag only when the footer really is NANOS — the
+    # unconditional session-wide set was exactly the leak
+    # catalog.load_table documents and guards against
+    if _parquet_ts_is_nanos(os.path.join(sf_dir, "events.parquet")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(_events_raw_schema(sf_dir)).parquet(
         _stream_dir_for(sf_dir, "events")
     )
-    from data_engineering_hs_spark.catalog import normalize_event_ts
-
     return normalize_event_ts(raw)
 
 
@@ -422,7 +461,7 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_cdc_apply,
     )
 
-    root = tempfile.mkdtemp(prefix="st_cdc_apply_")
+    root = _work_dir("st_cdc_apply", sf_dir)
     table_path = f"{root}/table"
     changes_dir = f"{root}/changes"
     ckpt = f"{root}/ckpt"
@@ -515,7 +554,7 @@ def st_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_engineering_hs_spark.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="st_update_mode_")
+    root = _work_dir("st_update_mode", sf_dir)
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
         f"{root}/h0"

@@ -27,11 +27,7 @@ from data_engineering_hs_spark.catalog import load_table
 from data_engineering_hs_spark.functions.scalar import discounted_revenue_cents
 from data_engineering_hs_spark.queries.registry import register
 
-_REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
-
-
-def _rev_cents() -> F.Column:
-    return discounted_revenue_cents()
+from data_engineering_hs_spark.queries.tpch_extra2 import _REV_CENTS  # noqa: E402 — ONE copy of the revenue-cents SQL
 
 
 @register(
@@ -122,7 +118,7 @@ SELECT n.n_name AS nation,
        -- (avoids any division until the final scale-down)
        CAST(SUM(10 * {_REV_CENTS}
                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
-                  * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) / 1000.0
+                  * CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE) / 1000.0
          AS sum_profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -144,10 +140,14 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    cost_tenths = F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
-        "l_quantity"
+    # round() both sides: Spark cast('long') TRUNCATES while DuckDB
+    # CAST(... AS BIGINT) ROUNDS — integral today, divergent the day
+    # the testdata ships fractional quantities (q18 hardened the same
+    # column the same way)
+    cost_tenths = F.round(F.col("p_retailprice") * 100).cast("long") * F.round(
+        F.col("l_quantity")
     ).cast("long")
-    profit_tenths = F.lit(10).cast("long") * _rev_cents() - cost_tenths
+    profit_tenths = F.lit(10).cast("long") * discounted_revenue_cents() - cost_tenths
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
@@ -313,7 +313,7 @@ WHERE n.n_name IN ('NATION_3', 'NATION_8')
       AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
       AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
     GROUP BY l.l_suppkey
-    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 50
+    HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 50
   )
 ORDER BY s.s_name
 """,
@@ -340,7 +340,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         l.join(small_parts, l.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
         .filter(F.col("total_qty") > 50)
         .select("l_suppkey")
     )
