@@ -51,7 +51,28 @@ def _cached(fn):
 # crash, mismatch) is NOT counted verified, so it re-runs first.
 
 
+def _oracle_hash(name: str) -> str | None:
+    import hashlib
+
+    text = REGISTRY[name].oracle
+    return None if text is None else hashlib.sha256(text.encode()).hexdigest()
+
+
 def _driver_verified() -> frozenset[str]:
+    """Names whose LATEST driver row is clean AND still verifies the
+    CURRENT oracle text.
+
+    A green row only certifies the (query, oracle) pair the driver
+    actually ran. ORACLE_HASHES.json records, per query, the sha256 of
+    the oracle text at its last clean driver check (None for a
+    rows-only ``no_oracle`` check). Any query whose current oracle
+    hash differs — an oracle edited after its green row, or an oracle
+    added to a query last checked rows-only — is treated as
+    never-verified so the rotation re-runs it first. Regenerate the
+    sidecar with ``python scripts_stamp_oracle_hashes.py`` as the
+    FIRST action of a round (before any oracle edits), right after the
+    driver's CORRECTNESS_r{N}.json lands.
+    """
     import glob
     import json
     import os
@@ -80,22 +101,26 @@ def _driver_verified() -> frozenset[str]:
                 for k in ("rows_match", "schema_match", "hash_match")
             )
             latest[name] = clean
-    return frozenset(name for name, clean in latest.items() if clean)
+    try:
+        stamped = json.load(open(os.path.join(here, "ORACLE_HASHES.json")))
+    except (OSError, ValueError):
+        stamped = {}
+    return frozenset(
+        name
+        for name, clean in latest.items()
+        if clean
+        and name in stamped
+        and name in REGISTRY
+        and stamped[name] == _oracle_hash(name)
+    )
 
 
-# Queries whose OUTPUT or ORACLE changed this round: force to the
-# front of the rotation even though an older driver row was green —
-# the old green row verified a different contract.
-_RECHECK_THIS_ROUND = frozenset(
-    {
-        # r8: output schema changed (all-integer ppm/nearest-rank)
-        "dq_key_skew",
-        # r8: planted NULL-verdict row changes the counts
-        "dq_quarantine_split",
-        # r8: greedy phase moved driver-side (same oracle; re-pin)
-        "s_mmr_diversify",
-    }
-)
+# Queries whose OUTPUT changed this round with an UNCHANGED oracle
+# (e.g. a Spark-side rewrite re-pinned against the same SQL): force to
+# the front of the rotation even though an older driver row was green.
+# Oracle-text changes no longer need this list — ORACLE_HASHES.json
+# catches them automatically (see _driver_verified).
+_RECHECK_THIS_ROUND = frozenset()
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 

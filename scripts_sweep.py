@@ -1,6 +1,7 @@
 """Full local oracle sweep: run every registry query side-by-side with
 its DuckDB oracle at sf0.01, exactly as the driver does. Usage:
     python scripts_sweep.py <chunk_idx> <n_chunks>
+    python scripts_sweep.py --names a_mode,t_langid   # explicit subset
 Prints one line per query: NAME OK|MISMATCH|ERROR <detail>.
 """
 import sys
@@ -9,7 +10,11 @@ import traceback
 
 from pyspark.sql import SparkSession
 
-chunk_idx, n_chunks = int(sys.argv[1]), int(sys.argv[2])
+if sys.argv[1] == "--names":
+    only_names, chunk_idx, n_chunks = sys.argv[2].split(","), 0, 1
+else:
+    only_names = None
+    chunk_idx, n_chunks = int(sys.argv[1]), int(sys.argv[2])
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -26,7 +31,7 @@ load_all()
 from data_engineering_hs_spark.queries import REGISTRY
 from oracle_harness import compare_query
 
-names = sorted(REGISTRY.keys())
+names = sorted(REGISTRY.keys()) if only_names is None else only_names
 mine = [n for i, n in enumerate(names) if i % n_chunks == chunk_idx]
 print(f"chunk {chunk_idx}/{n_chunks}: {len(mine)} queries", flush=True)
 bad = 0
