@@ -897,9 +897,10 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dot_strategy: str = "fold",
+    max_cluster_size: int = 2000,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup (Abbas et al.,
-    arXiv:2303.09540) → (id, cluster, c_sim, removed).
+    arXiv:2303.09540) → (id, cluster, c_sim, removed, truncated).
 
     1. Assign every vector to its nearest centroid (one broadcast
        pass; ties broken by ascending cluster label — deterministic).
@@ -917,8 +918,15 @@ def semdedup(
     shuffles are the per-cluster equi-join and one dedup on removed
     ids. The paper's own design point makes within-cluster pairwise
     tractable — k grows with the corpus so E[cluster size] = n/k
-    stays bounded, and a hot cluster is capped upstream by the same
-    max-bucket discipline as embedding_near_dups if needed.
+    stays bounded — but a boilerplate-heavy corpus concentrates
+    near-identical docs into exactly the clusters that explode, so
+    the comparison pool per cluster is hard-capped at
+    max_cluster_size (same discipline as minhash_lsh_pairs): the
+    cap keeps the HIGHEST-c_sim members — the redundant, near-center
+    copies the rule removes — ties by ascending id, and every row of
+    a capped cluster carries ``truncated=True`` so callers can tell
+    complete decisions from bounded ones. Rows beyond the cap are
+    never compared, hence never removed (conservative: keep, flag).
     """
     cn = cents.withColumn("c_norm", norm("centroid"))
     scored = df.select(
@@ -933,6 +941,11 @@ def semdedup(
         ).alias("c_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cluster"))
+    # Cap rank + cluster size share one partitionBy(cluster) shuffle
+    # (Spark stacks both Window operators on the same Exchange), and
+    # that same hash partitioning feeds the pair equi-join below.
+    wc = Window.partitionBy("cluster").orderBy(F.desc("c_sim"), F.asc(id_col))
+    wsz = Window.partitionBy("cluster")
     # assigned is referenced three times below (both pair sides + the
     # output join) — checkpoint once so the assignment pipeline does
     # not re-evaluate per reference.
@@ -940,16 +953,19 @@ def semdedup(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .withColumn("__crn", F.row_number().over(wc))
+        .withColumn("truncated", F.count(F.lit(1)).over(wsz) > max_cluster_size)
         .localCheckpoint(eager=True)
     )
-    a = assigned.select(
+    pool = assigned.filter(F.col("__crn") <= max_cluster_size)
+    a = pool.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col("v_norm").alias("norm_a"),
         F.col("c_sim").alias("csim_a"),
     )
-    b = assigned.select(
+    b = pool.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
@@ -985,4 +1001,5 @@ def semdedup(
         "cluster",
         "c_sim",
         F.col("__rm_id").isNotNull().alias("removed"),
+        "truncated",
     )

@@ -94,3 +94,37 @@ class TestSemDeDup:
         res = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.95)
         assert res.count() == aug.count()
         assert res.select("vec_id").distinct().count() == aug.count()
+
+    def test_hot_cluster_capped_with_truncation_marker(self, spark):
+        # One boilerplate-heavy cluster of 30 near-identical vectors
+        # (the 100-TB skew case) with max_cluster_size=10: pairs are
+        # generated only among the 10 HIGHEST-c_sim members, rows
+        # beyond the cap are conservatively kept, and every row of
+        # the capped cluster carries truncated=True.
+        hot = [(i, [1.0, i * 0.001]) for i in range(30)]
+        cold = [(100, [-1.0, 0.3]), (101, [-1.0, -0.3])]
+        aug = spark.createDataFrame(
+            hot + cold, "vec_id long, embedding array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+            "label int, centroid array<double>",
+        )
+        res = S.semdedup(aug, cents, 0.9, max_cluster_size=10).collect()
+        by_id = {r.vec_id: r for r in res}
+        # capped cluster: marker on EVERY member, incl. the pool
+        assert all(by_id[i].truncated for i in range(30))
+        assert not by_id[100].truncated and not by_id[101].truncated
+        # pool = ids 0..9 (highest c_sim); dominance removes all but
+        # the pool's lowest-c_sim member (id 9)
+        removed = {i for i in range(30) if by_id[i].removed}
+        assert removed == set(range(9))
+        # beyond-cap rows are never compared -> never removed
+        assert not any(by_id[i].removed for i in range(10, 30))
+        assert not by_id[100].removed and not by_id[101].removed
+
+    def test_uncapped_output_reports_no_truncation(self, spark):
+        aug, _ = self._aug(spark)
+        cents = S.centroids(aug)
+        res = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.95)
+        assert res.filter("truncated").count() == 0
