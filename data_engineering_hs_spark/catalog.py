@@ -69,13 +69,29 @@ def enable_table_cache(enabled: bool = True) -> None:
 
 
 def _parquet_ts_is_nanos(path: str) -> bool:
-    """Footer probe: does this parquet file's `ts` field use the
+    """Footer probe: does this parquet dataset's `ts` field use the
     TIMESTAMP(NANOS) physical type Spark can only scan with the
-    legacy nanosAsLong flag?"""
+    legacy nanosAsLong flag?
+
+    ``path`` may be a single file OR a directory-shaped dataset (a
+    Spark-written events.parquet/): read_schema only handles the
+    former, so a directory probes the footer of its first data file —
+    returning False for a legacy NANOS directory would silently break
+    the scan the flag exists to fix."""
     try:
         import pyarrow.parquet as pq
 
-        return "ns" in str(pq.read_schema(path).field("ts").type)
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not parts:
+                return False
+            probe = os.path.join(path, parts[0])
+        return "ns" in str(pq.read_schema(probe).field("ts").type)
     except Exception:  # noqa: BLE001 — absent field/file: let Spark decide
         return False
 

@@ -115,11 +115,17 @@ def dot_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def _pair_arrays(x: "pd.Series", y: "pd.Series"):
     """(xa, ya, bad): dense 2-D float arrays plus a mask of rows whose
-    vectors are NULL or length-mismatched. The fold-based `dot`
-    returns NULL for such rows; without the mask a single dirty row
-    turned the einsum into an object-array crash that killed the
-    whole job — a success/failure divergence between the two
-    strategies, not the documented few-ulp one."""
+    vectors are NULL or length-mismatched WITHIN the pair. The
+    fold-based `dot` returns NULL for such rows; without the mask a
+    single dirty row turned the einsum into an object-array crash
+    that killed the whole job — a success/failure divergence between
+    the two strategies, not the documented few-ulp one.
+
+    A pair whose vectors match each other but are SHORTER than the
+    batch's max dim is a valid row (the fold computes it), so it is
+    zero-padded to the dense width — padding zeros change neither the
+    dot product nor the norms. Masking such rows instead would make
+    the result depend on batch composition/partitioning."""
     xs, ys = x.tolist(), y.tolist()
     dims = [len(v) for v in xs if v is not None] + [
         len(v) for v in ys if v is not None
@@ -128,10 +134,14 @@ def _pair_arrays(x: "pd.Series", y: "pd.Series"):
     bad = np.zeros(len(xs), dtype=bool)
     zeros = [0.0] * dim
     for i, (u, v) in enumerate(zip(xs, ys)):
-        if u is None or v is None or len(u) != len(v) or len(u) != dim:
+        if u is None or v is None or len(u) != len(v):
             bad[i] = True
             xs[i] = zeros
             ys[i] = zeros
+        elif len(u) != dim:
+            pad = [0.0] * (dim - len(u))
+            xs[i] = list(u) + pad
+            ys[i] = list(v) + pad
     return (
         np.array(xs, dtype=np.float64),
         np.array(ys, dtype=np.float64),

@@ -610,9 +610,19 @@ def mmr_select(
                     best_score, best_id = score, v
             chosen.append(best_id)
             picks.append((step, best_id, rel[best_id]))
-    out = embeddings.sparkSession.createDataFrame(
-        picks, schema="pick int, vec_id bigint, rel double"
+    # Output id type mirrors the INPUT id column (string/decimal ids
+    # must round-trip) — the engine-side version it replaced preserved
+    # it for free, so a literal "bigint" here was an API regression.
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pick", T.IntegerType()),
+            T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField("rel", T.DoubleType()),
+        ]
     )
+    out = embeddings.sparkSession.createDataFrame(picks, schema=out_schema)
     # final rounding engine-side: Spark round is HALF_UP, Python's is
     # banker's — the oracle expects the engine's
     return out.select("pick", "vec_id", F.round("rel", 6).alias("rel"))

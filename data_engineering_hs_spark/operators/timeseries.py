@@ -154,7 +154,12 @@ def detect_gaps(
     )
 
     def _epoch(c) -> Column:
-        return F.col(c).cast("long") if is_numeric else F.unix_timestamp(F.col(c))
+        # numeric epochs subtract NATIVELY (int-int, double-double,
+        # decimal-decimal are all exact): the previous cast("long")
+        # truncated fractional seconds toward zero — and pre-epoch
+        # negatives truncated UP — so sub-second gaps straddling
+        # min_gap_seconds misclassified, unlike the timestamp path
+        return F.col(c) if is_numeric else F.unix_timestamp(F.col(c))
 
     w = Window.partitionBy(key_col).orderBy(ts_col)
     return (

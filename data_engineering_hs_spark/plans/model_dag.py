@@ -25,12 +25,13 @@ partitionOverwriteMode), which is the scalable MERGE emulation.
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.sources.parquet import remove_partition_dirs
 
 
 @dataclass
@@ -169,9 +170,22 @@ class ModelRunner:
             .select(m.partition_by)
             .distinct()
         )
-        touched = fresh.select(m.partition_by).distinct().union(old_parts).distinct()
+        # All partition-value joins below are NULL-SAFE: the NULL
+        # partition (__HIVE_DEFAULT_PARTITION__ on disk) is a real
+        # partition, and plain equi-joins never match NULL — a kept
+        # semi-join would drop its untouched rows on rewrite, and the
+        # emptied anti-join would list it as emptied even when the
+        # rewrite just repopulated it (deleting fresh data).
+        touched = (
+            fresh.select(m.partition_by)
+            .distinct()
+            .union(old_parts)
+            .distinct()
+            .select(F.col(m.partition_by).alias("__touched_part"))
+        )
+        part_match = F.col(m.partition_by).eqNullSafe(F.col("__touched_part"))
         kept = (
-            existing.join(F.broadcast(touched), m.partition_by, "left_semi")
+            existing.join(F.broadcast(touched), part_match, "left_semi")
             .join(fresh.select(m.unique_key), m.unique_key, "left_anti")
         )
         out = kept.unionByName(fresh.select(*kept.columns))
@@ -186,7 +200,7 @@ class ModelRunner:
             r[0]
             for r in touched.join(
                 out.select(m.partition_by).distinct(),
-                m.partition_by,
+                part_match,
                 "left_anti",
             ).collect()
         ]
@@ -195,11 +209,10 @@ class ModelRunner:
         out.write.partitionBy(m.partition_by).mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(path)
-        for v in emptied:
-            shutil.rmtree(
-                os.path.join(path, f"{m.partition_by}={v}"),
-                ignore_errors=True,
-            )
+        # resolve the ON-DISK names (percent-escaped values, NULL as
+        # __HIVE_DEFAULT_PARTITION__) — a hand-built f"{col}={v}"
+        # missed exactly those, leaving ghost partitions behind
+        remove_partition_dirs(path, m.partition_by, emptied)
         return self.spark.read.parquet(path)
 
     # -- graph / selectors -------------------------------------------------

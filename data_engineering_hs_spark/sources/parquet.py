@@ -230,32 +230,44 @@ def delete_keys_partitioned(
     # dynamic overwrite only replaces partitions PRESENT in the
     # written frame — a partition whose every row is doomed writes
     # nothing and would silently survive. Drop those directories
-    # explicitly, resolving the ON-DISK names: Spark percent-escapes
-    # special chars in partition paths (: / % = #) and spells NULL as
-    # __HIVE_DEFAULT_PARTITION__, so a hand-built f"{col}={v}" would
-    # miss exactly the values that get escaped.
-    import os
-    import shutil
-    from urllib.parse import unquote
-
+    # explicitly (see remove_partition_dirs for the on-disk name
+    # resolution).
     kept_parts = {
         r[0] for r in kept.select(partition_col).distinct().collect()
     }
     gone = [v for v in parts if v not in kept_parts]
-    if gone:
-        gone_strs = {str(v) for v in gone if v is not None}
-        gone_null = any(v is None for v in gone)
-        prefix = f"{partition_col}="
-        for d in os.listdir(path):
-            if not d.startswith(prefix):
-                continue
-            raw = d[len(prefix):]
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                if gone_null:
-                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-            elif unquote(raw) in gone_strs:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    remove_partition_dirs(path, partition_col, gone)
     return {
         "partitions_rewritten": len(parts),
         "rows_deleted": before - kept_n,
     }
+
+
+def remove_partition_dirs(
+    path: str, partition_col: str, values: "list"
+) -> int:
+    """Delete the on-disk directories of the given partition VALUES,
+    resolving Spark's physical names: special chars (: / % = #) are
+    percent-escaped and NULL is spelled __HIVE_DEFAULT_PARTITION__,
+    so a hand-built f"{col}={v}" path misses exactly the values that
+    get escaped. Returns the number of directories removed."""
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    if not values:
+        return 0
+    gone_strs = {str(v) for v in values if v is not None}
+    gone_null = any(v is None for v in values)
+    prefix = f"{partition_col}="
+    removed = 0
+    for d in os.listdir(path):
+        if not d.startswith(prefix):
+            continue
+        raw = d[len(prefix):]
+        if (raw == "__HIVE_DEFAULT_PARTITION__" and gone_null) or (
+            raw != "__HIVE_DEFAULT_PARTITION__" and unquote(raw) in gone_strs
+        ):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            removed += 1
+    return removed

@@ -387,3 +387,78 @@ class TestSelectorPublishCarryForward:
         # snapshot did not shrink
         assert read_published(spark, root, "dim_customers").count() == dim_before
         assert read_published(spark, root, "fct_orders").count() > 0
+
+
+class TestIncrementalEscapedAndNullPartitions:
+    """ADVICE r8: the emptied-partition cleanup hand-built
+    f"{col}={v}" paths, missing percent-escaped values and NULL
+    (__HIVE_DEFAULT_PARTITION__); and the partition-value joins were
+    plain equi-joins, which never match NULL — a NULL partition was
+    both un-keepable (untouched rows lost) and always "emptied"
+    (freshly rewritten data deleted). Now shared with
+    sources.parquet.remove_partition_dirs and null-safe."""
+
+    def _runner(self, spark, wh, frame_box):
+        from data_engineering_hs_spark.plans.model_dag import ModelRunner
+
+        r = ModelRunner(spark, sources={}, warehouse_dir=wh)
+
+        @r.model("inc", materialization="incremental",
+                 unique_key="k", partition_by="p")
+        def inc(ctx):
+            return frame_box["df"]
+
+        return r
+
+    def test_escaped_partition_ghost_is_removed(self, spark, tmp_path):
+        import os
+        from urllib.parse import quote
+
+        wh = str(tmp_path / "wh_esc")
+        box = {"df": spark.createDataFrame(
+            [(1, "2024:05"), (2, "2024:05"), (5, "b")], "k int, p string"
+        )}
+        self._runner(spark, wh, box).run()
+        esc = f"{wh}/inc/p={quote('2024:05', safe='')}"
+        assert os.path.exists(esc), os.listdir(f"{wh}/inc")
+        # key 1 moves out; partition still holds key 2 -> dir stays
+        box["df"] = spark.createDataFrame([(1, "b")], "k int, p string")
+        self._runner(spark, wh, box).run()
+        assert os.path.exists(esc)
+        # key 2 moves out too -> escaped dir must actually be deleted
+        box["df"] = spark.createDataFrame([(2, "b")], "k int, p string")
+        self._runner(spark, wh, box).run()
+        assert not os.path.exists(esc)
+        got = spark.read.parquet(f"{wh}/inc")
+        assert got.filter(F.col("p") == "2024:05").count() == 0
+        assert got.count() == 3
+
+    def test_null_partition_untouched_rows_survive_refresh(
+        self, spark, tmp_path
+    ):
+        import os
+
+        wh = str(tmp_path / "wh_null")
+        box = {"df": spark.createDataFrame(
+            [(3, None), (4, None), (5, "b")], "k int, p string"
+        )}
+        self._runner(spark, wh, box).run()
+        null_dir = f"{wh}/inc/p=__HIVE_DEFAULT_PARTITION__"
+        assert os.path.exists(null_dir)
+        # refresh key 3 IN the null partition: key 4's untouched row
+        # must survive the rewrite, and the repopulated null dir must
+        # NOT be swept as "emptied"
+        box["df"] = spark.createDataFrame([(3, None)], "k int, p string")
+        self._runner(spark, wh, box).run()
+        got = spark.read.parquet(f"{wh}/inc")
+        assert got.filter(F.col("p").isNull()).count() == 2
+        assert os.path.exists(null_dir)
+        # move BOTH null-partition keys out -> null dir removed
+        box["df"] = spark.createDataFrame(
+            [(3, "b"), (4, "b")], "k int, p string"
+        )
+        self._runner(spark, wh, box).run()
+        assert not os.path.exists(null_dir)
+        got = spark.read.parquet(f"{wh}/inc")
+        assert got.filter(F.col("p").isNull()).count() == 0
+        assert sorted(r.k for r in got.collect()) == [3, 4, 5]

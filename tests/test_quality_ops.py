@@ -1009,6 +1009,33 @@ class TestMmrSelect:
         # only 2 candidates exist; selection stops there
         assert sorted(r["pick"] for r in out) == [1, 2]
 
+    def test_mmr_preserves_string_id_type(self, spark):
+        # Generic library operator: the output vec_id type must mirror
+        # the input id column — a string-keyed corpus previously died
+        # at createDataFrame against a hardcoded bigint schema.
+        from pyspark.sql import types as T
+
+        from data_engineering_hs_spark.operators.similarity import mmr_select
+
+        rows = [
+            ("q", [1.0, 0.0]),
+            ("doc-a", [0.9, 0.1]),
+            ("doc-b", [0.0, 1.0]),
+        ]
+        e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = mmr_select(e, query_vec_id="q", pool=4, k=2, lam=0.7)
+        assert isinstance(out.schema["vec_id"].dataType, T.StringType)
+        got = {r["pick"]: r["vec_id"] for r in out.collect()}
+        assert got[1] == "doc-a" and got[2] == "doc-b"
+
+    def test_mmr_empty_pool_returns_typed_empty_frame(self, spark):
+        from data_engineering_hs_spark.operators.similarity import mmr_select
+
+        e = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+        out = mmr_select(e, query_vec_id=0, pool=4, k=2)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["pick", "vec_id", "rel"]
+
 
 class TestCountMinSketch:
     def test_overestimate_and_exactness_without_collisions(self, spark):

@@ -210,6 +210,40 @@ class TestVectorAndSourceEdges:
         fold = df.select("i", dot("a", "b").alias("d")).collect()
         assert {r["i"]: r["d"] for r in fold}[2] is None
 
+    def test_pandas_dot_matched_short_pair_in_mixed_dim_batch(self, spark):
+        # A pair whose lengths match EACH OTHER but are shorter than
+        # the batch max dim is a valid row: the fold computes it, so
+        # the Arrow path must too (zero-padded, exact) — not NULL.
+        # Forcing everything into one Arrow batch makes the mixed-dim
+        # case deterministic rather than partition-dependent.
+        from data_engineering_hs_spark.functions.vector import (
+            cosine_pandas,
+            dot,
+            dot_pandas,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], [3.0, 4.0]),  # 2-dim pair
+                (2, [1.0, 1.0, 1.0], [2.0, 3.0, 4.0]),  # 3-dim pair
+                (3, [1.0, 2.0], [1.0, 1.0, 1.0]),  # genuinely ragged
+            ],
+            "i int, a array<double>, b array<double>",
+        ).coalesce(1)
+        got = {
+            r["i"]: (r["d"], r["c"], r["f"])
+            for r in df.select(
+                "i",
+                dot_pandas("a", "b").alias("d"),
+                cosine_pandas("a", "b").alias("c"),
+                dot("a", "b").alias("f"),
+            ).collect()
+        }
+        assert got[1][0] == 11.0 and got[1][0] == got[1][2]
+        assert got[2][0] == 9.0 and got[2][0] == got[2][2]
+        assert got[1][1] is not None and got[2][1] is not None
+        assert got[3][0] is None and got[3][1] is None
+
     def test_read_document_array_malformed_raises(self, spark, tmp_path):
         import pytest as _pytest
         from pyspark.sql import types as T2
@@ -250,3 +284,39 @@ class TestVectorAndSourceEdges:
             F.unix_micros("ts").alias("us")
         ).collect()
         assert sorted(r["us"] for r in out) == [-2, 1]
+
+    def test_nanos_probe_handles_directory_datasets(self, tmp_path):
+        # events.parquet can be directory-shaped (Spark-written): the
+        # footer probe must inspect the first data file instead of
+        # raising inside read_schema and defaulting to False — a
+        # legacy TIMESTAMP(NANOS) directory would then fail to scan.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_engineering_hs_spark.catalog import _parquet_ts_is_nanos
+
+        tbl_ns = pa.table(
+            {"ts": pa.array([1, 2], type=pa.timestamp("ns")), "v": [1, 2]}
+        )
+        d_ns = tmp_path / "events_ns.parquet"
+        d_ns.mkdir()
+        (d_ns / "_SUCCESS").write_text("")  # marker files must be skipped
+        pq.write_table(
+            tbl_ns, str(d_ns / "part-00000.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None, store_schema=True,
+        )
+        assert _parquet_ts_is_nanos(str(d_ns)) is True
+        # micros directory -> False; empty directory -> False
+        tbl_us = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))})
+        d_us = tmp_path / "events_us.parquet"
+        d_us.mkdir()
+        pq.write_table(tbl_us, str(d_us / "part-00000.parquet"))
+        assert _parquet_ts_is_nanos(str(d_us)) is False
+        d_empty = tmp_path / "empty.parquet"
+        d_empty.mkdir()
+        assert _parquet_ts_is_nanos(str(d_empty)) is False
+        # single-file datasets keep working
+        f_ns = tmp_path / "one.parquet"
+        pq.write_table(tbl_ns, str(f_ns))
+        assert _parquet_ts_is_nanos(str(f_ns)) is True

@@ -61,3 +61,40 @@ class TestResample:
         plan = interpolate_linear(df, "ts", "v", ["k"])._jdf.queryExecution().executedPlan().toString()
         import re
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestDetectGapsFractionalSeconds:
+    def test_double_epochs_keep_subsecond_precision(self, spark):
+        # gap = 3.5 s straddles min_gap_seconds=4 from below and
+        # min_gap=3 from above; the old cast("long") truncated both
+        # endpoints toward zero, fabricating a 4 s gap out of 3.5 s
+        from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+        df = spark.createDataFrame(
+            [("s", 10.25), ("s", 13.75), ("s", 14.0)], "k string, ts double"
+        )
+        assert detect_gaps(df, "k", "ts", 4).count() == 0
+        got = detect_gaps(df, "k", "ts", 3).collect()
+        assert len(got) == 1 and got[0]["gap_seconds"] == 3.5
+
+    def test_pre_epoch_negative_doubles(self, spark):
+        # -10.6 -> -4.2 is a 6.4 s gap; long-truncation made it
+        # (-4) - (-10) = 6, dropping it below a 6.2 s threshold
+        from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+        df = spark.createDataFrame(
+            [("s", -10.6), ("s", -4.2)], "k string, ts double"
+        )
+        got = detect_gaps(df, "k", "ts", 6).collect()
+        assert len(got) == 1
+        assert abs(got[0]["gap_seconds"] - 6.4) < 1e-9
+
+    def test_integer_epochs_stay_integral(self, spark):
+        from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+        df = spark.createDataFrame(
+            [("s", 100), ("s", 200)], "k string, ts long"
+        )
+        got = detect_gaps(df, "k", "ts", 50).collect()
+        assert got[0]["gap_seconds"] == 100
+        assert isinstance(got[0]["gap_seconds"], int)
