@@ -128,3 +128,77 @@ class TestSemDeDup:
         cents = S.centroids(aug)
         res = S.semdedup(aug.select("vec_id", "embedding"), cents, 0.95)
         assert res.filter("truncated").count() == 0
+
+
+class TestTwoLevelAssignment:
+    """assign_nearest_centroid's hierarchical path (super_k): the
+    1M-vector stress measured the flat n*k assignment as SemDeDup's
+    dominant stage; the two-level coarse quantizer cuts per-vector
+    dots from k to super_k + p*k/super_k at the cost of approximate
+    assignment for borderline vectors."""
+
+    def _clustered(self, spark):
+        # 3 tight, well-separated clusters in 4-d
+        import itertools
+
+        bases = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+        rows = []
+        i = 0
+        for c, b in enumerate(bases):
+            for jit in (0.0, 0.01, -0.01, 0.02):
+                v = list(b)
+                v[3] = jit
+                rows.append((i, v))
+                i += 1
+        cents = spark.createDataFrame(
+            list(enumerate(bases)), "label int, centroid array<double>"
+        )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), cents
+
+    def test_two_level_matches_flat_on_separated_clusters(self, spark):
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        df, cents = self._clustered(spark)
+        flat = assign_nearest_centroid(df, cents)
+        two = assign_nearest_centroid(df, cents, super_k=2)
+        f = {r.vec_id: r.cluster for r in flat.collect()}
+        t = {r.vec_id: r.cluster for r in two.collect()}
+        assert f == t and len(f) == 12
+
+    def test_probing_all_supers_is_exact(self, spark):
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        df, cents = self._clustered(spark)
+        flat = assign_nearest_centroid(df, cents).select(
+            "vec_id", "cluster", "c_sim"
+        )
+        two = assign_nearest_centroid(
+            df, cents, super_k=3, probe_supers=3
+        ).select("vec_id", "cluster", "c_sim")
+        assert sorted(flat.collect()) == sorted(two.collect())
+
+    def test_semdedup_two_level_still_removes_planted_copies(self, spark):
+        from data_engineering_hs_spark.operators import similarity as S
+
+        aug, off = TestSemDeDup._aug(TestSemDeDup(), spark)
+        cents = S.centroids(aug)
+        res = S.semdedup(
+            aug.select("vec_id", "embedding"), cents, 0.95,
+            super_k=4, probe_supers=2,
+        )
+        removed = {r.vec_id for r in res.filter("removed").collect()}
+        expected = {
+            r.vec_id + off
+            for r in aug.filter(
+                (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < off)
+            ).collect()
+        }
+        # an exact copy shares its original's (possibly approximate)
+        # assignment bit-for-bit, so completeness holds under the
+        # two-level path too; threshold >> natural max cosine keeps
+        # false removals at zero regardless of cluster shapes
+        assert removed == expected
