@@ -220,6 +220,8 @@ _MEASURED_SEC = {
     # r8 late additions (Spark+oracle at sf0.01; t_shuffle_shards
     # measured cold-first — warm cost is ~1 s)
     "t_shuffle_shards": 1.0, "s_semdedup": 4.6,
+    # r9 additions
+    "s_hier_assign": 3.0,
 }
 
 

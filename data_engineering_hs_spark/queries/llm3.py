@@ -117,3 +117,60 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "s_hier_assign",
+    # Equivalence audit (AUDIT-ORACLE pattern): the two-level coarse
+    # quantizer GUARANTEES bit-exact equality with flat assignment
+    # when every super-group is probed (probe_supers = super_k) —
+    # the per-(vector, centroid) cosine and the (desc c_sim, asc
+    # cluster) tie order are identical expressions, only the
+    # candidate enumeration differs, and probing everything restores
+    # the full candidate set. Emitted as data: full-probe mismatch
+    # count must be 0 over the whole corpus, and both paths must
+    # assign every vector exactly once (partition property). The
+    # interesting approximation (p < s) is measured in SCALE.md, not
+    # hashed — its agreement rate is corpus-dependent by design.
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_flat,
+       CAST(COUNT(*) AS BIGINT) AS n_two_level,
+       TRUE AS full_probe_exact_ok
+FROM embeddings
+""",
+    doc="hierarchical (two-level) nearest-centroid assignment: "
+    "driver-side super-grouping of the centroid table, probe-limited "
+    "member dots — audited by bit-exact equivalence to flat "
+    "assignment at full probe width",
+)
+def s_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = S.centroids(e)
+    flat = S.assign_nearest_centroid(e, cents).select(
+        "vec_id", F.col("cluster").alias("cf"), F.col("c_sim").alias("sf")
+    )
+    two = S.assign_nearest_centroid(
+        e, cents, super_k=4, probe_supers=4
+    ).select("vec_id", F.col("cluster").alias("ct"), F.col("c_sim").alias("st"))
+    joined = flat.join(two, "vec_id", "full")
+    mismatch = joined.filter(
+        ~(
+            F.col("cf").eqNullSafe(F.col("ct"))
+            & F.col("sf").eqNullSafe(F.col("st"))
+        )
+    ).agg(F.count("*").alias("__bad"))
+    return (
+        flat.agg(F.count("*").alias("n_flat"))
+        .crossJoin(two.agg(F.count("*").alias("n_two_level")))
+        .crossJoin(e.agg(F.count("*").alias("n_vectors")))
+        .crossJoin(mismatch)
+        .select(
+            "n_vectors",
+            "n_flat",
+            "n_two_level",
+            (F.col("__bad") == 0).alias("full_probe_exact_ok"),
+        )
+    )
