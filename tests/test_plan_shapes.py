@@ -277,3 +277,35 @@ class TestRound8PlanShapes:
         # the node key + hash agg + window, never a cross product
         plan = plan_string(label_propagation(e, iterations=1))
         assert "CartesianProduct" not in plan
+
+
+class TestRound9PlanShapes:
+    def test_two_level_assignment_member_join_is_broadcast_equi(self, spark):
+        # Stage 2 of the hierarchical assignment joins probed vectors
+        # to centroids ON THE SUPER ID — a broadcast equi-join, never
+        # a cross product; only stage 1's sanctioned condition-less
+        # broadcast against the tiny super table is nested-loop.
+        import numpy as np
+
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+        from data_engineering_hs_spark.plans.inspect import (
+            plan_string,
+            plan_summary,
+        )
+
+        rng = np.random.default_rng(7)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=4)]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(j, [float(x) for x in rng.normal(size=4)]) for j in range(6)],
+            "label int, centroid array<double>",
+        )
+        out = assign_nearest_centroid(df, cents, super_k=3, probe_supers=2)
+        plan = plan_string(out)
+        assert "CartesianProduct" not in plan
+        assert plan_summary(out)["broadcast_joins"] >= 2
+        assert "BroadcastHashJoin" in plan  # the member equi-join

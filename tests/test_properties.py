@@ -216,3 +216,43 @@ class TestCmsProperties:
         exact = Counter(keys)
         for k, n in exact.items():
             assert est[k] >= n, (k, n, est[k])
+
+
+class TestTwoLevelAssignmentProperty:
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    @settings(max_examples=6, deadline=None)
+    def test_full_probe_equals_flat_on_random_data(self, spark, seed):
+        # GUARANTEE under audit (s_hier_assign): probing every
+        # super-group restores the full candidate set, so two-level
+        # assignment equals flat bit-for-bit — (cluster, c_sim) both —
+        # for ANY data, not just separated clusters.
+        import numpy as np
+
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        rng = np.random.default_rng(seed)
+        n, k, dim = 40, 7, 5
+        vecs = rng.normal(size=(n, dim))
+        cents_m = rng.normal(size=(k, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(j, [float(x) for x in cents_m[j]]) for j in range(k)],
+            "label int, centroid array<double>",
+        )
+        flat = sorted(
+            (r.vec_id, r.cluster, r.c_sim)
+            for r in assign_nearest_centroid(df, cents).collect()
+        )
+        for super_k in (2, 3, k):
+            two = sorted(
+                (r.vec_id, r.cluster, r.c_sim)
+                for r in assign_nearest_centroid(
+                    df, cents, super_k=super_k, probe_supers=super_k
+                ).collect()
+            )
+            assert two == flat, (seed, super_k)
