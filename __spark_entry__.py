@@ -58,6 +58,22 @@ def _oracle_hash(name: str) -> str | None:
     return None if text is None else hashlib.sha256(text.encode()).hexdigest()
 
 
+def _row_clean(row: dict) -> bool:
+    """Is this driver CORRECTNESS row a clean verification?
+
+    'no_oracle' is the driver's expected weaker rows-only check for
+    golden-pinned queries — counts as clean. A row with a comparison
+    mismatch (any *_match False) is NOT clean even when err is None.
+    Shared with scripts_stamp_oracle_hashes so stamping and
+    verification can never judge rows by different predicates.
+    """
+    err = row.get("err")
+    return (err is None or err == "no_oracle") and not any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def _driver_verified() -> frozenset[str]:
     """Names whose LATEST driver row is clean AND still verifies the
     CURRENT oracle text.
@@ -91,16 +107,7 @@ def _driver_verified() -> frozenset[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            err = row.get("err")
-            # 'no_oracle' is the driver's expected weaker rows-only
-            # check for golden-pinned queries — counts as covered.
-            # A row with a comparison mismatch (any *_match is False)
-            # is NOT covered even when err is None.
-            clean = (err is None or err == "no_oracle") and not any(
-                row.get(k) is False
-                for k in ("rows_match", "schema_match", "hash_match")
-            )
-            latest[name] = clean
+            latest[name] = _row_clean(row)
     try:
         stamped = json.load(open(os.path.join(here, "ORACLE_HASHES.json")))
     except (OSError, ValueError):
@@ -115,12 +122,28 @@ def _driver_verified() -> frozenset[str]:
     )
 
 
-# Queries whose OUTPUT changed this round with an UNCHANGED oracle
-# (e.g. a Spark-side rewrite re-pinned against the same SQL): force to
-# the front of the rotation even though an older driver row was green.
-# Oracle-text changes no longer need this list — ORACLE_HASHES.json
-# catches them automatically (see _driver_verified).
-_RECHECK_THIS_ROUND = frozenset()
+# Queries whose Spark-side implementation changed this round with an
+# UNCHANGED oracle (a rewrite re-pinned against the same SQL): force
+# to the front of the rotation even though an older driver row was
+# green. Oracle-text changes no longer need this list —
+# ORACLE_HASHES.json catches them automatically (see _driver_verified).
+_RECHECK_THIS_ROUND = frozenset(
+    {
+        # r9: semdedup assignment routed through assign_nearest_centroid
+        # + hot-cluster cap + truncated column
+        "s_semdedup",
+        # r9: mmr_select output schema now derived from the input id type
+        "s_mmr_diversify",
+        # r9: dot_pandas/_pair_arrays ragged-batch zero-padding
+        "s_cosine_topk_arrow",
+        # r9: detect_gaps numeric path drops the truncating long cast
+        "ts_gap_detection",
+        # r9: incremental materialization null-safe partition joins +
+        # shared on-disk partition-dir resolution
+        "m_fct_order_totals",
+        "m_incremental_mv",
+    }
+)
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 

@@ -912,6 +912,10 @@ def _super_group_centroids(
     """
     import numpy as np
 
+    # cent_rows arrive pre-sorted by label (assign_nearest_centroid
+    # sorts the collect) — seeding and argmax tie-breaks depend on row
+    # order, so an unordered shuffled-aggregate collect would make the
+    # grouping vary across runs/partitionings.
     labels = [r[0] for r in cent_rows]
     mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -930,9 +934,15 @@ def _super_group_centroids(
                 centers[s] = m / (n if n else 1.0)
     sims = unit @ centers.T
     assign = sims.argmax(axis=1)
+    # Emit ONLY supers that own at least one centroid: an empty super
+    # keeps a stale center that can still be some vector's nearest
+    # probe, and probing a member-less super yields zero candidate
+    # rows — the vector would silently vanish from the assignment
+    # (the inner member join has nothing to match).
+    live = sorted({int(s) for s in assign})
     return (
         {labels[i]: int(assign[i]) for i in range(k)},
-        [(s, [float(x) for x in centers[s]]) for s in range(super_k)],
+        [(s, [float(x) for x in centers[s]]) for s in live],
     )
 
 
@@ -972,6 +982,16 @@ def assign_nearest_centroid(
         dot(vec_col, "centroid"), F.col("v_norm"), F.col("c_norm")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cluster"))
+    if super_k is not None:
+        # sorted by label BEFORE the driver-side Lloyd: the grouping's
+        # seeds/tie-breaks are order-sensitive and collect() order of
+        # a shuffled aggregate is not stable
+        cent_rows = sorted(
+            (r[0], list(r[1]))
+            for r in cents.select("label", "centroid").collect()
+        )
+        if not cent_rows:
+            super_k = None  # empty centroid table: flat path returns empty
     if super_k is None:
         scored = base.join(F.broadcast(cn)).select(
             id_col,
@@ -985,7 +1005,6 @@ def assign_nearest_centroid(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    cent_rows = [(r[0], list(r[1])) for r in cents.select("label", "centroid").collect()]
     label_super, super_rows = _super_group_centroids(cent_rows, super_k)
     spark = df.sparkSession
     supers = spark.createDataFrame(

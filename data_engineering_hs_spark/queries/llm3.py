@@ -149,12 +149,17 @@ def s_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "label"
     )
     cents = S.centroids(e)
+    # each assignment frame feeds BOTH the mismatch join and its own
+    # count below — checkpoint once so the n×k assignment pipeline
+    # (the exact stage this operator exists to cut) runs once per path
     flat = S.assign_nearest_centroid(e, cents).select(
         "vec_id", F.col("cluster").alias("cf"), F.col("c_sim").alias("sf")
-    )
+    ).localCheckpoint(eager=True)
     two = S.assign_nearest_centroid(
         e, cents, super_k=4, probe_supers=4
-    ).select("vec_id", F.col("cluster").alias("ct"), F.col("c_sim").alias("st"))
+    ).select(
+        "vec_id", F.col("cluster").alias("ct"), F.col("c_sim").alias("st")
+    ).localCheckpoint(eager=True)
     joined = flat.join(two, "vec_id", "full")
     mismatch = joined.filter(
         ~(

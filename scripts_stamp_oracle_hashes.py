@@ -20,18 +20,18 @@ hash differs from its stamped hash as never-verified, forcing it to
 the front of the driver rotation. This makes "oracle edited after its
 green row" (the round-8 verdict's stale-verification class — 17 cases
 found by round-snapshot archaeology) structurally impossible to hide.
+The clean-row predicate and the hash computation are IMPORTED from
+__spark_entry__ so stamping and verification can never drift apart.
 """
 import glob
-import hashlib
 import json
 import os
+import sys
 
 here = os.path.dirname(os.path.abspath(__file__))
-os.sys.path.insert(0, here)
+sys.path.insert(0, here)
 
-from data_engineering_hs_spark.queries import REGISTRY, load_all
-
-load_all()
+from __spark_entry__ import REGISTRY, _oracle_hash, _row_clean
 
 paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
 if not paths:
@@ -42,12 +42,7 @@ latest: dict[str, tuple[bool, object]] = {}
 for name, row in json.load(open(newest)).items():
     if not isinstance(row, dict):
         continue
-    err = row.get("err")
-    clean = (err is None or err == "no_oracle") and not any(
-        row.get(k) is False
-        for k in ("rows_match", "schema_match", "hash_match")
-    )
-    latest[name] = (clean, err)
+    latest[name] = (_row_clean(row), row.get("err"))
 
 sidecar_path = os.path.join(here, "ORACLE_HASHES.json")
 try:
@@ -59,10 +54,10 @@ changed = 0
 for name, (clean, err) in sorted(latest.items()):
     if not clean or name not in REGISTRY:
         continue
-    text = REGISTRY[name].oracle
+    has_oracle = REGISTRY[name].oracle is not None
     if err is None:
-        new = None if text is None else hashlib.sha256(text.encode()).hexdigest()
-    elif text is None:  # rows-only row, still oracle-less: covered
+        new = _oracle_hash(name)
+    elif not has_oracle:  # rows-only row, still oracle-less: covered
         new = None
     else:  # rows-only row but an oracle exists now: keep it flagged
         continue

@@ -202,3 +202,76 @@ class TestTwoLevelAssignment:
         # two-level path too; threshold >> natural max cosine keeps
         # false removals at zero regardless of cluster shapes
         assert removed == expected
+
+
+class TestTwoLevelAssignmentEdges:
+    """Round-9 review findings: empty-super candidate drop, collect
+    order-sensitivity, empty centroid table."""
+
+    def test_no_vector_vanishes_when_a_super_goes_empty(self, spark):
+        # Lloyd can end with a member-less super whose stale center is
+        # still some vector's nearest probe; member-less supers must
+        # not be probe targets or that vector gets zero candidate rows
+        # after the inner member join. Invariant: output is a
+        # PARTITION of the input for any data/super_k/probe width.
+        import numpy as np
+
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        for seed in (0, 1, 2, 3, 11):
+            rng = np.random.default_rng(seed)
+            n, k, dim = 60, 8, 4
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)],
+                "vec_id long, embedding array<double>",
+            )
+            cents = spark.createDataFrame(
+                [(j, [float(x) for x in rng.normal(size=dim)]) for j in range(k)],
+                "label int, centroid array<double>",
+            )
+            out = assign_nearest_centroid(df, cents, super_k=4, probe_supers=1)
+            assert out.count() == n, seed
+            assert out.select("vec_id").distinct().count() == n, seed
+
+    def test_super_grouping_ignores_centroid_row_order(self, spark):
+        # cents is a shuffled aggregate; collect() order is not stable.
+        # The driver-side grouping sorts by label first, so a reversed
+        # frame must produce the identical assignment.
+        import numpy as np
+
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        rng = np.random.default_rng(5)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=4)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = [(j, [float(x) for x in rng.normal(size=4)]) for j in range(6)]
+        fwd = spark.createDataFrame(rows, "label int, centroid array<double>")
+        rev = spark.createDataFrame(
+            rows[::-1], "label int, centroid array<double>"
+        ).coalesce(1)
+        a = sorted(
+            (r.vec_id, r.cluster)
+            for r in assign_nearest_centroid(df, fwd, super_k=3).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster)
+            for r in assign_nearest_centroid(df, rev, super_k=3).collect()
+        )
+        assert a == b
+
+    def test_empty_centroid_table_returns_empty_not_crash(self, spark):
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        empty = spark.createDataFrame([], "label int, centroid array<double>")
+        assert assign_nearest_centroid(df, empty, super_k=4).count() == 0
