@@ -957,8 +957,9 @@ def assign_nearest_centroid(
     """Nearest-centroid assignment → (id, vec, v_norm, cluster, c_sim).
 
     Flat mode (``super_k=None``): one broadcast pass, n×k cosine
-    folds, ties by ascending cluster label — EXACT, and bit-identical
-    to the assignment semdedup always did (its oracle depends on it).
+    folds, ties by ascending cluster label — EXACT, same
+    (cluster, c_sim) values as the assignment semdedup always did
+    (its oracle depends on them).
 
     Two-level mode (``super_k=s``): the k centroids are grouped
     driver-side into s super-centroids (numpy Lloyd over the k×d
@@ -966,18 +967,31 @@ def assign_nearest_centroid(
     dots the s supers, keeps its ``probe_supers`` nearest, and only
     dots the centroids inside those supers. Dot count per vector
     drops from k to s + p·k/s — ~2·sqrt(k·p) at the optimum, a 16×
-    reduction at k=1000/s=32/p=1 — at the cost of one extra n-row
-    id-shuffle. APPROXIMATE: a vector whose true nearest centroid
-    lives in a non-probed super misassigns (borderline vectors only;
-    raise probe_supers to trade speed for exactness). This is the
-    hierarchical coarse quantizer trick (faiss IMI); the 1M-vector
-    SemDeDup stress measured assignment as the dominant stage, which
-    is exactly what this path cuts.
+    reduction at k=1000/s=32/p=1. APPROXIMATE: a vector whose true
+    nearest centroid lives in a non-probed super misassigns
+    (borderline vectors only; raise probe_supers to trade speed for
+    exactness). This is the hierarchical coarse quantizer trick
+    (faiss IMI); the 1M-vector SemDeDup stress measured assignment
+    as the dominant stage, which is exactly what this path cuts.
+
+    Shuffle discipline (both modes): the argmax windows rank SLIM
+    (id, candidate, sim) projections — the embedding column never
+    rides a candidate-multiplied exchange (flat would otherwise
+    shuffle n×k vector-carrying rows; the winning rows re-attach
+    (vec, v_norm) with one n-row join against the checkpointed base).
     """
-    cn = cents.withColumn("c_norm", norm("centroid"))
+    if super_k is not None and (super_k < 1 or probe_supers < 1):
+        raise ValueError(
+            f"super_k and probe_supers must be >= 1, got {super_k}/"
+            f"{probe_supers} — probe_supers < 1 would silently assign "
+            "nothing"
+        )
+    # base feeds both the scoring branch and the winner re-attach
+    # join; checkpoint so df's lineage (often an expensive upstream
+    # pipeline) evaluates once, not per branch.
     base = df.select(
         F.col(id_col), F.col(vec_col), norm(vec_col).alias("v_norm")
-    )
+    ).localCheckpoint(eager=True)
     sim = cosine_from(
         dot(vec_col, "centroid"), F.col("v_norm"), F.col("c_norm")
     )
@@ -993,26 +1007,43 @@ def assign_nearest_centroid(
         if not cent_rows:
             super_k = None  # empty centroid table: flat path returns empty
     if super_k is None:
-        scored = base.join(F.broadcast(cn)).select(
-            id_col,
-            vec_col,
-            "v_norm",
-            F.col("label").alias("cluster"),
-            sim.alias("c_sim"),
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
+        cn = cents.withColumn("c_norm", norm("centroid"))
+        choice = (
+            base.join(F.broadcast(cn))
+            .select(
+                id_col,
+                F.col("label").alias("cluster"),
+                sim.alias("c_sim"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    label_super, super_rows = _super_group_centroids(cent_rows, super_k)
+        return base.join(choice, id_col).select(
+            id_col, vec_col, "v_norm", "cluster", "c_sim"
+        )
     spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    label_type = cents.schema["label"].dataType
+    centroid_type = cents.schema["centroid"].dataType
+    # cents' lineage was just evaluated by the collect above — rebuild
+    # the engine-side centroid table from the driver rows instead of
+    # re-running that (possibly full-corpus aggregation) lineage a
+    # second time for the member join.
+    cn_local = spark.createDataFrame(
+        cent_rows,
+        T.StructType(
+            [
+                T.StructField("label", label_type),
+                T.StructField("centroid", centroid_type),
+            ]
+        ),
+    ).withColumn("c_norm", norm("centroid"))
+    label_super, super_rows = _super_group_centroids(cent_rows, super_k)
     supers = spark.createDataFrame(
         super_rows, "super int, centroid array<double>"
     ).withColumn("c_norm", norm("centroid"))
-    label_type = cents.schema["label"].dataType
-    from pyspark.sql import types as T
-
     mapping = spark.createDataFrame(
         list(label_super.items()),
         T.StructType(
@@ -1022,29 +1053,39 @@ def assign_nearest_centroid(
             ]
         ),
     )
-    cn_sup = cn.join(F.broadcast(mapping), "label")
+    cn_sup = cn_local.join(F.broadcast(mapping), "label")
     ws = Window.partitionBy(id_col).orderBy(F.desc("s_sim"), F.asc("super"))
-    probed = (
+    # slim probe ranking: the exchange carries (id, super, s_sim)
+    # triples, not n×s embedding copies
+    probes = (
         base.join(F.broadcast(supers))
-        .select(id_col, vec_col, "v_norm", "super", sim.alias("s_sim"))
+        .select(id_col, F.col("super"), sim.alias("s_sim"))
         .withColumn("__rn", F.row_number().over(ws))
         .filter(F.col("__rn") <= probe_supers)
-        .drop("__rn", "s_sim")
+        .select(id_col, "super")
     )
-    scored = probed.join(
-        F.broadcast(cn_sup.select("label", "centroid", "c_norm", "super")),
-        "super",
-    ).select(
-        id_col,
-        vec_col,
-        "v_norm",
-        F.col("label").alias("cluster"),
-        sim.alias("c_sim"),
+    # re-attach the vector for member scoring (one n·p slim + n-row
+    # vec join); the broadcast member join preserves the id
+    # partitioning, so the final argmax window adds NO new exchange
+    scored = (
+        probes.join(base, id_col)
+        .join(
+            F.broadcast(cn_sup.select("label", "centroid", "c_norm", "super")),
+            "super",
+        )
+        .select(
+            id_col,
+            F.col("label").alias("cluster"),
+            sim.alias("c_sim"),
+        )
     )
-    return (
+    choice = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+    return base.join(choice, id_col).select(
+        id_col, vec_col, "v_norm", "cluster", "c_sim"
     )
 
 

@@ -150,7 +150,8 @@ def detect_gaps(
     """
     is_numeric = isinstance(
         df.schema[ts_col].dataType, (T.LongType, T.IntegerType, T.DoubleType,
-                                     T.FloatType, T.DecimalType),
+                                     T.FloatType, T.DecimalType, T.ShortType,
+                                     T.ByteType),
     )
 
     def _epoch(c) -> Column:
@@ -158,7 +159,11 @@ def detect_gaps(
         # decimal-decimal are all exact): the previous cast("long")
         # truncated fractional seconds toward zero — and pre-epoch
         # negatives truncated UP — so sub-second gaps straddling
-        # min_gap_seconds misclassified, unlike the timestamp path
+        # min_gap_seconds misclassified. NOTE the timestamp path is
+        # still whole-second: unix_timestamp truncates fractional
+        # seconds BY DESIGN, matching the DuckDB date_diff('second')
+        # oracle — callers needing sub-second timestamp gaps should
+        # pass unix_micros-derived doubles instead.
         return F.col(c) if is_numeric else F.unix_timestamp(F.col(c))
 
     w = Window.partitionBy(key_col).orderBy(ts_col)

@@ -98,3 +98,14 @@ class TestDetectGapsFractionalSeconds:
         got = detect_gaps(df, "k", "ts", 50).collect()
         assert got[0]["gap_seconds"] == 100
         assert isinstance(got[0]["gap_seconds"], int)
+
+    def test_small_int_epochs_use_numeric_path(self, spark):
+        # smallint/tinyint epochs previously fell into the
+        # unix_timestamp branch (ANSI throw / all-NULL gaps)
+        from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+        df = spark.createDataFrame(
+            [("s", 10), ("s", 110)], "k string, ts int"
+        ).withColumn("ts", F.col("ts").cast("smallint"))
+        got = detect_gaps(df, "k", "ts", 50).collect()
+        assert len(got) == 1 and got[0]["gap_seconds"] == 100
