@@ -246,6 +246,8 @@ def ivf_topk(
     center_id_col: str = "label",
     center_vec_col: str = "centroid",
     dot_strategy: str = "fold",
+    super_k: int | None = None,
+    probe_supers: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     center; each query probes its `nprobe` nearest centers and ranks
@@ -256,6 +258,13 @@ def ivf_topk(
     exactly as in FAISS-style IVF-Flat; on isotropic (structure-free)
     embeddings it tracks nprobe/k nearly linearly (see
     kmeans_centroids), so the ≥0.8 test floor uses nprobe=6 of 10.
+
+    ``super_k``/``probe_supers`` route the CORPUS assignment — the
+    n×k side; queries are few and always assign flat — through the
+    two-level coarse quantizer (see assign_nearest_centroid), the
+    faiss IVF-with-IMI-coarse shape. The assignment rank windows
+    carry slim (id, center, sim) rows either way; vectors re-attach
+    by id afterward.
     """
     cent = centers.select(
         F.col(center_id_col).alias("center_id"),
@@ -264,34 +273,52 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, nrm: str, n: int, out: str) -> DataFrame:
+        # rank on a slim projection; the embedding never rides the
+        # candidate-multiplied exchange (same discipline as
+        # assign_nearest_centroid)
         scored = df.join(F.broadcast(cent)).select(
             F.col(idc),
-            F.col(vecc),
-            F.col(nrm),
             F.col("center_id"),
             cosine_from(
                 dot(vecc, "center_vec"), F.col(nrm), F.col("center_norm")
             ).alias("center_sim"),
         )
         w = Window.partitionBy(idc).orderBy(F.desc("center_sim"), F.asc("center_id"))
-        return (
+        picks = (
             scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= n)
-            .select(F.col(idc), F.col(vecc), F.col(nrm), F.col("center_id").alias(out))
+            .select(F.col(idc), F.col("center_id").alias(out))
+        )
+        return df.join(picks, idc).select(
+            F.col(idc), F.col(vecc), F.col(nrm), F.col(out)
         )
 
-    corpus_assigned = assign(
-        corpus.select(
+    corpus_slim = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_norm"),
+    )
+    if super_k is not None:
+        corpus_assigned = assign_nearest_centroid(
+            corpus,
+            centers.select(
+                F.col(center_id_col).alias("label"),
+                F.col(center_vec_col).alias("centroid"),
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+            super_k=super_k,
+            probe_supers=probe_supers,
+        ).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm(vec_col).alias("c_norm"),
-        ),
-        "neighbor_id",
-        "c_vec",
-        "c_norm",
-        1,
-        "cell",
-    )
+            F.col("v_norm").alias("c_norm"),
+            F.col("cluster").alias("cell"),
+        )
+    else:
+        corpus_assigned = assign(
+            corpus_slim, "neighbor_id", "c_vec", "c_norm", 1, "cell"
+        )
     query_probes = assign(
         queries.select(
             F.col(id_col).alias("query_id"),

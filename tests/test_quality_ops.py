@@ -172,6 +172,26 @@ class TestIvfRecall:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.2, f"IVF recall@5 = {recall}"
 
+    def test_hier_corpus_assignment_full_probe_matches_flat(self, spark):
+        # super_k with probe_supers == super_k restores the full
+        # candidate set, so the two-level corpus assignment yields the
+        # IDENTICAL ivf result set (the s_hier_assign guarantee,
+        # applied through the IVF path).
+        e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 10)
+        cents = centroids(e)
+        flat = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_topk(e, q, cents, k=5, nprobe=2).collect()
+        }
+        two = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_topk(
+                e, q, cents, k=5, nprobe=2, super_k=4, probe_supers=4
+            ).collect()
+        }
+        assert two == flat
+
     def test_kmeans_centroids_beat_label_centroids(self, spark):
         # Farthest-first-seeded Lloyd quantizer vs label-derived
         # centroids at nprobe=2: measured recall@5 ~0.52-0.54 vs 0.36.
