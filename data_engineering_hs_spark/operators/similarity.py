@@ -216,9 +216,13 @@ def kmeans_centroids(
         ).localCheckpoint(eager=True)
         seed_ids = seed_ids.unionByName(far.select(F.col(id_col)))
     for _ in range(iters):
+        # rank on the slim (id, label, sim) projection — the vector
+        # must not ride the n×k candidate exchange every iteration —
+        # then re-attach it from the checkpointed data by id for the
+        # positional-mean step (same discipline as
+        # assign_nearest_centroid)
         scored = data.join(F.broadcast(with_cnorm(centers))).select(
             id_col,
-            vec_col,
             "label",
             sim().alias("sim"),
         )
@@ -226,7 +230,8 @@ def kmeans_centroids(
         assigned = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(id_col, vec_col, "label")
+            .select(id_col, "label")
+            .join(data.select(id_col, vec_col), id_col)
         )
         centers = (
             centroids(assigned, label_col="label", vec_col=vec_col)
