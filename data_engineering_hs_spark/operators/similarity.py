@@ -280,7 +280,10 @@ def ivf_topk(
     def assign(df: DataFrame, idc: str, vecc: str, nrm: str, n: int, out: str) -> DataFrame:
         # rank on a slim projection; the embedding never rides the
         # candidate-multiplied exchange (same discipline as
-        # assign_nearest_centroid)
+        # assign_nearest_centroid). df feeds both the scoring branch
+        # and the re-attach join — lazy checkpoint so the input
+        # lineage (scan + norm) evaluates once, at first action.
+        df = df.localCheckpoint(eager=False)
         scored = df.join(F.broadcast(cent)).select(
             F.col(idc),
             F.col("center_id"),
@@ -1011,6 +1014,9 @@ def assign_nearest_centroid(
     rides a candidate-multiplied exchange (flat would otherwise
     shuffle n×k vector-carrying rows; the winning rows re-attach
     (vec, v_norm) with one n-row join against the checkpointed base).
+    Output is one row per INPUT row: duplicate ids (a caller-side
+    hygiene problem) assign identically and all survive — the
+    pre-slim window silently collapsed them to one arbitrary row.
     """
     if super_k is not None and (super_k < 1 or probe_supers < 1):
         raise ValueError(
@@ -1020,10 +1026,12 @@ def assign_nearest_centroid(
         )
     # base feeds both the scoring branch and the winner re-attach
     # join; checkpoint so df's lineage (often an expensive upstream
-    # pipeline) evaluates once, not per branch.
+    # pipeline) evaluates once, not per branch. LAZY (eager=False):
+    # building the plan must not fire a Spark job — materialization
+    # happens at the caller's first action, once.
     base = df.select(
         F.col(id_col), F.col(vec_col), norm(vec_col).alias("v_norm")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sim = cosine_from(
         dot(vec_col, "centroid"), F.col("v_norm"), F.col("c_norm")
     )
@@ -1037,7 +1045,11 @@ def assign_nearest_centroid(
             for r in cents.select("label", "centroid").collect()
         )
         if not cent_rows:
-            super_k = None  # empty centroid table: flat path returns empty
+            # empty centroid table: the flat path below returns an
+            # empty frame — build its cn from the (empty) collected
+            # rows rather than re-running the cents lineage
+            super_k = None
+            cents = df.sparkSession.createDataFrame([], cents.schema)
     if super_k is None:
         cn = cents.withColumn("c_norm", norm("centroid"))
         choice = (

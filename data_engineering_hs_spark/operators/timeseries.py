@@ -148,15 +148,17 @@ def detect_gaps(
     throws (or nulls every gap with ANSI off), so numerics subtract
     directly.
     """
-    is_numeric = isinstance(
-        df.schema[ts_col].dataType, (T.LongType, T.IntegerType, T.DoubleType,
-                                     T.FloatType, T.DecimalType, T.ShortType,
-                                     T.ByteType),
-    )
+    # NumericType covers the whole hierarchy — a hand-enumerated tuple
+    # silently dropped smallint/tinyint into the unix_timestamp branch
+    ts_type = df.schema[ts_col].dataType
+    is_numeric = isinstance(ts_type, T.NumericType)
 
     def _epoch(c) -> Column:
-        # numeric epochs subtract NATIVELY (int-int, double-double,
-        # decimal-decimal are all exact): the previous cast("long")
+        # Numeric epochs subtract losslessly: integrals WIDEN to long
+        # first (Spark subtracts in the operand type, so a smallint
+        # gap > ~9 hours would wrap silently — or throw under ANSI),
+        # float widens to double (exact), and long/double/decimal
+        # subtract natively. The pre-r9 cast("long") on EVERYTHING
         # truncated fractional seconds toward zero — and pre-epoch
         # negatives truncated UP — so sub-second gaps straddling
         # min_gap_seconds misclassified. NOTE the timestamp path is
@@ -164,6 +166,10 @@ def detect_gaps(
         # seconds BY DESIGN, matching the DuckDB date_diff('second')
         # oracle — callers needing sub-second timestamp gaps should
         # pass unix_micros-derived doubles instead.
+        if isinstance(ts_type, (T.ByteType, T.ShortType, T.IntegerType)):
+            return F.col(c).cast("long")
+        if isinstance(ts_type, T.FloatType):
+            return F.col(c).cast("double")
         return F.col(c) if is_numeric else F.unix_timestamp(F.col(c))
 
     w = Window.partitionBy(key_col).orderBy(ts_col)

@@ -275,3 +275,24 @@ class TestTwoLevelAssignmentEdges:
         )
         empty = spark.createDataFrame([], "label int, centroid array<double>")
         assert assign_nearest_centroid(df, empty, super_k=4).count() == 0
+
+    def test_duplicate_ids_assign_identically_and_all_survive(self, spark):
+        # documented semantics: one output row per INPUT row — the
+        # pre-slim window silently collapsed duplicate ids
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        df = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (7, [1.0, 0.0]), (8, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "label int, centroid array<double>",
+        )
+        rows = assign_nearest_centroid(df, cents).collect()
+        assert len(rows) == 3
+        sevens = [r for r in rows if r.vec_id == 7]
+        assert len(sevens) == 2
+        assert sevens[0].cluster == sevens[1].cluster == 0

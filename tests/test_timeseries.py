@@ -109,3 +109,14 @@ class TestDetectGapsFractionalSeconds:
         ).withColumn("ts", F.col("ts").cast("smallint"))
         got = detect_gaps(df, "k", "ts", 50).collect()
         assert len(got) == 1 and got[0]["gap_seconds"] == 100
+
+    def test_smallint_gap_beyond_type_range_does_not_wrap(self, spark):
+        # short - short subtracts in ShortType: a 60000 s gap wrapped
+        # to -5536 (or threw under ANSI) before the long widening
+        from data_engineering_hs_spark.operators.timeseries import detect_gaps
+
+        df = spark.createDataFrame(
+            [("s", -30000), ("s", 30000)], "k string, ts int"
+        ).withColumn("ts", F.col("ts").cast("smallint"))
+        got = detect_gaps(df, "k", "ts", 50).collect()
+        assert len(got) == 1 and got[0]["gap_seconds"] == 60000
