@@ -81,3 +81,50 @@ def test_oracle_hash_mismatch_forces_recheck(monkeypatch):
             else _d(p),
         )
         assert victim not in E._driver_verified()
+
+
+def test_stamp_script_only_trusts_the_newest_round(tmp_path):
+    # The stamp script must (a) stamp current hashes ONLY for clean
+    # rows in the NEWEST CORRECTNESS file, (b) leave entries for
+    # older-round greens untouched (their rows certified older oracle
+    # text), (c) skip mismatched rows, and (d) keep a no_oracle row
+    # flagged when the registry now has an oracle for it.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    os.symlink(
+        os.path.join(here, "data_engineering_hs_spark"),
+        tmp_path / "data_engineering_hs_spark",
+    )
+    for f in ("__spark_entry__.py", "scripts_stamp_oracle_hashes.py"):
+        os.symlink(os.path.join(here, f), tmp_path / f)
+    good = E._oracle_hash("a_mode")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a_having": {"err": None, "rows_match": True, "schema_match": True,
+                     "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a_mode": {"err": None, "rows_match": True, "schema_match": True,
+                   "hash_match": True},
+        "a_group_count": {"err": None, "rows_match": True,
+                          "schema_match": True, "hash_match": False},
+        "t_langid": {"err": "no_oracle"},
+    }))
+    (tmp_path / "ORACLE_HASHES.json").write_text(json.dumps({
+        "a_having": "OLD_HASH_FROM_R01",
+        "t_langid": None,
+    }))
+    out = subprocess.run(
+        [sys.executable, "scripts_stamp_oracle_hashes.py"],
+        cwd=tmp_path, capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "CORRECTNESS_r02" in out.stdout
+    side = json.loads((tmp_path / "ORACLE_HASHES.json").read_text())
+    assert side["a_mode"] == good                      # (a) newest clean row
+    assert side["a_having"] == "OLD_HASH_FROM_R01"     # (b) older round kept
+    assert "a_group_count" not in side                 # (c) mismatch skipped
+    assert side["t_langid"] is None                    # (d) stays flagged
