@@ -229,6 +229,17 @@ def minhash_lsh_pairs(
     banded = lsh_band_buckets(
         df, text_col, id_col, num_hashes, bands, shingle_k
     )
+    return _pairs_from_banded(banded, id_col, max_bucket_size)
+
+
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """(id, band, bucket) triples → deduped (id_a, id_b, truncated)
+    candidate pairs. Shared by the batch path (minhash_lsh_pairs) and
+    the incremental path's within-batch half, so an increment's band
+    triples compute ONCE and feed both the pair generation and the
+    store commit."""
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -482,7 +493,15 @@ def set_similarity_join(
         F.array_sort(F.collect_list("__key")).alias("__ordered")
     )
     n = F.size("__ordered")
-    p = n - F.ceil(n.cast("double") * threshold).cast("int") + 1
+    # ceil over the RAW double product overshoots when t·n is
+    # mathematically integral but rounds up in binary (0.55×100 =
+    # 55.000000000000007 → ceil 56), shortening the prefix by one and
+    # silently breaking the completeness guarantee (a J=0.55 pair
+    # whose smallest common token sits exactly at prefix position
+    # n-⌈tn⌉+1 is missed — test-pinned). Nudging the product DOWN
+    # before the ceil only ever lengthens the prefix (extra
+    # candidates, never lost ones).
+    p = n - F.ceil(n.cast("double") * threshold - F.lit(1e-9)).cast("int") + 1
     prefix = by_rarity.select(
         "__id", F.explode(F.slice("__ordered", 1, p)).alias("__key")
     ).select("__id", F.col("__key.__tok").alias("__tok"))
@@ -654,28 +673,28 @@ def incremental_minhash_lsh(
     ngram_jaccard_pairs/verify + dup_groups exactly as in the batch
     path.
     """
+    # The band triples feed BOTH halves (within-batch pairs and the
+    # store cross-pairs) plus the returned commit frame — checkpoint
+    # so the signature pipeline (shingle + num_hashes xxhash64 minima,
+    # the dominant batch cost) evaluates once, not once per half.
+    # LAZY: building the plan must not fire a job; materialization
+    # happens at the caller's first action.
     new_bands = lsh_band_buckets(
         batch, text_col, id_col, num_hashes, bands, shingle_k
-    )
-    within = minhash_lsh_pairs(
-        batch, text_col, id_col, num_hashes, bands, shingle_k,
-        max_bucket_size=max_bucket_size,
-    )
+    ).localCheckpoint(eager=False)
+    within = _pairs_from_banded(new_bands, id_col, max_bucket_size)
     if store is None:
         return within, new_bands
-    # Materialize the batch's bands ONCE (referenced by the prune,
-    # the cross join, and the returned commit frame), then prune the
-    # store to the buckets this batch actually touches BEFORE the
-    # grouping. Measured honestly at 1M store / 110k batch of SHORT
-    # docs this is wall-neutral (the batch side dominates; see
-    # SCALE.md) — the prune's real value is MEMORY: store-side member
-    # arrays (collect_list) only materialize for the touched ~10% of
-    # buckets instead of every bucket in the corpus, which is what
-    # bounds the aggregation state when the store is 1000x the batch.
-    # The filter preserves the bucketed scan's clustering, so the
-    # grouping itself adds no Exchange (the broadcast of the tiny
+    # Prune the store to the buckets this batch actually touches
+    # BEFORE the grouping. Measured honestly at 1M store / 110k batch
+    # of SHORT docs this is wall-neutral (the batch side dominates;
+    # see SCALE.md) — the prune's real value is MEMORY: store-side
+    # member arrays (collect_list) only materialize for the touched
+    # ~10% of buckets instead of every bucket in the corpus, which is
+    # what bounds the aggregation state when the store is 1000x the
+    # batch. The filter preserves the bucketed scan's clustering, so
+    # the grouping itself adds no Exchange (the broadcast of the tiny
     # touched set is the only new exchange).
-    new_bands = new_bands.localCheckpoint(eager=True)
     touched = new_bands.select("band", "bucket").distinct()
     old = (
         store.join(F.broadcast(touched), ["band", "bucket"], "left_semi")

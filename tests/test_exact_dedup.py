@@ -125,6 +125,34 @@ class TestIncrementalLsh:
             map(tuple, direct.collect())
         )
 
+    def test_within_batch_half_matches_batch_path(self, spark):
+        # The within-batch half is derived from the SAME band triples
+        # that get returned for the store commit (one signature
+        # evaluation for both), so it must equal the standalone batch
+        # path row-for-row.
+        from data_engineering_hs_spark.operators.dedup import (
+            incremental_minhash_lsh,
+            minhash_lsh_pairs,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill every single day")
+        batch = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base.replace("lazy", "sleepy")),
+                (3, "completely unrelated text about spark shuffles "
+                    "partitions and adaptive query execution"),
+            ],
+            ["doc_id", "text"],
+        )
+        within, _ = incremental_minhash_lsh(batch, None)
+        direct = minhash_lsh_pairs(batch, "text", "doc_id")
+        assert sorted(map(tuple, within.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        assert (1, 2) in {(r.id_a, r.id_b) for r in direct.collect()}
+
 
 class TestCanonicalize:
     def test_argmax_quality_then_min_id(self, spark):

@@ -461,6 +461,32 @@ class TestSetSimilarityJoin:
         assert abs(rows[(2, 3)] - 0.6) < 1e-12
         assert len(rows) == 3
 
+    def test_fp_integral_product_keeps_prefix_complete(self, spark):
+        # ceil over the raw double product overshoots when t·n is
+        # mathematically integral (0.55×100 → 55.000000000000007 →
+        # ceil 56), shortening A's prefix from 46 to 45. Adversarial
+        # pair that the short prefix MISSES: A has 45 unique tokens
+        # (df=1 → rarest → they fill the whole 45-token prefix) plus
+        # 55 shared; B is exactly the 55 shared tokens (df=2), so the
+        # smallest common token sits at position 46 of A's rarity
+        # order and J = 55/100 = 0.55 exactly. Complete prefix
+        # filtering must still emit the pair.
+        from data_engineering_hs_spark.operators.dedup import set_similarity_join
+
+        uniq = " ".join(f"u{i:02d}" for i in range(45))
+        shared = " ".join(f"s{i:02d}" for i in range(55))
+        df = spark.createDataFrame(
+            [(1, f"{uniq} {shared}"), (2, shared)], ["doc_id", "text"]
+        )
+        rows = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in set_similarity_join(
+                df, "text", "doc_id", threshold=0.55
+            ).collect()
+        }
+        assert (1, 2) in rows
+        assert abs(rows[(1, 2)] - 0.55) < 1e-12
+
 
 class TestKmeansDegenerateInputs:
     def test_zero_vector_cannot_be_reselected_as_seed(self, spark):
