@@ -413,9 +413,12 @@ def pack_sequences(
 
     from pyspark.sql import types as T
 
+    # Preserve the input id type (same contract as mmr_select): a
+    # LongType literal here silently turned string/decimal ids into
+    # NULLs via the cast below.
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("size", T.LongType()),
             T.StructField("shard", T.IntegerType()),
             T.StructField("bin_id", T.LongType()),
@@ -440,7 +443,7 @@ def pack_sequences(
         return pdf
 
     prepared = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.col(size_col).cast("long").alias("size"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
         .cast("int")

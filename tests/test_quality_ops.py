@@ -783,6 +783,23 @@ class TestPackSequences:
                        for _, members in sorted(by_bin.items())]
         assert ids_in_bins[0] == [0, 1, 2]  # sequential id order
 
+    def test_preserves_string_id_type(self, spark):
+        # Same contract as mmr_select: the output id column keeps the
+        # input id type — the old LongType literal turned string ids
+        # into NULLs via the cast.
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [(f"doc-{i:02d}", 300) for i in range(4)], ["doc_id", "n_tokens"]
+        )
+        out = pack_sequences(df, target=1000, shards=1).collect()
+        assert {r.id for r in out} == {f"doc-{i:02d}" for i in range(4)}
+        assert all(r.id is not None for r in out)
+        # packed in id order within the shard: first bin holds the
+        # three lexicographically-smallest ids
+        first_bin = sorted(r.id for r in out if r.bin_id == 0)
+        assert first_bin == ["doc-00", "doc-01", "doc-02"]
+
     def test_oversize_item_sits_alone(self, spark):
         from data_engineering_hs_spark.operators.corpus import pack_sequences
 
