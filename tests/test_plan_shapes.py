@@ -129,6 +129,15 @@ class TestRound6PlanShapes:
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
 
+    def test_snapshot_diff_null_safe_key_is_equi_join(self, spark):
+        # the null-safe key condition must compile to a real equi-join
+        # (SMJ/SHJ on coalesce(k)/isnull(k)), never a nested loop —
+        # the property the 20M-row CDC stress in SCALE.md relies on
+        plan = _plan(spark, "c_snapshot_diff")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FullOuter" in plan
+
     def test_scd2_two_windows_share_one_shuffle(self, spark):
         plan = _plan(spark, "c_scd2_priority")
         # both window passes partition by o_custkey: Spark must plan
