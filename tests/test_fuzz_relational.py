@@ -156,7 +156,7 @@ doc_rows = st.lists(
 )
 
 
-@given(docs=doc_rows, t=st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+@given(docs=doc_rows, t=st.sampled_from([0.3, 0.45, 0.5, 0.55, 0.8, 1.0]))
 @settings(
     max_examples=12,
     deadline=None,
