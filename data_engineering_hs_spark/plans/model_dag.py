@@ -151,6 +151,13 @@ class ModelRunner:
             fresh.write.partitionBy(m.partition_by).mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         existing = self.spark.read.parquet(path)
+        # `fresh` is the model's whole plan (typically a multi-source
+        # join pipeline) and is referenced by old_parts, touched, the
+        # kept anti-join, the emptied-partition probe AND the final
+        # write — without a checkpoint it re-evaluates per reference
+        # across the two jobs below. LAZY: materializes at the first
+        # action (the emptied collect), reused by the write.
+        fresh = fresh.localCheckpoint(eager=False)
         from data_engineering_hs_spark.quality.profiling import schema_drift
 
         drift = schema_drift(existing.schema, fresh.schema)
