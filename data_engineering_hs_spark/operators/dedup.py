@@ -476,6 +476,18 @@ def set_similarity_join(
     verify. Shuffles: token-count agg, prefix grouping, two verify
     joins — all on small keys. The frequency ordering makes hot
     groups rare; the cap + `truncated` flag bounds adversarial cases.
+
+    CONTRACT BOUNDARY (measured, sf0.1 sweep): completeness holds
+    while every prefix group fits max_bucket_size. On a
+    template-heavy corpus whose true pair count is itself O(n²)
+    (sf0.1 documents: 5.1M qualifying pairs), groups blow the cap
+    and the output switches to the bounded contract — emitted pairs
+    remain SOUND (exact Jaccard ≥ t) and every pair from a capped
+    group carries truncated=true (test-pinned), but pairs outside
+    the capped id sets are not emitted. No candidate generator can
+    stay sub-quadratic there; dedup pipelines should treat
+    truncated=true as "this group is a near-clique — collapse it by
+    group, don't enumerate it".
     """
 
     base = df.filter(F.length(F.trim(text_col)) > 0).select(

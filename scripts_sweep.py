@@ -2,8 +2,12 @@
 its DuckDB oracle at sf0.01, exactly as the driver does. Usage:
     python scripts_sweep.py <chunk_idx> <n_chunks>
     python scripts_sweep.py --names a_mode,t_langid   # explicit subset
+Set SWEEP_SF_DIR to sweep another scale (e.g. /root/testdata/sf0.1 —
+10x the driver's check; catches size-dependent divergence like cap
+boundaries and overflow that sf0.01 never reaches).
 Prints one line per query: NAME OK|MISMATCH|ERROR <detail>.
 """
+import os
 import sys
 import time
 import traceback
@@ -38,7 +42,9 @@ bad = 0
 for name in mine:
     t0 = time.time()
     try:
-        res = compare_query(spark, name, "/root/testdata/sf0.01")
+        res = compare_query(
+            spark, name, os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+        )
         dt = time.time() - t0
         if res:
             bad += 1

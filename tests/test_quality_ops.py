@@ -461,6 +461,31 @@ class TestSetSimilarityJoin:
         assert abs(rows[(2, 3)] - 0.6) < 1e-12
         assert len(rows) == 3
 
+    def test_capped_hot_group_sound_and_flagged(self, spark):
+        # Above max_bucket_size the completeness contract HANDS OFF to
+        # the bounded-output contract (discovered by the sf0.1 sweep:
+        # 5.1M true pairs vs 677k capped ones, all flagged): emitted
+        # pairs must still be SOUND (genuinely >= t — here identical
+        # docs, J=1.0), every pair from a capped group carries
+        # truncated=true, and the output is bounded by the cap's
+        # pair budget instead of the group's n^2.
+        from data_engineering_hs_spark.operators.dedup import set_similarity_join
+
+        n, cap = 300, 50
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon") for i in range(n)],
+            ["doc_id", "text"],
+        )
+        rows = set_similarity_join(
+            df, "text", "doc_id", threshold=0.7, max_bucket_size=cap
+        ).collect()
+        assert rows, "capped group must still emit its bounded pairs"
+        assert all(r["truncated"] for r in rows)
+        assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in rows)
+        # every prefix token produces the SAME capped id set (lowest
+        # `cap` ids), so the budget is one group's worth of pairs
+        assert len(rows) == cap * (cap - 1) // 2
+
     def test_fp_integral_product_keeps_prefix_complete(self, spark):
         # ceil over the raw double product overshoots when t·n is
         # mathematically integral (0.55×100 → 55.000000000000007 →
