@@ -759,6 +759,54 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_ivf_adc_topk",
+    # Equivalence audit (AUDIT-ORACLE pattern, same as s_hier_assign):
+    # IVF-ADC with nprobe >= n_cells scores every corpus row for
+    # every query, so its output must equal standalone pq_topk with
+    # the same codebooks/shortlist EXACTLY — cell pruning is the only
+    # divergence point in the composition. Emitted as data: both row
+    # counts (5 queries x k=5) and the set-equality boolean. The
+    # interesting approximation (nprobe < n_cells) is covered by the
+    # probed-cell containment test and the SCALE.md 1M measurement.
+    oracle="""
+SELECT CAST(25 AS BIGINT) AS n_pq_rows,
+       CAST(25 AS BIGINT) AS n_adc_rows,
+       TRUE AS full_probe_equals_pq
+""",
+    doc="IVF-ADC composition (faiss IndexIVFPQ shape): coarse IVF "
+    "cells + PQ asymmetric scoring within probed cells + exact "
+    "rerank — audited by bit-exact full-probe equivalence to "
+    "standalone pq_topk",
+)
+def s_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cb = S.pq_train(e, m=8, k=16, iters=2)
+    cents = S.centroids(e)
+    n_cells = cents.count()  # dim-sized scalar (10 labels)
+    pq = S.pq_topk(e, q, cb, k=5, shortlist=50).select(
+        "query_id", "rank", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    adc = S.ivf_adc_topk(
+        e, q, cents, cb, k=5, nprobe=n_cells, shortlist=50
+    ).select("query_id", "rank", "neighbor_id").localCheckpoint(eager=False)
+    n_pq = pq.agg(F.count("*").alias("n_pq_rows"))
+    n_adc = adc.agg(F.count("*").alias("n_adc_rows"))
+    n_diff = pq.exceptAll(adc).unionByName(adc.exceptAll(pq)).agg(
+        F.count("*").alias("__d")
+    )
+    return (
+        n_pq.crossJoin(n_adc)
+        .crossJoin(n_diff)
+        .select(
+            "n_pq_rows",
+            "n_adc_rows",
+            (F.col("__d") == 0).alias("full_probe_equals_pq"),
+        )
+    )
+
+
+@register(
     "s_embedding_near_dup",
     # Identical vectors produce identical hyperplane signs → the SAME
     # bucket, deterministically — so LSH + exact-cosine verify MUST

@@ -978,6 +978,76 @@ class TestProductQuantization:
         mn, mx = codes.agg(F.min("pq_code"), F.max("pq_code")).first()
         assert 0 <= mn and mx < (1 << 32)
 
+    def test_ivf_adc_full_probe_equals_pq(self, spark):
+        # nprobe >= n_cells restores the full candidate set, so
+        # IVF-ADC must equal standalone pq_topk exactly — cell
+        # pruning is the ONLY divergence point in the composition.
+        from data_engineering_hs_spark.operators.similarity import (
+            centroids,
+            ivf_adc_topk,
+            pq_topk,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        n_cells = cents.count()
+        q = e.filter(F.col("vec_id") < 5)
+        pq = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in pq_topk(e, q, cb, k=5, shortlist=50).collect()
+        }
+        adc = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_adc_topk(
+                e, q, cents, cb, k=5, nprobe=n_cells, shortlist=50
+            ).collect()
+        }
+        assert adc == pq
+        assert len(adc) == 25  # 5 queries x k=5
+
+    def test_ivf_adc_neighbors_come_from_probed_cells(self, spark):
+        # with nprobe < n_cells every returned neighbor must live in
+        # one of its query's probed cells — the pruning contract.
+        from data_engineering_hs_spark.operators.similarity import (
+            centroids,
+            ivf_adc_topk,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e).collect()
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
+
+        vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+
+        def top_cells(v, n):
+            sims = sorted(
+                ((cos(v, r["centroid"]), -r["label"]) for r in cents),
+                reverse=True,
+            )
+            return {-lbl for _s, lbl in sims[:n]}
+
+        cents_df = spark.createDataFrame(
+            [(r["label"], r["centroid"]) for r in cents],
+            "label int, centroid array<double>",
+        )
+        q = e.filter(F.col("vec_id") < 3)
+        out = ivf_adc_topk(e, q, cents_df, cb, k=5, nprobe=2, shortlist=50)
+        for r in out.collect():
+            probed = top_cells(vecs[r["query_id"]], 2)
+            neigh_cell = max(
+                ((cos(vecs[r["neighbor_id"]], c["centroid"]), -c["label"])
+                 for c in cents),
+            )
+            assert -neigh_cell[1] in probed, (
+                f"neighbor {r['neighbor_id']} outside probed cells"
+            )
+
     def test_recall_floor_and_shortlist_monotone(self, spark):
         # measured recall@5 at 20 queries on the isotropic sf0.01
         # embeddings: shortlist 20 -> ~0.53, 50 -> ~0.73, 100 -> ~0.84.
