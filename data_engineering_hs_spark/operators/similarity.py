@@ -956,13 +956,18 @@ def ivf_adc_topk(
     the production composition (faiss IndexIVFPQ) of ivf_topk's cell
     pruning and pq_topk's compressed-domain scan.
 
-    Why the composition matters (measured, SCALE.md 1M-vector row):
-    standalone pq_topk must pick its shortlist from the WHOLE corpus
-    on quantized scores, and intra-cluster ranking sits below
-    4-bit×m resolution — recall@10 read 0.26 at 1M vectors.
-    Restricting ADC to the nprobe cells the query actually lands in
-    removes the cross-cell noise mass, so the same shortlist budget
-    is spent where the true neighbors live.
+    Why the composition matters (measured, SCALE.md 1M-vector rows —
+    and the first hypothesis was WRONG, so read this): cell pruning
+    is recall-NEUTRAL at these parameters (0.242 at nprobe=8 vs
+    0.261 standalone, same shortlist=100 — standalone PQ's shortlist
+    was already mostly same-cell; the limit is intra-cell ADC
+    resolution at 4 bits, which pruning cannot fix). The
+    composition's real value is COST: ADC scores only the probed
+    cells' rows (~nprobe/n_cells of the corpus — 3% at 8/256; with
+    codes stored cell-partitioned, only those cells' codes are even
+    read), which is what affords the deeper shortlist that DOES
+    recover recall — shortlist 1000 within probed cells measured
+    0.872 vs 0.242 at 100, still scoring ~3% of the corpus.
 
     GUARANTEE (registry-audited by s_ivf_adc_topk, test-pinned):
     with nprobe >= the number of cells every corpus row scores for
