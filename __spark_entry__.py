@@ -245,6 +245,8 @@ _MEASURED_SEC = {
     "t_shuffle_shards": 1.0, "s_semdedup": 4.6,
     # r9 additions
     "s_hier_assign": 3.0,
+    # r9 second session (sweep-measured Spark+oracle at sf0.01)
+    "s_ivf_adc_topk": 17.6,
 }
 
 
