@@ -174,9 +174,16 @@ def kmeans_centroids(
     """
     # The per-iteration pipeline re-reads `data` each round; checkpoint
     # once (with the per-row norm — computed exactly once total) so
-    # iterations scan a materialized copy, not the source plan.
+    # iterations scan a materialized copy, not the source plan. The
+    # synthetic __rid keys the Lloyd argmax per INPUT ROW: a duplicate
+    # id with a different vector assigns by its own vector instead of
+    # inheriting its twin's winner (the by-id window mixed their
+    # candidates). Seeding still keys on id_col and assumes unique ids
+    # (with duplicates the farthest-point tie between twins is
+    # arbitrary — any __rid order would be partition-layout-dependent).
     data = (
         df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("v_norm"))
+        .withColumn("__rid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
 
@@ -216,28 +223,66 @@ def kmeans_centroids(
         ).localCheckpoint(eager=True)
         seed_ids = seed_ids.unionByName(far.select(F.col(id_col)))
     for _ in range(iters):
-        # rank on the slim (id, label, sim) projection — the vector
-        # must not ride the n×k candidate exchange every iteration —
-        # then re-attach it from the checkpointed data by id for the
-        # positional-mean step (same discipline as
-        # assign_nearest_centroid)
-        scored = data.join(F.broadcast(with_cnorm(centers))).select(
-            id_col,
-            "label",
-            sim().alias("sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("label"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "label")
-            .join(data.select(id_col, vec_col), id_col)
-        )
+        # _nearest_topn ranks the slim (row, label, sim) projection —
+        # the vector must not ride the n×k candidate exchange every
+        # iteration — then the vector re-attaches from the
+        # checkpointed data by row id for the positional-mean step
+        assigned = _nearest_topn(
+            data, with_cnorm(centers), "__rid", vec_col, "v_norm",
+            "label", "centroid", "c_norm", 1,
+        ).join(data.select("__rid", vec_col), "__rid")
         centers = (
             centroids(assigned, label_col="label", vec_col=vec_col)
             .localCheckpoint(eager=True)
         )
     return centers
+
+
+def _nearest_topn(
+    base: DataFrame,
+    cent: DataFrame,
+    idc: str,
+    vecc: str,
+    nrm: str,
+    cellc: str,
+    cvecc: str,
+    cnormc: str,
+    n: int,
+    sim_alias: str | None = None,
+) -> DataFrame:
+    """THE coarse-assignment argmax: top-n nearest centroids per row,
+    ranked on SLIM (id, cell, sim) triples → (idc, cellc[, sim]).
+
+    One broadcast of the centroid frame, one window over the slim
+    projection — the embedding column never rides the
+    candidate-multiplied exchange (at n×k candidate rows, carrying the
+    vector would multiply the shuffle bytes by dim). Ties break by
+    ascending cell id; the cosine is the same
+    ``cosine_from(dot(vec, cent), ...)`` fold everywhere, so every
+    caller is bit-exact with every other. Every coarse quantizer in
+    this module (ivf_topk, ivf_adc_topk, assign_nearest_centroid both
+    modes, the kmeans Lloyd loop, build_pq_code_store) ranks through
+    here — the r9 slim-exchange fix had to be applied to three
+    separate copies of this discipline, which is exactly how copies
+    drift.
+
+    `base` must carry (idc, vecc, nrm) with no column named like
+    cent's; `cent` must carry (cellc, cvecc, cnormc) and be
+    broadcast-sized. Callers re-attach vectors by joining base on idc
+    afterward (idc may be a synthetic per-row id).
+    """
+    sim = cosine_from(dot(vecc, cvecc), F.col(nrm), F.col(cnormc))
+    scored = base.join(F.broadcast(cent)).select(
+        F.col(idc), F.col(cellc), sim.alias("__sim")
+    )
+    w = Window.partitionBy(idc).orderBy(F.desc("__sim"), F.asc(cellc))
+    picked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n
+    )
+    cols = [F.col(idc), F.col(cellc)]
+    if sim_alias:
+        cols.append(F.col("__sim").alias(sim_alias))
+    return picked.select(*cols)
 
 
 def ivf_topk(
@@ -278,34 +323,19 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, nrm: str, n: int, out: str) -> DataFrame:
-        # rank on a slim projection; the embedding never rides the
-        # candidate-multiplied exchange (same discipline as
-        # assign_nearest_centroid). df feeds both the scoring branch
-        # and the re-attach join — lazy checkpoint so the input
-        # lineage (scan + norm) evaluates once, at first action.
+        # _nearest_topn ranks the slim projection; df feeds both the
+        # scoring branch and the re-attach join — lazy checkpoint so
+        # the input lineage (scan + norm) evaluates once, at first
+        # action.
         df = df.localCheckpoint(eager=False)
-        scored = df.join(F.broadcast(cent)).select(
-            F.col(idc),
-            F.col("center_id"),
-            cosine_from(
-                dot(vecc, "center_vec"), F.col(nrm), F.col("center_norm")
-            ).alias("center_sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("center_sim"), F.asc("center_id"))
-        picks = (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(F.col(idc), F.col("center_id").alias(out))
-        )
+        picks = _nearest_topn(
+            df, cent, idc, vecc, nrm, "center_id", "center_vec",
+            "center_norm", n,
+        ).select(F.col(idc), F.col("center_id").alias(out))
         return df.join(picks, idc).select(
             F.col(idc), F.col(vecc), F.col(nrm), F.col(out)
         )
 
-    corpus_slim = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(vec_col).alias("c_norm"),
-    )
     if super_k is not None:
         corpus_assigned = assign_nearest_centroid(
             corpus,
@@ -324,6 +354,11 @@ def ivf_topk(
             F.col("cluster").alias("cell"),
         )
     else:
+        corpus_slim = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(vec_col).alias("c_norm"),
+        )
         corpus_assigned = assign(
             corpus_slim, "neighbor_id", "c_vec", "c_norm", 1, "cell"
         )
@@ -950,6 +985,7 @@ def ivf_adc_topk(
     vec_col: str = "embedding",
     center_id_col: str = "label",
     center_vec_col: str = "centroid",
+    code_store: str | None = None,
 ) -> DataFrame:
     """IVF-ADC approximate top-k: coarse IVF cells + PQ asymmetric
     scoring restricted to each query's probed cells + exact rerank —
@@ -975,11 +1011,25 @@ def ivf_adc_topk(
     codebooks/shortlist — cell pruning is the ONLY divergence point.
 
     Physical shape: coarse assignment ranks slim (id, cell, sim)
-    triples (the assign_nearest_centroid discipline); PQ codes join
-    their cell by id BEFORE the ×m subspace explode; the per-query
-    LUT pre-joins the probe list and broadcasts, so the only big
-    exchange is the (query, neighbor) partial-aggregated ADC sum —
-    over probed-cell rows only, nprobe/n_cells of pq_topk's.
+    triples (the _nearest_topn discipline); the probed-cell set
+    prunes the corpus BEFORE the PQ encode and the ×m subspace
+    explode (inline path: broadcast semi-join on cell; store path:
+    partition pruning — see below); the per-query LUT pre-joins the
+    probe list and broadcasts, so the only big exchange is the
+    (query, neighbor) partial-aggregated ADC sum — over probed-cell
+    rows only, nprobe/n_cells of pq_topk's.
+
+    ``code_store``: path to a build_pq_code_store directory. The
+    inline path must coarse-assign and PQ-encode the corpus at query
+    time (one full scan — unavoidable without persisted state); the
+    store amortizes that across queries AND makes the probed-cell
+    restriction a PARTITION PRUNE: `cell` is a partition column and
+    the probe list is collected to literals (≤ n_cells values —
+    driver-sized by definition), so non-probed cells' files are never
+    opened (PartitionFilters, plan-asserted in tests). At 100 TB with
+    256 cells / nprobe 8, the ADC scan reads ~3% of the code bytes
+    and none of the raw embeddings; only the final rerank touches
+    raw vectors, for shortlist·|Q| rows.
     """
     cent = centers.select(
         F.col(center_id_col).alias("cell"),
@@ -993,25 +1043,48 @@ def ivf_adc_topk(
             F.col(vec_col).alias("__v"),
             norm(vec_col).alias("__n"),
         )
-        scored = base.join(F.broadcast(cent)).select(
-            idc,
-            "cell",
-            cosine_from(
-                dot("__v", "cent_vec"), F.col("__n"), F.col("cent_norm")
-            ).alias("__sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("__sim"), F.asc("cell"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .select(idc, "cell")
+        return _nearest_topn(
+            base, cent, idc, "__v", "__n", "cell", "cent_vec",
+            "cent_norm", n,
         )
 
-    cells = pick_cells(corpus, "neighbor_id", 1)
-    probes = pick_cells(queries, "query_id", nprobe)
-    # same LUT construction as pq_topk (expressions kept identical so
-    # the full-probe equivalence is exact, not approximate)
-    codes = pq_encode(corpus, codebooks, m, bits, dim, id_col, vec_col)
+    # probes feed the LUT restriction AND the corpus-side cell prune —
+    # checkpoint so the query scoring pass runs once
+    probes = pick_cells(queries, "query_id", nprobe).localCheckpoint(
+        eager=False
+    )
+    if code_store is not None:
+        probed = sorted(
+            r["cell"]
+            for r in probes.select("cell").distinct().collect()
+        )
+        coded = read_pq_code_store(
+            corpus.sparkSession, code_store, probed
+        ).select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    else:
+        cells = pick_cells(corpus, "neighbor_id", 1)
+        probe_cells = probes.select("cell").distinct()
+        # probed-cell restriction FIRST: pruned is the (id, cell) set
+        # whose cell some query probes — everything downstream (the
+        # encode, the ×m explode, the LUT join) sees only those rows.
+        # Referenced twice (corpus semi-join + cell re-attach), and
+        # its lineage is the full coarse-assignment scan — checkpoint.
+        pruned = cells.join(
+            F.broadcast(probe_cells), "cell", "left_semi"
+        ).localCheckpoint(eager=False)
+        corpus_probed = corpus.join(
+            pruned.select(F.col("neighbor_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        # same LUT/encode construction as pq_topk (expressions kept
+        # identical so the full-probe equivalence is exact)
+        codes = pq_encode(
+            corpus_probed, codebooks, m, bits, dim, id_col, vec_col
+        )
+        coded = codes.select(
+            F.col(id_col).alias("neighbor_id"), "pq_code"
+        ).join(pruned, "neighbor_id")
     q_sv = _pq_subvectors(queries, m, dim, id_col, vec_col).withColumnRenamed(
         id_col, "query_id"
     )
@@ -1033,9 +1106,7 @@ def ivf_adc_topk(
     lut_p = probes.join(lut, "query_id")
     mask = (1 << bits) - 1
     decoded = (
-        codes.select(F.col(id_col).alias("neighbor_id"), "pq_code")
-        .join(cells, "neighbor_id")
-        .select(
+        coded.select(
             "neighbor_id",
             "cell",
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
@@ -1106,6 +1177,81 @@ def ivf_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def build_pq_code_store(
+    corpus: DataFrame,
+    centers: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center_id_col: str = "label",
+    center_vec_col: str = "centroid",
+) -> None:
+    """Encode the corpus ONCE and persist its PQ codes partitioned by
+    coarse IVF cell — the physical index half of ivf_adc_topk.
+
+    The inline ivf_adc_topk path re-encodes the corpus on every call
+    and can drop non-probed rows only AFTER a full coarse-assignment
+    scan — fine for a one-off query, wrong for a served index. The
+    store amortizes the encode across all future queries, and because
+    ``cell`` is a PARTITION column a probed-cell read is a partition
+    prune: at 256 cells / nprobe 8, ~3% of the files are opened and
+    the raw embedding column is never read at all (8 bytes of code
+    per vector, however wide the embedding).
+
+    Layout: ``<path>/cell=<label>/*.parquet`` holding (id, pq_code).
+    One file per cell: hash-repartition on cell before the write
+    (same one-file-per-bucket discipline as scale.optimize_table) so
+    a small nprobe opens a bounded file count, not one shard per
+    upstream task per cell.
+    """
+    cent = centers.select(
+        F.col(center_id_col).alias("cell"),
+        F.col(center_vec_col).alias("cent_vec"),
+        norm(center_vec_col).alias("cent_norm"),
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+    )
+    cells = _nearest_topn(
+        base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
+        "cent_norm", 1,
+    )
+    codes = pq_encode(corpus, codebooks, m, bits, dim, id_col, vec_col)
+    (
+        codes.join(cells, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def read_pq_code_store(
+    spark, path: str, probed_cells
+) -> DataFrame:
+    """Partition-pruned read of a build_pq_code_store directory →
+    (id, pq_code, cell) for the probed cells only.
+
+    ``probed_cells`` are driver-side LITERALS (≤ n_cells values —
+    dim-sized by definition; ivf_adc_topk collects them from the
+    |Q|·nprobe probe frame), so Catalyst prunes at planning time:
+    the scan's PartitionFilters lists the IN-set and non-probed
+    cells' files are never opened (plan-asserted in
+    tests/test_quality_ops.py). An empty probe list short-circuits to
+    an empty frame rather than scanning everything through a
+    never-true filter.
+    """
+    probed = list(probed_cells)
+    df = spark.read.parquet(path)
+    if not probed:
+        return df.filter(F.lit(False))
+    return df.filter(F.col("cell").isin(probed))
 
 
 def _super_group_centroids(
@@ -1183,13 +1329,16 @@ def assign_nearest_centroid(
     as the dominant stage, which is exactly what this path cuts.
 
     Shuffle discipline (both modes): the argmax windows rank SLIM
-    (id, candidate, sim) projections — the embedding column never
-    rides a candidate-multiplied exchange (flat would otherwise
-    shuffle n×k vector-carrying rows; the winning rows re-attach
-    (vec, v_norm) with one n-row join against the checkpointed base).
-    Output is one row per INPUT row: duplicate ids (a caller-side
-    hygiene problem) assign identically and all survive — the
-    pre-slim window silently collapsed them to one arbitrary row.
+    (row, candidate, sim) projections through _nearest_topn — the
+    embedding column never rides a candidate-multiplied exchange
+    (flat would otherwise shuffle n×k vector-carrying rows; the
+    winning rows re-attach (vec, v_norm) with one n-row join against
+    the checkpointed base). Output is one row per INPUT row, keyed by
+    a synthetic per-row id: a duplicate id assigns by ITS OWN vector
+    (the by-id window mixed candidates across duplicate rows and
+    re-attached one winner to all — wrong whenever duplicate ids
+    carry different vectors). The synthetic id is internal only; the
+    checkpoint pins it so both branches read the same materialization.
     """
     if super_k is not None and (super_k < 1 or probe_supers < 1):
         raise ValueError(
@@ -1201,14 +1350,18 @@ def assign_nearest_centroid(
     # join; checkpoint so df's lineage (often an expensive upstream
     # pipeline) evaluates once, not per branch. LAZY (eager=False):
     # building the plan must not fire a Spark job — materialization
-    # happens at the caller's first action, once.
+    # happens at the caller's first action, once. The checkpoint also
+    # pins __rid: a re-evaluated monotonically_increasing_id could
+    # differ between branches.
     base = df.select(
         F.col(id_col), F.col(vec_col), norm(vec_col).alias("v_norm")
-    ).localCheckpoint(eager=False)
+    ).withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
     sim = cosine_from(
         dot(vec_col, "centroid"), F.col("v_norm"), F.col("c_norm")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cluster"))
+    w = Window.partitionBy("__rid").orderBy(F.desc("c_sim"), F.asc("cluster"))
     if super_k is not None:
         # sorted by label BEFORE the driver-side Lloyd: the grouping's
         # seeds/tie-breaks are order-sensitive and collect() order of
@@ -1225,18 +1378,11 @@ def assign_nearest_centroid(
             cents = df.sparkSession.createDataFrame([], cents.schema)
     if super_k is None:
         cn = cents.withColumn("c_norm", norm("centroid"))
-        choice = (
-            base.join(F.broadcast(cn))
-            .select(
-                id_col,
-                F.col("label").alias("cluster"),
-                sim.alias("c_sim"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        return base.join(choice, id_col).select(
+        choice = _nearest_topn(
+            base, cn, "__rid", vec_col, "v_norm", "label", "centroid",
+            "c_norm", 1, sim_alias="c_sim",
+        ).withColumnRenamed("label", "cluster")
+        return base.join(choice, "__rid").select(
             id_col, vec_col, "v_norm", "cluster", "c_sim"
         )
     spark = df.sparkSession
@@ -1271,27 +1417,23 @@ def assign_nearest_centroid(
         ),
     )
     cn_sup = cn_local.join(F.broadcast(mapping), "label")
-    ws = Window.partitionBy(id_col).orderBy(F.desc("s_sim"), F.asc("super"))
-    # slim probe ranking: the exchange carries (id, super, s_sim)
+    # slim probe ranking: the exchange carries (row, super, s_sim)
     # triples, not n×s embedding copies
-    probes = (
-        base.join(F.broadcast(supers))
-        .select(id_col, F.col("super"), sim.alias("s_sim"))
-        .withColumn("__rn", F.row_number().over(ws))
-        .filter(F.col("__rn") <= probe_supers)
-        .select(id_col, "super")
+    probes = _nearest_topn(
+        base, supers, "__rid", vec_col, "v_norm", "super", "centroid",
+        "c_norm", probe_supers,
     )
     # re-attach the vector for member scoring (one n·p slim + n-row
-    # vec join); the broadcast member join preserves the id
+    # vec join); the broadcast member join preserves the row-id
     # partitioning, so the final argmax window adds NO new exchange
     scored = (
-        probes.join(base, id_col)
+        probes.join(base, "__rid")
         .join(
             F.broadcast(cn_sup.select("label", "centroid", "c_norm", "super")),
             "super",
         )
         .select(
-            id_col,
+            "__rid",
             F.col("label").alias("cluster"),
             sim.alias("c_sim"),
         )
@@ -1301,7 +1443,7 @@ def assign_nearest_centroid(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return base.join(choice, id_col).select(
+    return base.join(choice, "__rid").select(
         id_col, vec_col, "v_norm", "cluster", "c_sim"
     )
 

@@ -1048,6 +1048,91 @@ class TestProductQuantization:
                 f"neighbor {r['neighbor_id']} outside probed cells"
             )
 
+    def test_code_store_pruned_read_matches_inline(self, spark, tmp_path):
+        # the cell-partitioned code store must (a) return the same
+        # top-k as the inline encode-at-query-time path, (b) prune the
+        # scan to the probed cells (PartitionFilters — non-probed
+        # cells' files never open), (c) lay out one file per cell.
+        import os
+
+        from data_engineering_hs_spark.operators.similarity import (
+            build_pq_code_store,
+            centroids,
+            ivf_adc_topk,
+            read_pq_code_store,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        store = str(tmp_path / "pq_store")
+        build_pq_code_store(e, cents, cb, store)
+        # layout: one parquet file per cell directory
+        cell_dirs = [d for d in os.listdir(store) if d.startswith("cell=")]
+        assert len(cell_dirs) == cents.count()
+        for d in cell_dirs:
+            files = [
+                f
+                for f in os.listdir(os.path.join(store, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d}: {files}"
+        # pruned read: literal IN-filter on the partition column must
+        # reach the scan as a PartitionFilter, not a post-scan filter
+        pruned = read_pq_code_store(spark, store, [1, 3])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        assert pruned.select("cell").distinct().count() == 2
+        # store path ≡ inline path at the same probe width
+        q = e.filter(F.col("vec_id") < 3)
+        inline = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_adc_topk(
+                e, q, cents, cb, k=5, nprobe=2, shortlist=50
+            ).collect()
+        }
+        stored = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_adc_topk(
+                e, q, cents, cb, k=5, nprobe=2, shortlist=50,
+                code_store=store,
+            ).collect()
+        }
+        assert stored == inline and len(stored) == 15
+
+    def test_code_store_empty_probe_list_is_empty(self, spark, tmp_path):
+        from data_engineering_hs_spark.operators.similarity import (
+            build_pq_code_store,
+            centroids,
+            read_pq_code_store,
+        )
+
+        e, cb = self._setup(spark)
+        store = str(tmp_path / "pq_store_empty_probe")
+        build_pq_code_store(e, centroids(e), cb, store)
+        assert read_pq_code_store(spark, store, []).count() == 0
+
+    def test_inline_path_prunes_before_encode(self, spark):
+        # the probed-cell semi-join must restrict the corpus BEFORE
+        # pq_encode's ×m subspace explode: with one probed cell the
+        # decoded row count is that cell's size × m, not corpus × m.
+        # Proven via the encode input: a corpus row outside every
+        # probed cell must not reach the LUT join, so the ADC scores
+        # only probed-cell neighbors (the containment test) AND the
+        # plan carries the semi-join below the aggregate.
+        from data_engineering_hs_spark.operators.similarity import (
+            centroids,
+            ivf_adc_topk,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        q = e.filter(F.col("vec_id") < 1)
+        out = ivf_adc_topk(e, q, cents, cb, k=5, nprobe=1, shortlist=50)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the pruning semi-join plans as LeftSemi below the encode agg
+        assert "LeftSemi" in plan
+        assert out.count() == 5
+
     def test_recall_floor_and_shortlist_monotone(self, spark):
         # measured recall@5 at 20 queries on the isotropic sf0.01
         # embeddings: shortlist 20 -> ~0.53, 50 -> ~0.73, 100 -> ~0.84.

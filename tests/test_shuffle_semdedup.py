@@ -296,3 +296,33 @@ class TestTwoLevelAssignmentEdges:
         sevens = [r for r in rows if r.vec_id == 7]
         assert len(sevens) == 2
         assert sevens[0].cluster == sevens[1].cluster == 0
+
+    def test_duplicate_ids_with_different_vectors_assign_per_row(self, spark):
+        # each INPUT ROW assigns by its own vector: the synthetic
+        # row-id window must not mix candidates across duplicate ids —
+        # the by-id window handed one twin's winner to both, silently
+        # mislabeling the twin whose vector points elsewhere (r9
+        # ADVICE finding). Both modes.
+        from data_engineering_hs_spark.operators.similarity import (
+            assign_nearest_centroid,
+        )
+
+        df = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (7, [0.0, 1.0]), (8, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "label int, centroid array<double>",
+        )
+        for kwargs in ({}, {"super_k": 2, "probe_supers": 2}):
+            rows = assign_nearest_centroid(df, cents, **kwargs).collect()
+            assert len(rows) == 3
+            got = sorted(
+                (r.vec_id, tuple(r.embedding), r.cluster) for r in rows
+            )
+            assert got == [
+                (7, (0.0, 1.0), 1),
+                (7, (1.0, 0.0), 0),
+                (8, (0.0, 1.0), 1),
+            ]
