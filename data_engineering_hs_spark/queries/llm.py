@@ -807,6 +807,77 @@ def s_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_ivf_adc_store",
+    # Equivalence + plan audit (AUDIT-ORACLE pattern): the
+    # cell-partitioned PQ code store must return EXACTLY what the
+    # inline encode-at-query-time path returns at the same probe
+    # width (same codebooks, same probe list, same ADC expressions —
+    # only the physical source of the codes differs), and its scan
+    # must carry the probed-cell set as a PartitionFilter (checked on
+    # the executed-plan string and emitted as data; the pytest twin
+    # asserts it per-file). 3 queries × k=5 → 15 rows per path.
+    oracle="""
+SELECT CAST(15 AS BIGINT) AS n_inline_rows,
+       CAST(15 AS BIGINT) AS n_store_rows,
+       TRUE AS scan_partition_pruned,
+       TRUE AS store_equals_inline
+""",
+    doc="cell-partitioned PQ code store (build once, probed-cell "
+    "partition-pruned ADC reads — the served-index half of "
+    "ivf_adc_topk): audited by exact equality to the inline path and "
+    "a plan-level PartitionFilters check emitted as data",
+)
+def s_ivf_adc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import re
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    # iters=1: the audit is store-vs-inline EQUALITY under the SAME
+    # codebooks — codebook quality is irrelevant to it, so don't pay
+    # extra Lloyd rounds (s_pq_topk covers recall with iters=2)
+    cb = S.pq_train(e, m=8, k=16, iters=1)
+    cents = S.centroids(e)
+    # fixed per-sf_dir store path (the _work_dir discipline: mkdtemp
+    # would accrete one code copy per sweep invocation, unboundedly)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = os.path.join(tempfile.gettempdir(), f"spark_q_pqstore_{key}")
+    S.build_pq_code_store(e, cents, cb, store)
+    inline = S.ivf_adc_topk(
+        e, q, cents, cb, k=5, nprobe=2, shortlist=50
+    ).select("query_id", "rank", "neighbor_id").localCheckpoint(eager=False)
+    stored_full = S.ivf_adc_topk(
+        e, q, cents, cb, k=5, nprobe=2, shortlist=50, code_store=store
+    )
+    # plan-level pruning proof: the store scan's PartitionFilters
+    # must name the cell column (a non-pruned read would show
+    # `PartitionFilters: []` and scan every cell's files)
+    plan = stored_full._jdf.queryExecution().executedPlan().toString()
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pruned_ok = any("cell" in pf for pf in part_filters)
+    stored = stored_full.select(
+        "query_id", "rank", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    n_inline = inline.agg(F.count("*").alias("n_inline_rows"))
+    n_store = stored.agg(F.count("*").alias("n_store_rows"))
+    n_diff = inline.exceptAll(stored).unionByName(
+        stored.exceptAll(inline)
+    ).agg(F.count("*").alias("__d"))
+    return (
+        n_inline.crossJoin(n_store)
+        .crossJoin(n_diff)
+        .select(
+            "n_inline_rows",
+            "n_store_rows",
+            F.lit(pruned_ok).alias("scan_partition_pruned"),
+            (F.col("__d") == 0).alias("store_equals_inline"),
+        )
+    )
+
+
+@register(
     "s_embedding_near_dup",
     # Identical vectors produce identical hyperplane signs → the SAME
     # bucket, deterministically — so LSH + exact-cosine verify MUST
