@@ -77,20 +77,32 @@ def _parquet_ts_is_nanos(path: str) -> bool:
     Spark-written events.parquet/): read_schema only handles the
     former, so a directory probes the footer of its first data file —
     returning False for a legacy NANOS directory would silently break
-    the scan the flag exists to fix."""
+    the scan the flag exists to fix. The walk descends partition
+    subdirectories too (p=.../part-*.parquet at any depth): a
+    Hive-partitioned dataset has NO top-level data files, so the
+    old one-level listing matched nothing and silently returned
+    False — exactly the failure this probe exists to prevent."""
     try:
         import pyarrow.parquet as pq
 
         probe = path
         if os.path.isdir(path):
-            parts = sorted(
-                f
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            )
-            if not parts:
+            probe = None
+            for root, dirs, files in os.walk(path):
+                # deterministic first-file choice; skip _SUCCESS/.crc
+                dirs[:] = sorted(
+                    d for d in dirs if not d.startswith((".", "_"))
+                )
+                parts = sorted(
+                    f
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                if parts:
+                    probe = os.path.join(root, parts[0])
+                    break
+            if probe is None:
                 return False
-            probe = os.path.join(path, parts[0])
         return "ns" in str(pq.read_schema(probe).field("ts").type)
     except Exception:  # noqa: BLE001 — absent field/file: let Spark decide
         return False

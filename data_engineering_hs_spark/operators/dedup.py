@@ -512,7 +512,13 @@ def set_similarity_join(
     # whose smallest common token sits exactly at prefix position
     # n-⌈tn⌉+1 is missed — test-pinned). Nudging the product DOWN
     # before the ceil only ever lengthens the prefix (extra
-    # candidates, never lost ones).
+    # candidates, never lost ones). The 1e-9 constant implicitly
+    # bounds n: it must exceed the FP error of t·n (~t·n·2⁻⁵²), which
+    # holds for n·t < ~4e6 — i.e. any real document's token count. If
+    # a t·n ever lands mathematically within 1e-9 BELOW an integer,
+    # the prefix lengthens by one (extra candidates — safe); only a
+    # document with millions of distinct tokens could make the nudge
+    # undershoot the FP error and re-open the ceil overshoot.
     p = n - F.ceil(n.cast("double") * threshold - F.lit(1e-9)).cast("int") + 1
     prefix = by_rarity.select(
         "__id", F.explode(F.slice("__ordered", 1, p)).alias("__key")

@@ -65,5 +65,14 @@ for name, (clean, err) in sorted(latest.items()):
         changed += 1
     side[name] = new
 
+# prune entries whose query left the registry: _driver_verified guards
+# with `name in REGISTRY` so they were harmless, but the sidecar would
+# accrete dead names forever (r9 ADVICE)
+dead = [name for name in side if name not in REGISTRY]
+for name in dead:
+    del side[name]
+
 json.dump(side, open(sidecar_path, "w"), indent=0, sort_keys=True)
-print(f"stamped {len(side)} entries ({changed} changed)")
+print(
+    f"stamped {len(side)} entries ({changed} changed, {len(dead)} pruned)"
+)

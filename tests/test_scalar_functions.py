@@ -320,3 +320,27 @@ class TestVectorAndSourceEdges:
         f_ns = tmp_path / "one.parquet"
         pq.write_table(tbl_ns, str(f_ns))
         assert _parquet_ts_is_nanos(str(f_ns)) is True
+
+    def test_nanos_probe_descends_partition_subdirs(self, tmp_path):
+        # a Hive-partitioned dataset (p=.../part-*.parquet) has NO
+        # top-level data files; the probe must descend to the first
+        # data file instead of silently returning False (r9 ADVICE).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_engineering_hs_spark.catalog import _parquet_ts_is_nanos
+
+        tbl_ns = pa.table(
+            {"ts": pa.array([1, 2], type=pa.timestamp("ns")), "v": [1, 2]}
+        )
+        d = tmp_path / "events_part.parquet"
+        (d / "p=1").mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        pq.write_table(tbl_ns, str(d / "p=1" / "part-00000.parquet"))
+        assert _parquet_ts_is_nanos(str(d)) is True
+        # two-level partitioning too
+        d2 = tmp_path / "events_part2.parquet"
+        (d2 / "p=1" / "q=a").mkdir(parents=True)
+        tbl_us = pa.table({"ts": pa.array([1], type=pa.timestamp("us"))})
+        pq.write_table(tbl_us, str(d2 / "p=1" / "q=a" / "part-00000.parquet"))
+        assert _parquet_ts_is_nanos(str(d2)) is False
