@@ -1191,6 +1191,7 @@ def build_pq_code_store(
     vec_col: str = "embedding",
     center_id_col: str = "label",
     center_vec_col: str = "centroid",
+    files_per_cell: int = 1,
 ) -> None:
     """Encode the corpus ONCE and persist its PQ codes partitioned by
     coarse IVF cell — the physical index half of ivf_adc_topk.
@@ -1205,10 +1206,17 @@ def build_pq_code_store(
     per vector, however wide the embedding).
 
     Layout: ``<path>/cell=<label>/*.parquet`` holding (id, pq_code).
-    One file per cell: hash-repartition on cell before the write
-    (same one-file-per-bucket discipline as scale.optimize_table) so
-    a small nprobe opens a bounded file count, not one shard per
-    upstream task per cell.
+    Default is one file per cell: hash-repartition on cell before the
+    write (same one-file-per-bucket discipline as
+    scale.optimize_table) so a small nprobe opens a bounded file
+    count, not one shard per upstream task per cell.
+    ``files_per_cell > 1`` salts the repartition key — a skewed
+    corpus concentrates rows in few cells (exactly the boilerplate
+    clusters SemDeDup's cap exists for), and a one-task-per-cell
+    write would serialize the hot cell's encode+write behind a single
+    straggler; salting splits it across files_per_cell tasks/files
+    while the read stays a partition prune (nprobe · files_per_cell
+    files opened).
     """
     cent = centers.select(
         F.col(center_id_col).alias("cell"),
@@ -1223,10 +1231,16 @@ def build_pq_code_store(
         "cent_norm", 1,
     )
     codes = pq_encode(corpus, codebooks, m, bits, dim, id_col, vec_col)
+    joined = codes.join(cells, id_col)
+    if files_per_cell > 1:
+        joined = joined.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    else:
+        joined = joined.repartition("cell")
     (
-        codes.join(cells, id_col)
-        .repartition("cell")
-        .write.mode("overwrite")
+        joined.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )

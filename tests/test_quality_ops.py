@@ -1099,6 +1099,35 @@ class TestProductQuantization:
         }
         assert stored == inline and len(stored) == 15
 
+    def test_code_store_salted_write_bounds_files_per_cell(
+        self, spark, tmp_path
+    ):
+        # files_per_cell=4 splits a cell's write across <=4 tasks
+        # (hot-cell write parallelism) while the content round-trips
+        import os
+
+        from data_engineering_hs_spark.operators.similarity import (
+            build_pq_code_store,
+            centroids,
+        )
+
+        e, cb = self._setup(spark)
+        store = str(tmp_path / "pq_store_salted")
+        build_pq_code_store(e, centroids(e), cb, store, files_per_cell=4)
+        total = 0
+        for d in os.listdir(store):
+            if not d.startswith("cell="):
+                continue
+            files = [
+                f
+                for f in os.listdir(os.path.join(store, d))
+                if f.endswith(".parquet")
+            ]
+            assert 1 <= len(files) <= 4, f"{d}: {len(files)} files"
+            total += 1
+        assert total == centroids(e).count()
+        assert spark.read.parquet(store).count() == e.count()
+
     def test_code_store_empty_probe_list_is_empty(self, spark, tmp_path):
         from data_engineering_hs_spark.operators.similarity import (
             build_pq_code_store,
