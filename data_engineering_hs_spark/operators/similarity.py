@@ -298,6 +298,7 @@ def ivf_topk(
     dot_strategy: str = "fold",
     super_k: int | None = None,
     probe_supers: int = 1,
+    vector_store: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     center; each query probes its `nprobe` nearest centers and ranks
@@ -315,6 +316,15 @@ def ivf_topk(
     faiss IVF-with-IMI-coarse shape. The assignment rank windows
     carry slim (id, center, sim) rows either way; vectors re-attach
     by id afterward.
+
+    ``vector_store``: path to a build_ivf_store directory. Skips the
+    query-time n×k corpus assignment entirely — the probed cells are
+    collected to literals and the store read partition-prunes to
+    those cells' files; within-cell scoring stays exact cosine, so
+    the output equals the inline path's for the same probe set
+    (test-pinned). The serving configuration: SCALE.md measured the
+    inline assignment as the cost that only amortizes across query
+    batches.
     """
     cent = centers.select(
         F.col(center_id_col).alias("center_id"),
@@ -336,7 +346,35 @@ def ivf_topk(
             F.col(idc), F.col(vecc), F.col(nrm), F.col(out)
         )
 
-    if super_k is not None:
+    query_probes = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(vec_col).alias("q_norm"),
+        ),
+        "query_id",
+        "q_vec",
+        "q_norm",
+        nprobe,
+        "cell",
+    )
+    if vector_store is not None:
+        # the probe list is collected (below) AND joined (cand) —
+        # checkpoint so the query scoring pass runs once
+        query_probes = query_probes.localCheckpoint(eager=False)
+        probed = sorted(
+            r["cell"]
+            for r in query_probes.select("cell").distinct().collect()
+        )
+        corpus_assigned = read_cell_store(
+            corpus.sparkSession, vector_store, probed
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(vec_col).alias("c_norm"),
+            "cell",
+        )
+    elif super_k is not None:
         corpus_assigned = assign_nearest_centroid(
             corpus,
             centers.select(
@@ -362,18 +400,6 @@ def ivf_topk(
         corpus_assigned = assign(
             corpus_slim, "neighbor_id", "c_vec", "c_norm", 1, "cell"
         )
-    query_probes = assign(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm(vec_col).alias("q_norm"),
-        ),
-        "query_id",
-        "q_vec",
-        "q_norm",
-        nprobe,
-        "cell",
-    )
     cand = corpus_assigned.join(F.broadcast(query_probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1246,14 +1272,13 @@ def build_pq_code_store(
     )
 
 
-def read_pq_code_store(
-    spark, path: str, probed_cells
-) -> DataFrame:
-    """Partition-pruned read of a build_pq_code_store directory →
-    (id, pq_code, cell) for the probed cells only.
+def read_cell_store(spark, path: str, probed_cells) -> DataFrame:
+    """Partition-pruned read of a cell-partitioned store directory
+    (build_pq_code_store or build_ivf_store) — only the probed cells'
+    rows, and only their FILES.
 
     ``probed_cells`` are driver-side LITERALS (≤ n_cells values —
-    dim-sized by definition; ivf_adc_topk collects them from the
+    dim-sized by definition; the *_topk callers collect them from the
     |Q|·nprobe probe frame), so Catalyst prunes at planning time:
     the scan's PartitionFilters lists the IN-set and non-probed
     cells' files are never opened (plan-asserted in
@@ -1266,6 +1291,62 @@ def read_pq_code_store(
     if not probed:
         return df.filter(F.lit(False))
     return df.filter(F.col("cell").isin(probed))
+
+
+# the PQ-code alias read_pq_code_store predates the generic name
+read_pq_code_store = read_cell_store
+
+
+def build_ivf_store(
+    corpus: DataFrame,
+    centers: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center_id_col: str = "label",
+    center_vec_col: str = "centroid",
+    files_per_cell: int = 1,
+) -> None:
+    """Persist the corpus cell-partitioned by nearest coarse centroid
+    — the IVF-Flat serving index (raw vectors, exact within-cell
+    scoring), sibling of build_pq_code_store (8-byte codes, ADC).
+
+    ivf_topk's inline path re-runs the n×k coarse assignment on every
+    call — SCALE.md's 1M measurement showed that cost only amortizes
+    when the assignment is reused across query batches, which is
+    precisely what this store does. ``cell`` is a partition column,
+    so a query batch reads only its probed cells' files
+    (PartitionFilters); within them the scoring is exact cosine, so
+    ivf_topk(vector_store=) returns EXACTLY what the inline path
+    returns for the same probe set (test-pinned).
+
+    Layout: ``<path>/cell=<label>/*.parquet`` holding (id, vec);
+    files_per_cell as in build_pq_code_store (hot-cell write
+    parallelism).
+    """
+    cent = centers.select(
+        F.col(center_id_col).alias("cell"),
+        F.col(center_vec_col).alias("cent_vec"),
+        norm(center_vec_col).alias("cent_norm"),
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+    )
+    cells = _nearest_topn(
+        base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
+        "cent_norm", 1,
+    )
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        cells, id_col
+    )
+    if files_per_cell > 1:
+        joined = joined.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    else:
+        joined = joined.repartition("cell")
+    joined.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def _super_group_centroids(

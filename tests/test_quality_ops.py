@@ -1128,6 +1128,43 @@ class TestProductQuantization:
         assert total == centroids(e).count()
         assert spark.read.parquet(store).count() == e.count()
 
+    def test_ivf_vector_store_matches_inline_and_prunes(
+        self, spark, tmp_path
+    ):
+        # IVF-Flat serving index: ivf_topk(vector_store=) must equal
+        # the inline path exactly (same probe set, exact within-cell
+        # cosine — no quantization anywhere), and the store read must
+        # partition-prune to the probed cells.
+        from data_engineering_hs_spark.operators.similarity import (
+            build_ivf_store,
+            centroids,
+            ivf_topk,
+            read_cell_store,
+        )
+
+        e, _cb = self._setup(spark)
+        cents = centroids(e)
+        store = str(tmp_path / "ivf_store")
+        build_ivf_store(e, cents, store)
+        q = e.filter(F.col("vec_id") < 3)
+        inline = {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in ivf_topk(e, q, cents, k=5, nprobe=2).collect()
+        }
+        stored_df = ivf_topk(e, q, cents, k=5, nprobe=2, vector_store=store)
+        plan = stored_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        stored = {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in stored_df.collect()
+        }
+        assert stored == inline and len(stored) == 15
+        # pruned read returns only the requested cells
+        assert (
+            read_cell_store(spark, store, [0]).select("cell").distinct().count()
+            == 1
+        )
+
     def test_code_store_empty_probe_list_is_empty(self, spark, tmp_path):
         from data_engineering_hs_spark.operators.similarity import (
             build_pq_code_store,
