@@ -37,11 +37,15 @@ def test_import_does_not_enable_table_cache():
     assert not catalog._TABLE_CACHE_ENABLED
 
 
-def test_oracle_hash_sidecar_flags_stale_oracles():
+def test_oracle_hash_sidecar_certifies_current_text():
     # ORACLE_HASHES.json certifies (query, oracle-text) pairs: a name
     # counts driver-verified only when its stamped hash matches the
-    # CURRENT oracle text. Here the 17 round-8 archaeology names must
-    # stay out of _R01_VERIFIED until the driver re-checks them.
+    # CURRENT oracle text — the durable invariant. (The r9 version of
+    # this test also pinned the round-8 archaeology's 17 stale names
+    # as unverified; the r9 driver re-checked them green and the r10
+    # round-opening stamp certified them, so that snapshot assertion
+    # retired. The mismatch→recheck mechanism itself is exercised
+    # dynamically by test_oracle_hash_mismatch_forces_recheck.)
     import json
     import os
 
@@ -49,10 +53,8 @@ def test_oracle_hash_sidecar_flags_stale_oracles():
     stamped = json.load(open(os.path.join(here, "ORACLE_HASHES.json")))
     for name in E._R01_VERIFIED:
         assert stamped[name] == E._oracle_hash(name)
-    # the known stale set (oracle added/edited after last green row)
-    for name in ("a_approx_quantiles", "t_quality_score", "t_langid",
-                 "d_simhash_pairs", "w_mom_growth", "t_quality_buckets"):
-        assert name not in E._R01_VERIFIED, name
+    # and the sidecar holds no dead names (stamp-script pruning)
+    assert set(stamped) <= set(REGISTRY)
 
 
 def test_oracle_hash_mismatch_forces_recheck(monkeypatch):
