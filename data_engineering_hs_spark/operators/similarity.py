@@ -324,8 +324,23 @@ def ivf_topk(
     the output equals the inline path's for the same probe set
     (test-pinned). The serving configuration: SCALE.md measured the
     inline assignment as the cost that only amortizes across query
-    batches.
+    batches. IN STORE MODE THE STORE IS THE CORPUS: candidates come
+    exclusively from its files (the corpus argument supplies only the
+    session), so a corpus filtered or grown since the build is NOT
+    honored — rebuild instead. Mutually exclusive with super_k (the
+    two-level quantizer routes the inline assignment the store
+    replaces; silently ignoring it would hide a caller mistake).
     """
+    if vector_store is not None and super_k is not None:
+        raise ValueError(
+            "vector_store and super_k are mutually exclusive: the "
+            "store replaces the corpus assignment that super_k would "
+            "route two-level — pass one or the other"
+        )
+    if vector_store is not None:
+        _check_store_meta(
+            vector_store, kind="ivf_flat", id_col=id_col, vec_col=vec_col
+        )
     cent = centers.select(
         F.col(center_id_col).alias("center_id"),
         F.col(center_vec_col).alias("center_vec"),
@@ -1055,8 +1070,18 @@ def ivf_adc_topk(
     opened (PartitionFilters, plan-asserted in tests). At 100 TB with
     256 cells / nprobe 8, the ADC scan reads ~3% of the code bytes
     and none of the raw embeddings; only the final rerank touches
-    raw vectors, for shortlist·|Q| rows.
+    raw vectors, for shortlist·|Q| rows. CONTRACT: pass the SAME
+    corpus/centers/codebooks the store was built from (decoding
+    against a different codebook scores garbage; rerank ids absent
+    from the corpus drop at the inner join) — the static parameters
+    (m/bits/dim/column names) are checked against the store's
+    _store_meta.json and mismatch raises.
     """
+    if code_store is not None:
+        _check_store_meta(
+            code_store, kind="pq_code", id_col=id_col, vec_col=vec_col,
+            m=m, bits=bits, dim=dim,
+        )
     cent = centers.select(
         F.col(center_id_col).alias("cell"),
         F.col(center_vec_col).alias("cent_vec"),
@@ -1243,6 +1268,101 @@ def build_pq_code_store(
     straggler; salting splits it across files_per_cell tasks/files
     while the read stays a partition prune (nprobe · files_per_cell
     files opened).
+
+    CONTRACT: query-time calls must pass the SAME corpus, centers and
+    codebooks the store was built from — the store's codes decode
+    against the caller's LUT, so a different codebook scores garbage
+    with no error, and rerank ids absent from the caller's corpus
+    silently drop. The static parameters (m/bits/dim/column names)
+    ARE checked: a _store_meta.json sidecar records them and
+    ivf_adc_topk raises on mismatch.
+    """
+    codes = pq_encode(corpus, codebooks, m, bits, dim, id_col, vec_col)
+    _write_cell_store(
+        codes, corpus, centers, path, id_col, vec_col,
+        center_id_col, center_vec_col, files_per_cell,
+        meta={
+            "kind": "pq_code",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "m": m,
+            "bits": bits,
+            "dim": dim,
+        },
+    )
+
+
+_CELL_STORE_META = "_store_meta.json"
+
+
+def _write_store_meta(path: str, **params) -> None:
+    """Record the build-time parameters a query-time caller must
+    match, beside the data (the directory is Spark-written, so a
+    leading-underscore file is invisible to the parquet scan).
+    Best-effort: a non-POSIX store URI (s3://, hdfs://) skips the
+    sidecar — the validation in _check_store_meta degrades to the
+    documented caller contract rather than failing the build."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _CELL_STORE_META), "w") as fh:
+            json.dump(params, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass
+
+
+def _check_store_meta(path: str, **expected) -> None:
+    """Raise loudly when query-time parameters disagree with what the
+    store was built with — a mismatched m/bits/dim/column name would
+    otherwise decode garbage codes or mis-join silently. Pure
+    driver-side file read + compares: no Spark job on the hot path.
+    A store without a meta file (pre-existing layout) skips the check.
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(path, _CELL_STORE_META)
+    if not os.path.exists(meta_path):
+        return
+    recorded = json.load(open(meta_path))
+    bad = {
+        k: (recorded.get(k), v)
+        for k, v in expected.items()
+        if k in recorded and recorded[k] != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: store={r!r} caller={c!r}" for k, (r, c) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"cell store at {path} was built with different parameters "
+            f"than this query ({detail}) — rebuild the store or pass "
+            "the build-time values; content identity (same corpus/"
+            "centers/codebooks) is the caller's contract and is NOT "
+            "checkable cheaply at query time"
+        )
+
+
+def _write_cell_store(
+    payload: DataFrame,
+    corpus: DataFrame,
+    centers: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    center_id_col: str,
+    center_vec_col: str,
+    files_per_cell: int,
+    meta: dict,
+) -> None:
+    """Shared cell-partitioned store writer: assign each corpus row to
+    its nearest coarse centroid (_nearest_topn), attach the payload
+    columns by id, and write ``<path>/cell=<label>/`` — one file per
+    cell by default, ``files_per_cell`` salted tasks/files when a hot
+    cell would serialize the write behind one straggler. One writer so
+    the salting/layout discipline can't drift between the PQ-code and
+    IVF-Flat stores (the same-round lesson that created _nearest_topn).
     """
     cent = centers.select(
         F.col(center_id_col).alias("cell"),
@@ -1256,8 +1376,7 @@ def build_pq_code_store(
         base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
         "cent_norm", 1,
     )
-    codes = pq_encode(corpus, codebooks, m, bits, dim, id_col, vec_col)
-    joined = codes.join(cells, id_col)
+    joined = payload.join(cells, id_col)
     if files_per_cell > 1:
         joined = joined.repartition(
             F.col("cell"),
@@ -1265,11 +1384,8 @@ def build_pq_code_store(
         )
     else:
         joined = joined.repartition("cell")
-    (
-        joined.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    joined.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_store_meta(path, **meta)
 
 
 def read_cell_store(spark, path: str, probed_cells) -> DataFrame:
@@ -1278,13 +1394,13 @@ def read_cell_store(spark, path: str, probed_cells) -> DataFrame:
     rows, and only their FILES.
 
     ``probed_cells`` are driver-side LITERALS (≤ n_cells values —
-    dim-sized by definition; the *_topk callers collect them from the
-    |Q|·nprobe probe frame), so Catalyst prunes at planning time:
-    the scan's PartitionFilters lists the IN-set and non-probed
-    cells' files are never opened (plan-asserted in
-    tests/test_quality_ops.py). An empty probe list short-circuits to
-    an empty frame rather than scanning everything through a
-    never-true filter.
+    dimension-table-sized, like the centroid frame itself; the *_topk
+    callers collect them from the |Q|·nprobe probe frame), so
+    Catalyst prunes at planning time: the scan's PartitionFilters
+    lists the IN-set and non-probed cells' files are never opened
+    (plan-asserted in tests/test_quality_ops.py). An empty probe list
+    short-circuits to an empty frame rather than scanning everything
+    through a never-true filter.
     """
     probed = list(probed_cells)
     df = spark.read.parquet(path)
@@ -1323,30 +1439,21 @@ def build_ivf_store(
     Layout: ``<path>/cell=<label>/*.parquet`` holding (id, vec);
     files_per_cell as in build_pq_code_store (hot-cell write
     parallelism).
+
+    CONTRACT: in store mode ivf_topk's candidates come from THIS
+    directory — the store IS the corpus (the caller's corpus argument
+    supplies only the session); build from the corpus you want
+    served, and rebuild on corpus change. Centers must be the
+    build-time ones or the query's probe cells disagree with the
+    stored assignment. Static parameters (column names) are recorded
+    in _store_meta.json and checked at query time.
     """
-    cent = centers.select(
-        F.col(center_id_col).alias("cell"),
-        F.col(center_vec_col).alias("cent_vec"),
-        norm(center_vec_col).alias("cent_norm"),
+    _write_cell_store(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        corpus, centers, path, id_col, vec_col,
+        center_id_col, center_vec_col, files_per_cell,
+        meta={"kind": "ivf_flat", "id_col": id_col, "vec_col": vec_col},
     )
-    base = corpus.select(
-        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
-    )
-    cells = _nearest_topn(
-        base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
-        "cent_norm", 1,
-    )
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).join(
-        cells, id_col
-    )
-    if files_per_cell > 1:
-        joined = joined.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
-        )
-    else:
-        joined = joined.repartition("cell")
-    joined.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def _super_group_centroids(

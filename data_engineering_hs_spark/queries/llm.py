@@ -828,10 +828,9 @@ SELECT CAST(15 AS BIGINT) AS n_inline_rows,
     "a plan-level PartitionFilters check emitted as data",
 )
 def s_ivf_adc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import re
-    import tempfile
+
+    from data_engineering_hs_spark.queries.streaming_q import _work_dir
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3)
@@ -840,10 +839,9 @@ def s_ivf_adc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra Lloyd rounds (s_pq_topk covers recall with iters=2)
     cb = S.pq_train(e, m=8, k=16, iters=1)
     cents = S.centroids(e)
-    # fixed per-sf_dir store path (the _work_dir discipline: mkdtemp
-    # would accrete one code copy per sweep invocation, unboundedly)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    store = os.path.join(tempfile.gettempdir(), f"spark_q_pqstore_{key}")
+    # fixed per-(query, sf_dir) scratch dir, wiped on entry — mkdtemp
+    # would accrete one code copy per sweep invocation, unboundedly
+    store = _work_dir("pqstore", sf_dir)
     S.build_pq_code_store(e, cents, cb, store)
     inline = S.ivf_adc_topk(
         e, q, cents, cb, k=5, nprobe=2, shortlist=50

@@ -1165,6 +1165,56 @@ class TestProductQuantization:
             == 1
         )
 
+    def test_store_meta_mismatch_raises(self, spark, tmp_path):
+        # a store built with one (m, bits, dim, columns) must refuse a
+        # query with different static parameters — decoding against a
+        # mismatched LUT would score garbage silently
+        import pytest
+
+        from data_engineering_hs_spark.operators.similarity import (
+            build_ivf_store,
+            build_pq_code_store,
+            centroids,
+            ivf_adc_topk,
+            ivf_topk,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        q = e.filter(F.col("vec_id") < 2)
+        store = str(tmp_path / "pq_store_meta")
+        build_pq_code_store(e, cents, cb, store, m=8, bits=4)
+        with pytest.raises(ValueError, match="different parameters"):
+            ivf_adc_topk(
+                e, q, cents, cb, nprobe=2, m=4, bits=8, code_store=store
+            )
+        vstore = str(tmp_path / "ivf_store_meta")
+        build_ivf_store(e, cents, vstore)
+        with pytest.raises(ValueError, match="different parameters"):
+            ivf_topk(
+                e, q, cents, nprobe=2, id_col="other_id",
+                vec_col="embedding", vector_store=vstore,
+            )
+
+    def test_vector_store_conflicts_with_super_k(self, spark, tmp_path):
+        import pytest
+
+        from data_engineering_hs_spark.operators.similarity import (
+            build_ivf_store,
+            centroids,
+            ivf_topk,
+        )
+
+        e, _cb = self._setup(spark)
+        cents = centroids(e)
+        store = str(tmp_path / "ivf_store_conflict")
+        build_ivf_store(e, cents, store)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            ivf_topk(
+                e, e.limit(1), cents, nprobe=2, super_k=2,
+                vector_store=store,
+            )
+
     def test_code_store_empty_probe_list_is_empty(self, spark, tmp_path):
         from data_engineering_hs_spark.operators.similarity import (
             build_pq_code_store,
