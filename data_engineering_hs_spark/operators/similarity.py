@@ -285,6 +285,16 @@ def _nearest_topn(
     return picked.select(*cols)
 
 
+def _probed_cells(probes: DataFrame) -> list:
+    """Distinct probed cells as sorted driver-side literals (≤ n_cells
+    values — dimension-table-sized): the list feeds read_cell_store's
+    planning-time partition prune, which is the whole point of
+    collecting it."""
+    return sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -377,10 +387,7 @@ def ivf_topk(
         # the probe list is collected (below) AND joined (cand) —
         # checkpoint so the query scoring pass runs once
         query_probes = query_probes.localCheckpoint(eager=False)
-        probed = sorted(
-            r["cell"]
-            for r in query_probes.select("cell").distinct().collect()
-        )
+        probed = _probed_cells(query_probes)
         corpus_assigned = read_cell_store(
             corpus.sparkSession, vector_store, probed
         ).select(
@@ -1105,10 +1112,7 @@ def ivf_adc_topk(
         eager=False
     )
     if code_store is not None:
-        probed = sorted(
-            r["cell"]
-            for r in probes.select("cell").distinct().collect()
-        )
+        probed = _probed_cells(probes)
         coded = read_pq_code_store(
             corpus.sparkSession, code_store, probed
         ).select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
