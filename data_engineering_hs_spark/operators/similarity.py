@@ -1247,6 +1247,8 @@ def build_pq_code_store(
     center_id_col: str = "label",
     center_vec_col: str = "centroid",
     files_per_cell: int = 1,
+    super_k: int | None = None,
+    probe_supers: int = 1,
 ) -> None:
     """Encode the corpus ONCE and persist its PQ codes partitioned by
     coarse IVF cell — the physical index half of ivf_adc_topk.
@@ -1293,6 +1295,8 @@ def build_pq_code_store(
             "bits": bits,
             "dim": dim,
         },
+        super_k=super_k,
+        probe_supers=probe_supers,
     )
 
 
@@ -1359,27 +1363,49 @@ def _write_cell_store(
     center_vec_col: str,
     files_per_cell: int,
     meta: dict,
+    super_k: int | None = None,
+    probe_supers: int = 1,
 ) -> None:
     """Shared cell-partitioned store writer: assign each corpus row to
-    its nearest coarse centroid (_nearest_topn), attach the payload
-    columns by id, and write ``<path>/cell=<label>/`` — one file per
-    cell by default, ``files_per_cell`` salted tasks/files when a hot
-    cell would serialize the write behind one straggler. One writer so
-    the salting/layout discipline can't drift between the PQ-code and
+    its nearest coarse centroid, attach the payload columns by id, and
+    write ``<path>/cell=<label>/`` — one file per cell by default,
+    ``files_per_cell`` salted tasks/files when a hot cell would
+    serialize the write behind one straggler. One writer so the
+    salting/layout discipline can't drift between the PQ-code and
     IVF-Flat stores (the same-round lesson that created _nearest_topn).
+
+    ``super_k`` routes the n×k assignment — the build's dominant stage
+    at large k — through the two-level coarse quantizer
+    (assign_nearest_centroid); exact at probe_supers=super_k,
+    approximate below (a borderline vector may land in a neighboring
+    cell, which IVF recall absorbs the same way it absorbs kmeans'
+    own assignment noise).
     """
-    cent = centers.select(
-        F.col(center_id_col).alias("cell"),
-        F.col(center_vec_col).alias("cent_vec"),
-        norm(center_vec_col).alias("cent_norm"),
-    )
-    base = corpus.select(
-        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
-    )
-    cells = _nearest_topn(
-        base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
-        "cent_norm", 1,
-    )
+    if super_k is not None:
+        cells = assign_nearest_centroid(
+            corpus,
+            centers.select(
+                F.col(center_id_col).alias("label"),
+                F.col(center_vec_col).alias("centroid"),
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+            super_k=super_k,
+            probe_supers=probe_supers,
+        ).select(F.col(id_col), F.col("cluster").alias("cell"))
+    else:
+        cent = centers.select(
+            F.col(center_id_col).alias("cell"),
+            F.col(center_vec_col).alias("cent_vec"),
+            norm(center_vec_col).alias("cent_norm"),
+        )
+        base = corpus.select(
+            F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+        )
+        cells = _nearest_topn(
+            base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
+            "cent_norm", 1,
+        )
     joined = payload.join(cells, id_col)
     if files_per_cell > 1:
         joined = joined.repartition(
@@ -1426,6 +1452,8 @@ def build_ivf_store(
     center_id_col: str = "label",
     center_vec_col: str = "centroid",
     files_per_cell: int = 1,
+    super_k: int | None = None,
+    probe_supers: int = 1,
 ) -> None:
     """Persist the corpus cell-partitioned by nearest coarse centroid
     — the IVF-Flat serving index (raw vectors, exact within-cell
@@ -1457,6 +1485,8 @@ def build_ivf_store(
         corpus, centers, path, id_col, vec_col,
         center_id_col, center_vec_col, files_per_cell,
         meta={"kind": "ivf_flat", "id_col": id_col, "vec_col": vec_col},
+        super_k=super_k,
+        probe_supers=probe_supers,
     )
 
 

@@ -3,14 +3,20 @@ under spark.sql.shuffle.partitions=3 and =17; canonicalized results
 must be identical. Catches collect-order / float-merge-order
 nondeterminism BEFORE the driver does (its parallelism differs from
 the local sweep's).
-Usage: python det_sweep.py <chunk_idx> <n_chunks>
+Usage:
+    python scripts_det_sweep.py <chunk_idx> <n_chunks>
+    python scripts_det_sweep.py --names a_mode,t_langid   # explicit subset
 """
 import sys
 import time
 
 from pyspark.sql import SparkSession
 
-chunk_idx, n_chunks = int(sys.argv[1]), int(sys.argv[2])
+if sys.argv[1] == "--names":
+    only_names, chunk_idx, n_chunks = sys.argv[2].split(","), 0, 1
+else:
+    only_names = None
+    chunk_idx, n_chunks = int(sys.argv[1]), int(sys.argv[2])
 spark = (
     SparkSession.builder.master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
@@ -27,7 +33,7 @@ from data_engineering_hs_spark.queries import REGISTRY
 from oracle_harness import _canon_df
 
 SF = "/root/testdata/sf0.01"
-names = sorted(REGISTRY.keys())
+names = sorted(REGISTRY.keys()) if only_names is None else only_names
 mine = [n for i, n in enumerate(names) if i % n_chunks == chunk_idx]
 print(f"chunk {chunk_idx}/{n_chunks}: {len(mine)} queries", flush=True)
 bad = 0

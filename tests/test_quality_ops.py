@@ -1196,6 +1196,27 @@ class TestProductQuantization:
                 vec_col="embedding", vector_store=vstore,
             )
 
+    def test_store_build_two_level_full_probe_matches_flat(
+        self, spark, tmp_path
+    ):
+        # super_k routes the build's n x k assignment through the
+        # two-level quantizer; at probe_supers=super_k it is EXACT, so
+        # the stored (id -> cell) mapping must equal the flat build's
+        from data_engineering_hs_spark.operators.similarity import (
+            build_ivf_store,
+            centroids,
+        )
+
+        e, _cb = self._setup(spark)
+        cents = centroids(e)
+        flat, two = str(tmp_path / "flat"), str(tmp_path / "two")
+        build_ivf_store(e, cents, flat)
+        build_ivf_store(e, cents, two, super_k=4, probe_supers=4)
+        a = spark.read.parquet(flat).select("vec_id", "cell")
+        b = spark.read.parquet(two).select("vec_id", "cell")
+        assert a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+        assert a.count() == e.count()
+
     def test_vector_store_conflicts_with_super_k(self, spark, tmp_path):
         import pytest
 
