@@ -136,12 +136,21 @@ def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
     )
 
 
+def normalized_text(c: ColumnOrName) -> Column:
+    """Whitespace-normalized lowercase text — THE content-identity
+    normalization every exact-dup key derives from. One definition:
+    fingerprint64 hashes exactly this, and the md5-based oracles
+    (queries/llm.py) restate exactly this, so a future normalization
+    change (e.g. unicode NFC) lands everywhere at once instead of
+    silently diverging between the hash and the oracle."""
+    return F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
+
+
 def fingerprint64(c: ColumnOrName) -> Column:
     """64-bit stable content fingerprint: xxhash64 of the
     whitespace-normalized lowercase text. Exact-dup key at scale —
     groupBy on 8 bytes instead of multi-KB strings."""
-    normalized = F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
-    return F.xxhash64(normalized)
+    return F.xxhash64(normalized_text(c))
 
 
 def lang_id(c: ColumnOrName) -> Column:

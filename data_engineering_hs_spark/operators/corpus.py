@@ -35,6 +35,28 @@ from data_engineering_hs_spark.functions.text import (
 )
 
 
+def _det_key(seed: str, id_col: str):
+    """md5(seed:id) — THE deterministic pseudo-random draw every
+    split/sample/shard in this module orders or buckets by. One
+    definition on purpose: the key's bit-stability across runs,
+    partitionings and engines is the module's reproducibility
+    guarantee, and the four hand-maintained copies it replaces were
+    one separator tweak away from splits silently drifting relative
+    to shards."""
+    return F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+
+
+def _det_bucket(key_col, modulus: int):
+    """Integer bucket from a _det_key column: first 8 hex digits →
+    long, mod `modulus`. Shared by hash_split and shuffle_shards so
+    the bucket derivation can't drift from the key definition."""
+    return (
+        F.conv(F.substring(key_col, 1, 8), 16, 10).cast("long") % modulus
+    )
+
+
 def common_ngrams(
     df: DataFrame,
     text_col: str,
@@ -65,7 +87,12 @@ def boilerplate_ratio(
     n: int = 3,
     min_docs: int = 2,
 ) -> DataFrame:
-    """(id, n_shingles, n_common, boilerplate_ratio) per document.
+    """(id, n_shingles, n_common, boilerplate_ratio) per document —
+    EVERY document: one with fewer than n words has no n-grams and
+    scores (0, 0, 0.0), the same every-row contract repetition_stats
+    keeps (explode drops such docs before the groupBy, so without the
+    rejoin they silently vanished from the output and an inner-joining
+    quality pipeline dropped them).
 
     ratio = fraction of the doc's DISTINCT n-grams that are
     corpus-frequent. The frequent table is usually small (heavy-tail
@@ -86,13 +113,15 @@ def boilerplate_ratio(
             F.count(F.when(F.col("is_common"), 1)).alias("n_common"),
         )
     )
-    return per_doc.select(
+    return df.select(id_col).join(per_doc, id_col, "left").select(
         F.col(id_col),
-        "n_shingles",
-        "n_common",
-        (F.col("n_common").cast("double") / F.col("n_shingles").cast("double")).alias(
-            "boilerplate_ratio"
-        ),
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.coalesce(
+            F.col("n_common").cast("double")
+            / F.col("n_shingles").cast("double"),
+            F.lit(0.0),
+        ).alias("boilerplate_ratio"),
     )
 
 
@@ -160,20 +189,15 @@ def hash_split(
     whose results depend on partitioning) — the property a training
     pipeline needs so examples never migrate between splits across
     runs. Change `seed` to draw a fresh independent assignment.
+
+    NULL ids: md5 of NULL is NULL, every bucket comparison evaluates
+    NULL, and the row falls through to the LAST split — which is
+    usually the small eval split, i.e. silent contamination. Gate
+    NULL ids upstream (quality.assertions not_null) rather than
+    relying on that accident.
     """
     total = sum(w for _, w in splits)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
-    )
+    bucket = _det_bucket(_det_key(seed, id_col), buckets)
     expr = None
     acc = 0.0
     for name, w in splits[:-1]:
@@ -202,7 +226,7 @@ def stratified_quota_sample(
     stratum; ties are impossible (md5 of distinct ids collides with
     negligible probability, and the id itself tiebreaks).
     """
-    rank_key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    rank_key = _det_key(seed, id_col)
     w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -322,9 +346,7 @@ def weighted_quota_sample(
     qmap = F.create_map(
         *[F.lit(x) for k, v in quotas.items() for x in (k, v)]
     )
-    rank_key = F.md5(
-        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
-    )
+    rank_key = _det_key(seed, id_col)
     w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
     return (
         df.withColumn("__quota", qmap[F.col(strata_col)])
@@ -354,8 +376,12 @@ def chunk_documents(
     posexplode → slice): no UDFs, no shuffle — chunking is
     embarrassingly parallel and stays inside the scan stage.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens) (got {overlap}): a "
+            "negative overlap makes stride > chunk_tokens and tokens "
+            "between chunks silently appear in NO chunk"
+        )
     stride = chunk_tokens - overlap
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     n = F.size("__toks")
@@ -590,15 +616,8 @@ def shuffle_shards(
     partitionBy(shard) yields one reproducible, internally-ordered
     file per shard.
     """
-    keyed = df.withColumn(
-        key_col,
-        F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
-    ).withColumn(
-        shard_col,
-        (
-            F.conv(F.substring(F.col(key_col), 1, 8), 16, 10).cast("long")
-            % n_shards
-        ).cast("int"),
+    keyed = df.withColumn(key_col, _det_key(seed, id_col)).withColumn(
+        shard_col, _det_bucket(F.col(key_col), n_shards).cast("int")
     )
     return keyed.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
         shard_col, key_col

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_engineering_hs_spark.functions.text import fingerprint64, tokens, word_shingles
+from data_engineering_hs_spark.functions.text import (  # noqa: F401 — normalized_text re-exported for existing importers
+    fingerprint64,
+    normalized_text,
+    tokens,
+    word_shingles,
+)
 
 
 def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -46,6 +51,13 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     The driver loop only checks a scalar convergence count per round,
     the data never leaves executors. This is the standard production
     step after LSH: collapse candidate pairs into dedup clusters.
+
+    Raises RuntimeError if max_iters rounds pass without convergence:
+    an unconverged label set is a SILENTLY WRONG partition (a long
+    chain's tail keeps an intermediate label and the cluster splits in
+    two, so canonicalization keeps two "canonical" copies) — raise
+    max_iters (propagation needs ~diameter rounds) or use
+    dup_groups_star (log-diameter rounds) for deep graphs.
     """
     # Materialize the edge list ONCE: `pairs` is typically an
     # expensive pipeline (LSH + verify, or an all-pairs Jaccard) and
@@ -63,6 +75,7 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -90,27 +103,58 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_groups did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): the graph's diameter "
+            "exceeds the round budget and the current labels are a "
+            "WRONG partition — raise max_iters or use dup_groups_star"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
-def normalized_text(c) -> F.Column:
-    return F.regexp_replace(F.lower(F.trim(F.col(c) if isinstance(c, str) else c)), r"\s+", " ")
-
-
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_group_size: int = 100_000,
+) -> DataFrame:
     """Groups of ids sharing identical normalized text.
 
-    Returns (fingerprint, n_docs, doc_ids) for groups with n>1.
-    At 100 TB: groupBy on the 8-byte xxhash64 fingerprint, never on
-    the full text; collect_list only over intra-group ids.
+    Returns (fingerprint, n_docs, doc_ids, truncated) for groups with
+    n>1. At 100 TB: groupBy on the 8-byte xxhash64 fingerprint, never
+    on the full text; collect_list only over intra-group ids — and
+    CAPPED at max_group_size (same skew discipline as
+    minhash_lsh_pairs' buckets): one hot fingerprint (an empty or
+    boilerplate page duplicated tens of millions of times) would
+    otherwise materialize every id in a single aggregation buffer on
+    one reducer. n_docs stays the TRUE group size; `truncated` marks
+    groups whose id array was bounded. The cap is a window rank, not
+    a post-collect slice: slicing AFTER collect_list still builds the
+    full array in the buffer; ranking first bounds it strictly, and
+    the rank window and the groupBy share one fingerprint Exchange
+    (Spark stacks them — the semdedup cap discipline). The window
+    sort spills via the external sorter, which a hot group survives;
+    an unbounded in-memory array does not.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    ranked = df.select(
+        F.col(id_col), fingerprint64(text_col).alias("fingerprint")
+    ).withColumn("__rn", F.row_number().over(w))
     return (
-        df.select(F.col(id_col), fingerprint64(text_col).alias("fingerprint"))
-        .groupBy("fingerprint")
+        ranked.groupBy("fingerprint")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            # collect_list skips NULLs, so the when() bounds the buffer
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_group_size, F.col(id_col))
+                )
+            ).alias("doc_ids"),
         )
+        .withColumn("truncated", F.col("n_docs") > max_group_size)
         .filter(F.col("n_docs") > 1)
     )
 
@@ -173,6 +217,14 @@ def lsh_band_buckets(
     of batch LSH (minhash_lsh_pairs) and incremental LSH
     (incremental_minhash_lsh) — and the exact rows an LSH band store
     persists between increments."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes}): a remainder silently drops "
+            "hashes from every band, and bands > num_hashes makes "
+            "every bucket the hash of an empty slice — one bucket "
+            "for the whole corpus"
+        )
     r = num_hashes // bands
     # include_missing=False: shingle-less docs can't pair anyway, and
     # skipping the rejoin keeps the plan join-free.
@@ -232,6 +284,39 @@ def minhash_lsh_pairs(
     return _pairs_from_banded(banded, id_col, max_bucket_size)
 
 
+def _array_pairs(
+    buckets: DataFrame, members_col: str, pair_struct, carry: list[str]
+) -> DataFrame:
+    """All unordered member pairs of each row's SORTED member array,
+    generated ARRAY-SIDE (no self-join): member i pairs with every
+    later member via the 1-based ``slice(i+2, size-i-1)`` window.
+    ``pair_struct(x, y)`` builds the emitted struct (aliased ``p``)
+    from two members; ``carry`` columns ride along per pair. Shared by
+    the MinHash, SimHash, prefix-filter and embedding-LSH candidate
+    generators — the slice indexing is off-by-one-prone, so it lives
+    in exactly one place (same-round lesson as _nearest_topn)."""
+    return buckets.select(
+        *carry,
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col(members_col),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col(members_col),
+                            i + 2,
+                            F.greatest(
+                                F.size(members_col) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: pair_struct(x, y),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+
+
 def _pairs_from_banded(
     banded: DataFrame, id_col: str, max_bucket_size: int
 ) -> DataFrame:
@@ -247,21 +332,11 @@ def _pairs_from_banded(
         .withColumn("truncated", F.size("ids") > max_bucket_size)
         .withColumn("ids", F.slice("ids", 1, max_bucket_size))
     )
-    pairs = buckets.select(
-        "truncated",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p"),
+    pairs = _array_pairs(
+        buckets,
+        "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ["truncated"],
     )
     # one row per pair; truncated = any contributing bucket was capped,
     # so callers can tell complete output from bounded output
@@ -371,7 +446,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming →
     (id_a, id_b, hamming, truncated).
@@ -384,7 +463,10 @@ def simhash_near_pairs(
     (a max_hamming > 15 exceeds what 16 chunks can guarantee; the
     clamp exists because sub-4-bit chunks bucket everything together).
     Chunk-equality is the candidate filter; exact popcount verifies.
-    `truncated` marks pairs from buckets capped at 1000 members.
+    `truncated` marks pairs from buckets capped at max_bucket_size
+    members (the same tunable skew cap as minhash_lsh_pairs — a
+    boilerplate-heavy corpus concentrates near-identical docs in
+    exactly the chunks that explode).
     """
     n_chunks = min(16, max(4, max_hamming + 1))
     base, rem = divmod(64, n_chunks)
@@ -416,32 +498,20 @@ def simhash_near_pairs(
             ).alias("members")
         )
         .filter(F.size("members") > 1)
-        .withColumn("truncated", F.size("members") > 1000)
-        .withColumn("members", F.slice("members", 1, 1000))
+        .withColumn("truncated", F.size("members") > max_bucket_size)
+        .withColumn("members", F.slice("members", 1, max_bucket_size))
     )
-    pairs = buckets.select(
-        "truncated",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("members"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("members"),
-                            i + 2,
-                            F.greatest(F.size("members") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            F.bit_count(
-                                x["simhash"].bitwiseXOR(y["simhash"])
-                            ).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p"),
+    pairs = _array_pairs(
+        buckets,
+        "members",
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                "hamming"
+            ),
+        ),
+        ["truncated"],
     )
     return (
         pairs.select("p.id_a", "p.id_b", "p.hamming", "truncated")
@@ -531,23 +601,11 @@ def set_similarity_join(
         .withColumn("ids", F.slice("ids", 1, max_bucket_size))
     )
     cand = (
-        groups.select(
-            "truncated",
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p"),
+        _array_pairs(
+            groups,
+            "ids",
+            lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ["truncated"],
         )
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.max("truncated").alias("truncated"))
@@ -613,14 +671,36 @@ def incremental_exact_dedup(
     )
 
 
+def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """spark.read.parquet(path), or None when the dataset doesn't
+    exist yet. Existence is decided by SPARK'S filesystem resolution,
+    not driver-local os.path: an os.path.exists probe reports False
+    for every non-local URI (s3a://, hdfs://, abfs://), which made
+    the incremental stores silently treat a populated remote store as
+    "no store yet" — every previously-seen document then survives
+    dedup and its fingerprint is committed twice. An existing but
+    EMPTY directory (created, no increment committed) also reads as
+    None — same "no store yet" semantics."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+
+
 def read_fingerprint_store(spark, path: str) -> DataFrame | None:
     """The persistent store (parquet dir of `fingerprint` longs);
-    None if no increment has been committed yet."""
-    import os
-
-    if not os.path.exists(path):
-        return None
-    return spark.read.parquet(path)
+    None if no increment has been committed yet. Works for any
+    Spark-readable URI, not just the driver-local filesystem."""
+    return _read_parquet_if_exists(spark, path)
 
 
 def append_fingerprints(survivors: DataFrame, path: str) -> None:
@@ -744,12 +824,9 @@ def incremental_minhash_lsh(
 
 def read_lsh_store(spark, path: str) -> DataFrame | None:
     """Persisted band-bucket store (parquet of id/band/bucket rows);
-    None before the first committed increment."""
-    import os
-
-    if not os.path.exists(path):
-        return None
-    return spark.read.parquet(path)
+    None before the first committed increment. Works for any
+    Spark-readable URI, not just the driver-local filesystem."""
+    return _read_parquet_if_exists(spark, path)
 
 
 def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
@@ -870,6 +947,7 @@ def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
             .distinct()
         )
 
+    converged = False
     for _ in range(max_iters):
         nxt = star_round(e, large=True)
         nxt = star_round(nxt, large=False).localCheckpoint(eager=True)
@@ -879,8 +957,17 @@ def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
             and e.exceptAll(nxt).limit(1).count() == 0
         ):
             e = nxt
+            converged = True
             break
         e = nxt
+    if not converged:
+        raise RuntimeError(
+            f"dup_groups_star did not converge in {max_iters} rounds: "
+            "the contraction is still moving edges and the star forest "
+            "below would be a WRONG partition — raise max_iters "
+            "(rounds needed grow with log(diameter), so this indicates "
+            "an extreme graph or a budget far too small)"
+        )
     # star forest: every node's component is its minimum neighbor
     # (roots keep themselves)
     comp = (

@@ -591,23 +591,13 @@ def embedding_near_dups(
         .withColumn("truncated", F.size("ids") > max_bucket_size)
         .withColumn("ids", F.slice("ids", 1, max_bucket_size))
     )
-    pairs = buckets.select(
-        "truncated",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"),
-                            i + 2,
-                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p"),
+    from data_engineering_hs_spark.operators.dedup import _array_pairs
+
+    pairs = _array_pairs(
+        buckets,
+        "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ["truncated"],
     ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "truncated")
     va = df.select(
         F.col(id_col).alias("id_a"),

@@ -955,21 +955,32 @@ def t_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_boilerplate_ratio",
+    # Documents shorter than the 3-gram floor emit (0, 0, 0.0) — the
+    # every-row contract (an inner-joining quality pipeline must not
+    # silently lose them), mirrored in the operator's final left join.
     oracle=f"""
 WITH {_SHINGLE_CTE},
 freq AS (
   SELECT ngram FROM sh, UNNEST(shingles) AS t(ngram)
   GROUP BY ngram HAVING COUNT(*) >= 5
 ),
-ex AS (SELECT doc_id, ngram FROM sh, UNNEST(shingles) AS t(ngram))
-SELECT ex.doc_id, COUNT(*) AS n_shingles,
-       COUNT(f.ngram) AS n_common,
-       CAST(COUNT(f.ngram) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
-FROM ex LEFT JOIN freq f ON ex.ngram = f.ngram
-GROUP BY ex.doc_id
+ex AS (SELECT doc_id, ngram FROM sh, UNNEST(shingles) AS t(ngram)),
+agg AS (
+  SELECT ex.doc_id, COUNT(*) AS n_shingles,
+         COUNT(f.ngram) AS n_common,
+         CAST(COUNT(f.ngram) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+  FROM ex LEFT JOIN freq f ON ex.ngram = f.ngram
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(a.n_common, 0) AS BIGINT) AS n_common,
+       COALESCE(a.boilerplate_ratio, 0.0) AS boilerplate_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """,
     doc="per-document boilerplate ratio: fraction of distinct 3-grams "
-    "that are corpus-frequent (a standard pre-training drop signal)",
+    "that are corpus-frequent (a standard pre-training drop signal); "
+    "sub-3-gram docs score 0.0 rather than vanishing",
 )
 def t_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_hs_spark.operators import corpus as C

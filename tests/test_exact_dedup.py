@@ -29,6 +29,62 @@ class TestExactDuplicates:
         )
         assert exact_duplicates(docs, "text", "doc_id").count() == 0
 
+    def test_hot_group_is_capped_with_true_count(self, spark):
+        # a hot fingerprint (boilerplate page) keeps its TRUE n_docs
+        # but the id array is bounded by max_group_size + flagged —
+        # the skew cap that keeps one reducer's buffer finite
+        docs = spark.createDataFrame(
+            [(i, "same page") for i in range(50)] + [(100, "unique")],
+            ["doc_id", "text"],
+        )
+        g = exact_duplicates(
+            docs, "text", "doc_id", max_group_size=10
+        ).collect()
+        assert len(g) == 1
+        assert g[0]["n_docs"] == 50
+        assert g[0]["doc_ids"] == list(range(10))  # lowest ids kept
+        assert g[0]["truncated"] is True
+        # uncapped groups are unflagged
+        g2 = exact_duplicates(docs, "text", "doc_id").collect()
+        assert g2[0]["truncated"] is False and g2[0]["n_docs"] == 50
+
+
+class TestDupGroupConvergence:
+    def test_deep_chain_raises_when_budget_too_small(self, spark):
+        # a 12-node chain needs ~11 propagation rounds; a 3-round
+        # budget must RAISE, not return a silently split component
+        import pytest
+
+        from data_engineering_hs_spark.operators.dedup import dup_groups
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_groups(pairs, max_iters=3)
+        # and with budget: one component rooted at 0
+        ok = dup_groups(pairs, max_iters=20).collect()
+        assert {r.component for r in ok} == {0}
+        assert len(ok) == 12
+
+
+class TestBandValidation:
+    def test_bands_must_divide_num_hashes(self, spark):
+        import pytest
+
+        from data_engineering_hs_spark.operators.dedup import (
+            lsh_band_buckets,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="must divide"):
+            lsh_band_buckets(docs, "text", "doc_id", num_hashes=32, bands=6)
+        with pytest.raises(ValueError, match="must divide"):
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=32, bands=64
+            )
+
 
 class TestIncrementalDedup:
     """Batch-over-batch growth: only the new increment is scanned;
@@ -75,6 +131,31 @@ class TestIncrementalDedup:
         out = incremental_exact_dedup(b, None)
         assert out.count() == 2
         assert "fingerprint" in out.columns
+
+    def test_store_probe_resolves_uris_via_spark(self, spark, tmp_path):
+        # existence must be decided by SPARK's filesystem, not
+        # driver-local os.path: os.path.exists('file:///x') is False
+        # even when /x exists, the exact failure mode that made a
+        # populated remote (s3a/hdfs) store read as "no store yet"
+        # and re-admitted every previously-seen document
+        from data_engineering_hs_spark.operators.dedup import (
+            append_fingerprints,
+            incremental_exact_dedup,
+            read_fingerprint_store,
+            read_lsh_store,
+        )
+
+        plain = str(tmp_path / "fp_store_uri")
+        b = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+        append_fingerprints(incremental_exact_dedup(b, None), plain)
+        uri = "file://" + plain
+        store = read_fingerprint_store(spark, uri)
+        assert store is not None and store.count() == 2
+        # absent path (URI form) -> None; empty dir -> None
+        assert read_fingerprint_store(spark, "file://" + str(tmp_path / "nope")) is None
+        empty = tmp_path / "empty_store"
+        empty.mkdir()
+        assert read_lsh_store(spark, str(empty)) is None
 
 
 class TestIncrementalLsh:

@@ -394,6 +394,28 @@ class TestCorpusOps:
         assert out[99] == 0.0
         assert all(0.0 <= v <= 1.0 for v in out.values())
 
+    def test_boilerplate_ratio_keeps_short_docs(self, spark):
+        # a doc shorter than the n-gram floor must surface with
+        # (0, 0, 0.0), not vanish — the every-row contract
+        # repetition_stats keeps (an inner-joining pipeline would
+        # silently drop the doc otherwise)
+        from data_engineering_hs_spark.operators.corpus import (
+            boilerplate_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "alpha beta gamma delta")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in boilerplate_ratio(df, "text", "doc_id").collect()
+        }
+        assert set(rows) == {1, 2}
+        assert rows[1]["n_shingles"] == 0
+        assert rows[1]["n_common"] == 0
+        assert rows[1]["boilerplate_ratio"] == 0.0
+
     def test_scrub_pii(self, spark):
         from data_engineering_hs_spark.functions.text import scrub_pii
 
@@ -786,6 +808,10 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=4, overlap=4)
+        # negative overlap makes stride > chunk_tokens: tokens between
+        # chunks would appear in NO chunk — must raise, not skip data
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=-1)
 
 
 class TestPackSequences:
