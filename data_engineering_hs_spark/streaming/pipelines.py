@@ -69,16 +69,17 @@ def kafka_shaped_ingest(
     flat = decoded.select(*carry_cols, "data.*")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from data_engineering_hs_spark.sources.parquet import (
+            write_partitioned,
+        )
+
         out = enrich_batch(batch, batch_id)
         # Dynamic overwrite of THIS batch's partition: a replay after a
         # mid-write failure (checkpoint not yet committed) rewrites the
         # partition instead of appending duplicates — idempotent sink
         # (T8), the parquet analog of ON CONFLICT DO NOTHING.
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sink_dir)
+        write_partitioned(
+            out, sink_dir, ["batch_id"], mode="overwrite", dynamic=True
         )
 
     writer = (
@@ -108,8 +109,21 @@ def file_watch_ingest(
     watermark; per batch: split valid/invalid rows (quarantine —
     fuel_ingest_dag.py:130-134 _bad analog), dedup on keys, anti-join
     against the target (ON CONFLICT DO NOTHING), append.
+
+    valid_predicate REQUIRES quarantine_dir: a predicate without a
+    quarantine would silently drop the failing rows — the exact
+    never-lose-bad-rows contract this sink exists for. Filter-only
+    ingest is spelled `stream.filter(...)` by the caller, visibly.
     """
+    from data_engineering_hs_spark.sources.parquet import write_partitioned
     from data_engineering_hs_spark.sources.upsert import upsert_parquet
+
+    if valid_predicate is not None and quarantine_dir is None:
+        raise ValueError(
+            "valid_predicate without quarantine_dir would silently "
+            "DROP failing rows — pass quarantine_dir, or filter the "
+            "stream yourself if dropping is genuinely intended"
+        )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -121,17 +135,18 @@ def file_watch_ingest(
             # bad rows. eqNullSafe routes every row to exactly one sink.
             good = batch.filter(valid_predicate.eqNullSafe(True))
             bad = batch.filter(~valid_predicate.eqNullSafe(True))
-            if quarantine_dir is not None:
-                # batch_id-partitioned dynamic overwrite, not append:
-                # a replayed batch (crash between this write and the
-                # checkpoint commit) rewrites ITS OWN partition
-                # instead of duplicating quarantine rows — same
-                # idempotency discipline as the good-row upsert
-                bad.withColumn(
-                    "batch_id", F.lit(batch_id)
-                ).write.partitionBy("batch_id").mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).parquet(quarantine_dir)
+            # batch_id-partitioned dynamic overwrite, not append:
+            # a replayed batch (crash between this write and the
+            # checkpoint commit) rewrites ITS OWN partition
+            # instead of duplicating quarantine rows — same
+            # idempotency discipline as the good-row upsert
+            write_partitioned(
+                bad.withColumn("batch_id", F.lit(batch_id)),
+                quarantine_dir,
+                ["batch_id"],
+                mode="overwrite",
+                dynamic=True,
+            )
         upsert_parquet(spark, target_dir, good, list(keys))
 
     writer = (
@@ -229,19 +244,24 @@ def stream_stream_join(
     time-range bound is REQUIRED for outer joins: without it the
     unmatched state could never be declared final.
     """
+    from data_engineering_hs_spark.operators.cdc import _qcol
+
+    # _qcol backtick-quotes the column segment: a raw f-string would
+    # mis-parse a dotted column name as a nested-field path (the
+    # generic-entry-point hazard operators/cdc.py documents)
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
-        (F.col(f"l.{on}") == F.col(f"r.{on}"))
-        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        (_qcol("l", on) == _qcol("r", on))
+        & (_qcol("r", right_ts) <= _qcol("l", left_ts))
         & (
-            F.col(f"r.{right_ts}")
-            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}")
+            _qcol("r", right_ts)
+            >= _qcol("l", left_ts) - F.expr(f"INTERVAL {max_lag}")
         )
     )
     # drop the duplicate right-side key so downstream selects are
     # unambiguous (USING-style output)
-    return l.join(r, cond, how).drop(F.col(f"r.{on}"))
+    return l.join(r, cond, how).drop(_qcol("r", on))
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
@@ -272,41 +292,31 @@ def streaming_dedup_ingest(
     against the persistent fingerprint store) append to the corpus;
     their fingerprints commit to the store.
 
-    Effectively-exactly-once without a transactional store, by write
-    order + idempotency of each step:
-      1. survivors write via dynamic overwrite of THIS batch_id's
-         partition — a replay rewrites the same partition, no dup rows;
-      2. fingerprints append AFTER — a replay may re-append the same
-         fingerprints, which is harmless (the store is semantically a
-         set; the anti-join ignores multiplicity).
-    A crash between 1 and 2 replays the batch: step 1 rewrites
-    identically (the store can't yet contain this batch's prints, so
-    survivors are identical), step 2 commits. This is the streaming
-    twin of the reference DAG's filename-watermark + ON CONFLICT load.
+    Effectively-exactly-once without a transactional store — BOTH
+    writes are per-batch-partition dynamic overwrites whose inputs are
+    independent of any partial commit of this batch:
+      1. the store read EXCLUDES this batch_id's own partition, so
+         survivors compute identically on a replay even when a crash
+         left a PARTIAL fingerprint commit behind (a blind append
+         store had a real hole here: FileOutputCommitter moves task
+         files into place sequentially, so a crash mid job-commit
+         leaves SOME of the batch's prints visible; a replay reading
+         them would shrink the survivor set and the corpus overwrite
+         would then DELETE already-ingested rows — permanently, since
+         their prints stayed in the store);
+      2. survivors overwrite their batch_id corpus partition;
+      3. fingerprints overwrite their batch_id store partition.
+    Every crash point replays to the identical end state. The store
+    layout is ``store_path/batch_id=N/`` (fingerprint longs); a
+    legacy unpartitioned store still reads (no exclusion possible —
+    the pre-fix behavior). This is the streaming twin of the
+    reference DAG's filename-watermark + ON CONFLICT load.
     """
-    from data_engineering_hs_spark.operators.dedup import (
-        append_fingerprints,
-        incremental_exact_dedup,
-        read_fingerprint_store,
-    )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        store = read_fingerprint_store(spark, store_path)
-        # Materialize once: both writes below would otherwise re-run
-        # the dedup plan (and re-read the store).
-        survivors = incremental_exact_dedup(
-            batch, store, text_col, id_col
-        ).localCheckpoint(eager=True)
-        (
-            survivors.drop("fingerprint")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sink_dir)
+        _dedup_ingest_batch(
+            batch, batch_id, store_path, sink_dir, text_col, id_col
         )
-        append_fingerprints(survivors, store_path)
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -316,6 +326,54 @@ def streaming_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _dedup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    sink_dir: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """One micro-batch of streaming_dedup_ingest, module-level so the
+    crash/replay protocol is directly testable (a foreachBatch closure
+    can't be re-invoked by a test)."""
+    from data_engineering_hs_spark.operators.dedup import (
+        incremental_exact_dedup,
+        read_fingerprint_store,
+    )
+    from data_engineering_hs_spark.sources.parquet import write_partitioned
+
+    spark = batch.sparkSession
+    store = read_fingerprint_store(spark, store_path)
+    if store is not None and "batch_id" in store.columns:
+        # replay-independence: never let this batch's own (possibly
+        # partial) prior commit influence its survivor set
+        store = store.filter(F.col("batch_id") != batch_id).select(
+            "fingerprint"
+        )
+    # Materialize once: both writes below would otherwise re-run
+    # the dedup plan (and re-read the store).
+    survivors = incremental_exact_dedup(
+        batch, store, text_col, id_col
+    ).localCheckpoint(eager=True)
+    write_partitioned(
+        survivors.drop("fingerprint").withColumn("batch_id", F.lit(batch_id)),
+        sink_dir,
+        ["batch_id"],
+        mode="overwrite",
+        dynamic=True,
+    )
+    write_partitioned(
+        survivors.select("fingerprint").withColumn(
+            "batch_id", F.lit(batch_id)
+        ),
+        store_path,
+        ["batch_id"],
+        mode="overwrite",
+        dynamic=True,
+    )
 
 
 def streaming_cdc_apply(
@@ -352,7 +410,17 @@ def streaming_cdc_apply(
     batch is small. Partition-pruned rewrites (only touched
     partitions) are the compose-with-partitioning upgrade, same
     protocol per partition directory.
+
+    DRIVER-LOCAL table_path ONLY: the swap protocol is POSIX renames
+    (os.replace), which no object store or HDFS URI supports — a
+    remote path is rejected up front with guidance rather than dying
+    on a confusing FileNotFoundError at batch 0 (os.path.exists on
+    's3a://…' is always False). Remote tables need a transactional
+    format (Delta/Iceberg MERGE) — rename-aside cannot be made safe
+    on eventually-consistent stores.
     """
+    from urllib.parse import urlparse
+
     from pyspark.sql import Window
 
     from data_engineering_hs_spark.operators.cdc import apply_changeset
@@ -360,6 +428,15 @@ def streaming_cdc_apply(
         recover_swap,
         swap_in,
     )
+
+    if urlparse(table_path).scheme:
+        raise ValueError(
+            f"streaming_cdc_apply requires a driver-local table_path "
+            f"(got {table_path!r}): the crash-safe swap is POSIX "
+            "os.replace renames, which URIs (s3a/hdfs/abfs — and "
+            "file://, pass the plain path) don't support; use a "
+            "transactional table format for remote storage"
+        )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -408,15 +485,24 @@ def streaming_cdc_apply(
 
 
 def progress_summary(query) -> dict:
-    """Operational rollup of a StreamingQuery's recentProgress — the
-    numbers an on-call actually pages on: batches processed, rows in,
-    peak processing rate, cumulative batch wall time, and the last
-    event-time watermark. Reads the query's progress JSON only (no
-    Spark jobs), so it's free to call on a live stream.
+    """Operational rollup of a StreamingQuery's recentProgress — rows
+    in, peak processing rate, batch wall time, and the last event-time
+    watermark. Reads the query's progress JSON only (no Spark jobs),
+    so it's free to call on a live stream.
+
+    WINDOW, NOT LIFETIME: recentProgress is a ring buffer of the last
+    spark.sql.streaming.numRecentProgressUpdates entries (default
+    100), so on a long-running query every summed value covers only
+    that window — an alert on "rows_total stopped growing" or a
+    throughput ratio over these fields is wrong past 100 triggers.
+    ``window_capped`` is True when the buffer is plausibly full;
+    treat the totals as per-window rates then (or aggregate the
+    listener's progress events yourself for true lifetime counters —
+    the engine does not retain them).
 
     Returns {"n_batches", "rows_total", "peak_rows_per_sec",
-    "total_batch_ms", "last_watermark"} (zeros/None when the query
-    has made no progress yet).
+    "total_batch_ms", "last_watermark", "window_capped"} (zeros/None
+    when the query has made no progress yet).
     """
     progress = [p for p in (query.recentProgress or []) if p]
     rows_total = 0
@@ -437,4 +523,9 @@ def progress_summary(query) -> dict:
         "peak_rows_per_sec": peak_rate,
         "total_batch_ms": total_ms,
         "last_watermark": last_wm,
+        # ring buffer plausibly full — totals are window-scoped, and
+        # the true lifetime counts are unrecoverable from here (100 is
+        # numRecentProgressUpdates' default; StreamingQuery exposes no
+        # session handle to read a changed value through)
+        "window_capped": len(progress) >= 100,
     }

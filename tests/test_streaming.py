@@ -229,6 +229,104 @@ class TestStreamingDedupIngest:
         assert got3 == [1, 2, 11]
 
 
+    def test_replay_after_torn_fingerprint_commit_loses_nothing(
+        self, spark, tmp_path
+    ):
+        # THE replay hole the batch-partitioned store closes: a crash
+        # mid fingerprint job-commit leaves SOME of the batch's prints
+        # visible; a replay that read them would shrink the survivor
+        # set and the corpus overwrite would DELETE already-ingested
+        # rows forever. The store read must exclude the batch's own
+        # partition so replays are independent of partial commits.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.operators.dedup import fingerprint64
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_store_torn")
+        sink = str(tmp_path / "corpus_torn")
+        batch0 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], schema
+        )
+        _dedup_ingest_batch(batch0, 0, store, sink, "text", "doc_id")
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == [1, 2]
+        # tear the commit: rewrite partition 0 with ONLY doc 1's print
+        # (as if the job died after moving one task file into place)
+        (
+            batch0.filter(F.col("doc_id") == 1)
+            .select(fingerprint64("text").alias("fingerprint"))
+            .withColumn("batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+        # replay batch 0: must rewrite the corpus partition IDENTICALLY
+        # (both docs), not drop doc 1 because its print leaked
+        _dedup_ingest_batch(batch0, 0, store, sink, "text", "doc_id")
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == [1, 2]
+        # and the store partition is healed to both prints
+        healed = spark.read.parquet(store).filter(F.col("batch_id") == 0)
+        assert healed.count() == 2
+
+
+class TestStreamingGuards:
+    def test_file_watch_predicate_requires_quarantine(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            file_watch_ingest,
+        )
+
+        schema = T2.StructType([T2.StructField("k", T2.IntegerType())])
+        (tmp_path / "src").mkdir()
+        stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "src")
+        )
+        with pytest.raises(ValueError, match="quarantine_dir"):
+            file_watch_ingest(
+                stream,
+                str(tmp_path / "t"),
+                str(tmp_path / "c"),
+                keys=("k",),
+                valid_predicate=F.col("k") > 0,
+            )
+
+    def test_cdc_apply_rejects_remote_table_path(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            streaming_cdc_apply,
+        )
+
+        schema = T2.StructType([T2.StructField("k", T2.IntegerType())])
+        (tmp_path / "src").mkdir()
+        stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "src")
+        )
+        for bad in ("s3a://bucket/table", "file:///tmp/x"):
+            with pytest.raises(ValueError, match="driver-local"):
+                streaming_cdc_apply(
+                    stream, bad, str(tmp_path / "c"), keys=["k"]
+                )
+
+
 class TestStreamingCdcApply:
     def test_merge_stream_and_replay_idempotent(self, spark, tmp_path):
         from pyspark.sql import types as T2
