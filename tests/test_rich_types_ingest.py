@@ -42,8 +42,12 @@ class TestFuelSalesRichTypes:
         df.coalesce(1).write.mode("append").parquet(src)
 
         stream = spark.readStream.schema(FUEL_SALES_SCHEMA).parquet(src)
+        # quarantine_dir is REQUIRED with valid_predicate (a predicate
+        # without one silently drops failing rows); both rows are
+        # valid here so the quarantine stays empty
         q = file_watch_ingest(
             stream, target, ckpt, keys=("transaction_id",),
+            quarantine_dir=str(tmp_path / "bad"),
             valid_predicate=F.col("fuel_units") >= 0,
         )
         q.awaitTermination()
@@ -62,6 +66,7 @@ class TestFuelSalesRichTypes:
         stream2 = spark.readStream.schema(FUEL_SALES_SCHEMA).parquet(src)
         q2 = file_watch_ingest(
             stream2, target, ckpt, keys=("transaction_id",),
+            quarantine_dir=str(tmp_path / "bad"),
             valid_predicate=F.col("fuel_units") >= 0,
         )
         q2.awaitTermination()
