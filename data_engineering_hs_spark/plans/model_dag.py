@@ -76,6 +76,22 @@ class ModelRunner:
         sources: dict[str, DataFrame],
         warehouse_dir: str | None = None,
     ):
+        from urllib.parse import urlparse
+
+        if warehouse_dir and urlparse(warehouse_dir).scheme:
+            # the materialization probes are driver-local os.path; on
+            # a remote URI they report every target as absent, which
+            # silently degrades incremental models to the FIRST-RUN
+            # path — a full overwrite with just the increment, wiping
+            # the history the delete+insert exists to preserve. Loud
+            # beats that; remote warehouses need a Hadoop-FS probe or
+            # a transactional table format.
+            raise ValueError(
+                f"ModelRunner requires a driver-local warehouse_dir "
+                f"(got {warehouse_dir!r}): target-exists probes are "
+                "os.path-based, and a remote URI would silently "
+                "rebuild incremental models from scratch each run"
+            )
         self.spark = spark
         self.sources = sources
         self.warehouse_dir = warehouse_dir

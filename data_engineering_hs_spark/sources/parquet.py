@@ -115,7 +115,10 @@ def swap_in(tmp: str, path: str) -> None:
     ordering is crash-sensitive and `recover_swap` assumes exactly
     these states): park the current dataset at `.__old`, rename tmp
     in, drop the parked copy. Every crash point leaves a complete
-    dataset at a name recover_swap knows how to finish from."""
+    dataset at a name recover_swap knows how to finish from.
+    DRIVER-LOCAL paths only (POSIX os.replace) — callers that accept
+    user paths must reject URIs up front, the way
+    streaming_cdc_apply does."""
     import os
     import shutil
 

@@ -17,6 +17,12 @@ minus the manifest layer (file-level pruning stays parquet-native).
 
 At scale the marker flip is O(1) regardless of table count/size, and
 versions share nothing, so publish cost is the data write alone.
+
+DRIVER-LOCAL root ONLY: the commit point is a POSIX os.replace and
+the probes are os.path — no object-store/HDFS URI supports either
+(same restriction as sources.parquet's swap protocol; remote
+publishing needs a transactional table format or a rename-capable
+HDFS client).
 """
 
 from __future__ import annotations

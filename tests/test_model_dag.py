@@ -462,3 +462,21 @@ class TestIncrementalEscapedAndNullPartitions:
         got = spark.read.parquet(f"{wh}/inc")
         assert got.filter(F.col("p").isNull()).count() == 0
         assert sorted(r.k for r in got.collect()) == [3, 4, 5]
+
+
+class TestWarehouseGuard:
+    def test_remote_warehouse_dir_rejected(self, spark):
+        # os.path target probes on a remote URI report every target as
+        # absent — incremental models would silently rebuild from
+        # scratch each run (first-run overwrite with just the
+        # increment). The constructor must refuse loudly.
+        import pytest
+
+        from data_engineering_hs_spark.plans.model_dag import ModelRunner
+
+        for bad in ("s3a://bucket/wh", "hdfs://nn/wh", "file:///tmp/wh"):
+            with pytest.raises(ValueError, match="driver-local"):
+                ModelRunner(spark, {}, warehouse_dir=bad)
+        # plain local paths (and no warehouse at all) stay fine
+        ModelRunner(spark, {}, warehouse_dir="/tmp/ok")
+        ModelRunner(spark, {})
