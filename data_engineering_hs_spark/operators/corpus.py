@@ -113,7 +113,11 @@ def boilerplate_ratio(
             F.count(F.when(F.col("is_common"), 1)).alias("n_common"),
         )
     )
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    # distinct: the contract is ONE output row per doc id (the pre-
+    # rejoin groupBy collapsed duplicate ids; a bare select would emit
+    # one row per INPUT row — a silent cardinality change for callers
+    # joining on id).
+    return df.select(id_col).distinct().join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
         F.coalesce("n_common", F.lit(0)).alias("n_common"),

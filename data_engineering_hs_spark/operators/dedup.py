@@ -59,6 +59,12 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     max_iters (propagation needs ~diameter rounds) or use
     dup_groups_star (log-diameter rounds) for deep graphs.
     """
+    if max_iters < 1:
+        # max_iters <= 0 would skip the loop with `changed` still 0,
+        # returning identity labels (every node its own component) —
+        # exactly the silently-wrong partition the RuntimeError below
+        # exists to prevent (dup_groups_star already raises here).
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     # Materialize the edge list ONCE: `pairs` is typically an
     # expensive pipeline (LSH + verify, or an all-pairs Jaccard) and
     # every propagation round joins against it — without this

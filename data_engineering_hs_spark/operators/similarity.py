@@ -1293,13 +1293,25 @@ def build_pq_code_store(
 _CELL_STORE_META = "_store_meta.json"
 
 
+def _is_local_store_path(path: str) -> bool:
+    """True when `path` is a driver-local filesystem path (no scheme,
+    or an explicit file: scheme) — the case where the meta sidecar is
+    writable with plain open() and a write failure is a REAL error."""
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("", "file")
+
+
 def _write_store_meta(path: str, **params) -> None:
     """Record the build-time parameters a query-time caller must
     match, beside the data (the directory is Spark-written, so a
     leading-underscore file is invisible to the parquet scan).
-    Best-effort: a non-POSIX store URI (s3://, hdfs://) skips the
-    sidecar — the validation in _check_store_meta degrades to the
-    documented caller contract rather than failing the build."""
+    Best-effort ONLY for non-local store URIs (s3://, hdfs://): there
+    the sidecar is skipped and _check_store_meta degrades to the
+    documented caller contract. On a driver-local path an OSError
+    (permissions, disk full) PROPAGATES — swallowing it would
+    silently disable the m/bits/dim mismatch guard and a later
+    mismatched query would decode garbage with no error."""
     import json
     import os
 
@@ -1307,7 +1319,8 @@ def _write_store_meta(path: str, **params) -> None:
         with open(os.path.join(path, _CELL_STORE_META), "w") as fh:
             json.dump(params, fh, indent=0, sort_keys=True)
     except OSError:
-        pass
+        if _is_local_store_path(path):
+            raise
 
 
 def _check_store_meta(path: str, **expected) -> None:

@@ -308,8 +308,11 @@ def streaming_dedup_ingest(
       3. fingerprints overwrite their batch_id store partition.
     Every crash point replays to the identical end state. The store
     layout is ``store_path/batch_id=N/`` (fingerprint longs); a
-    legacy unpartitioned store still reads (no exclusion possible —
-    the pre-fix behavior). This is the streaming twin of the
+    legacy unpartitioned store is MIGRATED into a ``batch_id=-1``
+    partition before the first partitioned write (mixing the two
+    layouts would wedge partition discovery permanently), and a
+    checkpoint reset against a retained store is refused — see
+    _prepare_fingerprint_store. This is the streaming twin of the
     reference DAG's filename-watermark + ON CONFLICT load.
     """
 
@@ -326,6 +329,76 @@ def streaming_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _prepare_fingerprint_store(spark, store_path: str, batch_id: int) -> None:
+    """Layout guard for the batch_id-partitioned fingerprint store,
+    run before each batch's store read. One Hadoop-FS listStatus of
+    the store root (works for any Spark URI, not just local) does two
+    jobs:
+
+    1. LEGACY MIGRATION: a pre-partitioning store (root-level parquet
+       files from append_fingerprints) mixed with ``batch_id=N/``
+       partition dirs wedges Spark's partition discovery permanently
+       ('Conflicting directory structures detected' — which
+       _read_parquet_if_exists rightly does NOT treat as absent). So
+       before the first partitioned write can create that mix, root
+       data files are rewritten into a ``batch_id=-1/`` partition and
+       then deleted. Write-then-delete: a crash between the two
+       re-migrates on replay, duplicating some fingerprints in
+       batch_id=-1 — harmless, the store is only ever anti-joined.
+
+    2. CHECKPOINT-RESET GUARD: batch ids restart at 0 when the
+       checkpoint is deleted but the store retained. The replay-
+       independence exclusion plus dynamic overwrite would then
+       silently DELETE earlier batches' fingerprints partition by
+       partition (re-admitting their documents later). A legitimate
+       replay only ever re-runs the LAST committed batch, so
+       max(stored batch_id) <= incoming batch_id is an invariant;
+       max > incoming raises with guidance. (Residual: a reset at
+       batch 0 against a store holding only batch 0 is
+       indistinguishable from a replay of batch 0 — that single
+       batch's old fingerprints are replaced, bounded loss.)
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    legacy_files = []
+    max_batch = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isFile():
+            legacy_files.append(st.getPath().toString())
+        elif st.isDirectory() and name.startswith("batch_id="):
+            try:
+                max_batch = max(
+                    max_batch if max_batch is not None else -(2**62),
+                    int(name.split("=", 1)[1]),
+                )
+            except ValueError:
+                pass
+    if max_batch is not None and max_batch > batch_id:
+        raise RuntimeError(
+            f"fingerprint store at {store_path} already holds batch_id="
+            f"{max_batch} but the stream is (re)starting at batch "
+            f"{batch_id}: the checkpoint was reset while the store was "
+            "retained. Proceeding would overwrite earlier batches' "
+            "fingerprint partitions one by one, re-admitting their "
+            "documents. Point the restarted stream at a FRESH "
+            "store_path (or delete checkpoint and store together)."
+        )
+    if legacy_files:
+        # explicit file list: no partition discovery, so a mixed
+        # (wedged) layout reads fine and this also REPAIRS it
+        spark.read.parquet(*legacy_files).select("fingerprint").write.mode(
+            "append"
+        ).parquet(store_path.rstrip("/") + "/batch_id=-1")
+        for f in legacy_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
 def _dedup_ingest_batch(
@@ -346,6 +419,7 @@ def _dedup_ingest_batch(
     from data_engineering_hs_spark.sources.parquet import write_partitioned
 
     spark = batch.sparkSession
+    _prepare_fingerprint_store(spark, store_path, batch_id)
     store = read_fingerprint_store(spark, store_path)
     if store is not None and "batch_id" in store.columns:
         # replay-independence: never let this batch's own (possibly

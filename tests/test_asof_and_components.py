@@ -91,6 +91,17 @@ class TestDupComponents:
         assert {got[7], got[8], got[9]} == {7}
         assert {got[20], got[21], got[22], got[23]} == {20}
 
+    def test_nonpositive_round_budget_raises(self, spark):
+        # max_iters <= 0 skips the loop entirely; without the up-front
+        # check it returned identity labels (every node its own
+        # component) — the silently-wrong partition the convergence
+        # RuntimeError exists to prevent
+        import pytest
+
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        with pytest.raises(ValueError, match="max_iters"):
+            dup_groups(pairs, max_iters=0)
+
 
 class TestRangeJoin:
     def _data(self, spark):

@@ -416,6 +416,26 @@ class TestCorpusOps:
         assert rows[1]["n_common"] == 0
         assert rows[1]["boilerplate_ratio"] == 0.0
 
+    def test_boilerplate_ratio_one_row_per_duplicate_id(self, spark):
+        # the every-row rejoin must not turn duplicate doc ids into
+        # duplicate OUTPUT rows — the contract is one row per id (the
+        # pre-rejoin groupBy collapsed them; callers join on id)
+        from data_engineering_hs_spark.operators.corpus import (
+            boilerplate_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (1, "alpha beta gamma delta"),
+                (2, "x"),
+                (2, "y"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = boilerplate_ratio(df, "text", "doc_id").collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+
     def test_scrub_pii(self, spark):
         from data_engineering_hs_spark.functions.text import scrub_pii
 
@@ -1221,6 +1241,23 @@ class TestProductQuantization:
                 e, q, cents, nprobe=2, id_col="other_id",
                 vec_col="embedding", vector_store=vstore,
             )
+
+    def test_store_meta_write_failure_is_loud_on_local_paths(
+        self, spark, tmp_path
+    ):
+        # a failed sidecar write on a LOCAL path must raise (swallowing
+        # it silently disables the m/bits/dim guard); a non-local URI
+        # stays best-effort (the documented degradation)
+        import pytest
+
+        from data_engineering_hs_spark.operators.similarity import (
+            _write_store_meta,
+        )
+
+        with pytest.raises(OSError):
+            _write_store_meta(str(tmp_path / "no_such_dir"), kind="x")
+        # non-local URI: open() fails the same way but is swallowed
+        _write_store_meta("s3a://bucket/store", kind="x")
 
     def test_store_build_two_level_full_probe_matches_flat(
         self, spark, tmp_path

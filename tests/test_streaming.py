@@ -282,6 +282,96 @@ class TestStreamingDedupIngest:
         healed = spark.read.parquet(store).filter(F.col("batch_id") == 0)
         assert healed.count() == 2
 
+    def test_legacy_flat_store_migrates_before_partitioned_write(
+        self, spark, tmp_path
+    ):
+        # a pre-partitioning store (root-level parquet from
+        # append_fingerprints) mixed with batch_id=N/ dirs wedges
+        # partition discovery permanently — the batch prep must
+        # migrate root files into batch_id=-1 first, and the legacy
+        # fingerprints must keep deduplicating
+        import os as _os
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.operators.dedup import (
+            append_fingerprints,
+            fingerprint64,
+            read_fingerprint_store,
+        )
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_store_legacy")
+        sink = str(tmp_path / "corpus_legacy")
+        seen = spark.createDataFrame([(0, "alpha beta")], schema)
+        append_fingerprints(
+            seen.select(fingerprint64("text").alias("fingerprint")), store
+        )
+        # batch 0 re-sends the legacy doc plus a new one
+        batch0 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], schema
+        )
+        _dedup_ingest_batch(batch0, 0, store, sink, "text", "doc_id")
+        # legacy print still deduplicates: only doc 2 survives
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == [2]
+        # the store reads cleanly (no conflicting-layout wedge) and the
+        # legacy print lives in batch_id=-1 with no root files left
+        st = read_fingerprint_store(spark, store)
+        by_batch = {
+            r["batch_id"]: r["n"]
+            for r in st.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_batch == {-1: 1, 0: 1}
+        root_files = [
+            f
+            for f in _os.listdir(store)
+            if _os.path.isfile(_os.path.join(store, f))
+            and not f.startswith(("_", "."))
+        ]
+        assert root_files == []
+
+    def test_checkpoint_reset_against_retained_store_refused(
+        self, spark, tmp_path
+    ):
+        # batch ids restart at 0 after a checkpoint wipe; replaying
+        # against a retained store would overwrite earlier batches'
+        # fingerprint partitions one by one — the prep must refuse
+        import pytest
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_store_reset")
+        sink = str(tmp_path / "corpus_reset")
+        b0 = spark.createDataFrame([(1, "alpha beta")], schema)
+        b1 = spark.createDataFrame([(2, "gamma delta")], schema)
+        _dedup_ingest_batch(b0, 0, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(b1, 1, store, sink, "text", "doc_id")
+        # a legitimate replay of the LAST batch is fine
+        _dedup_ingest_batch(b1, 1, store, sink, "text", "doc_id")
+        # a reset-to-0 against the retained store is refused
+        with pytest.raises(RuntimeError, match="checkpoint was reset"):
+            _dedup_ingest_batch(b0, 0, store, sink, "text", "doc_id")
+
 
 class TestStreamingGuards:
     def test_file_watch_predicate_requires_quarantine(self, spark, tmp_path):
