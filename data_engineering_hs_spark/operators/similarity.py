@@ -309,6 +309,7 @@ def ivf_topk(
     super_k: int | None = None,
     probe_supers: int = 1,
     vector_store: str | None = None,
+    verify_corpus: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     center; each query probes its `nprobe` nearest centers and ranks
@@ -337,7 +338,10 @@ def ivf_topk(
     batches. IN STORE MODE THE STORE IS THE CORPUS: candidates come
     exclusively from its files (the corpus argument supplies only the
     session), so a corpus filtered or grown since the build is NOT
-    honored — rebuild instead. Mutually exclusive with super_k (the
+    honored — append_to_cell_store new rows, or rebuild. The corpus
+    argument IS fingerprint-checked against the store's build stamp
+    (verify_corpus=False skips the one-column scan). Mutually
+    exclusive with super_k (the
     two-level quantizer routes the inline assignment the store
     replaces; silently ignoring it would hide a caller mistake).
     """
@@ -351,6 +355,8 @@ def ivf_topk(
         _check_store_meta(
             vector_store, kind="ivf_flat", id_col=id_col, vec_col=vec_col
         )
+        if verify_corpus:
+            _verify_store_corpus(corpus, vector_store, id_col)
     cent = centers.select(
         F.col(center_id_col).alias("center_id"),
         F.col(center_vec_col).alias("center_vec"),
@@ -1024,6 +1030,7 @@ def ivf_adc_topk(
     center_id_col: str = "label",
     center_vec_col: str = "centroid",
     code_store: str | None = None,
+    verify_corpus: bool = True,
 ) -> DataFrame:
     """IVF-ADC approximate top-k: coarse IVF cells + PQ asymmetric
     scoring restricted to each query's probed cells + exact rerank —
@@ -1079,6 +1086,11 @@ def ivf_adc_topk(
             code_store, kind="pq_code", id_col=id_col, vec_col=vec_col,
             m=m, bits=bits, dim=dim,
         )
+        if verify_corpus:
+            # the rerank inner-joins the caller's corpus: ids present
+            # in the store but absent there DROP silently — exactly
+            # the staleness this stamp check surfaces
+            _verify_store_corpus(corpus, code_store, id_col)
     cent = centers.select(
         F.col(center_id_col).alias("cell"),
         F.col(center_vec_col).alias("cent_vec"),
@@ -1349,9 +1361,9 @@ def _check_store_meta(path: str, **expected) -> None:
         raise ValueError(
             f"cell store at {path} was built with different parameters "
             f"than this query ({detail}) — rebuild the store or pass "
-            "the build-time values; content identity (same corpus/"
-            "centers/codebooks) is the caller's contract and is NOT "
-            "checkable cheaply at query time"
+            "the build-time values; centers/codebooks identity remains "
+            "the caller's contract (corpus identity is separately "
+            "stamped and checked — see _verify_store_corpus)"
         )
 
 
@@ -1384,8 +1396,43 @@ def _write_cell_store(
     cell, which IVF recall absorbs the same way it absorbs kmeans'
     own assignment noise).
     """
+    cells = _assign_cells(
+        corpus, centers, id_col, vec_col, center_id_col, center_vec_col,
+        super_k, probe_supers,
+    )
+    _salted_cell_write(
+        payload.join(cells, id_col), path, id_col, files_per_cell,
+        mode="overwrite",
+    )
+    # corpus-identity stamp: read back what was WRITTEN (no TOCTOU
+    # against a corpus mutating mid-build) and fingerprint the served
+    # id set; query paths verify the caller's corpus against it.
+    # super_k/probe_supers ride along so append_to_cell_store can
+    # reproduce the build's assignment mode.
+    spark = corpus.sparkSession
+    meta = dict(meta)
+    meta.update(_corpus_stamp(spark.read.parquet(path), meta["id_col"]))
     if super_k is not None:
-        cells = assign_nearest_centroid(
+        meta.update({"super_k": super_k, "probe_supers": probe_supers})
+    _write_store_meta(path, **meta)
+
+
+def _assign_cells(
+    corpus: DataFrame,
+    centers: DataFrame,
+    id_col: str,
+    vec_col: str,
+    center_id_col: str,
+    center_vec_col: str,
+    super_k: int | None,
+    probe_supers: int,
+) -> DataFrame:
+    """(id, cell) nearest-coarse-centroid assignment for the cell
+    stores — ONE implementation so build and append can't drift (an
+    appended row assigned by different code than the build's would
+    land in a different cell than a rebuild would put it)."""
+    if super_k is not None:
+        return assign_nearest_centroid(
             corpus,
             centers.select(
                 F.col(center_id_col).alias("label"),
@@ -1396,20 +1443,25 @@ def _write_cell_store(
             super_k=super_k,
             probe_supers=probe_supers,
         ).select(F.col(id_col), F.col("cluster").alias("cell"))
-    else:
-        cent = centers.select(
-            F.col(center_id_col).alias("cell"),
-            F.col(center_vec_col).alias("cent_vec"),
-            norm(center_vec_col).alias("cent_norm"),
-        )
-        base = corpus.select(
-            F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
-        )
-        cells = _nearest_topn(
-            base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
-            "cent_norm", 1,
-        )
-    joined = payload.join(cells, id_col)
+    cent = centers.select(
+        F.col(center_id_col).alias("cell"),
+        F.col(center_vec_col).alias("cent_vec"),
+        norm(center_vec_col).alias("cent_norm"),
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+    )
+    return _nearest_topn(
+        base, cent, id_col, vec_col, "__n", "cell", "cent_vec",
+        "cent_norm", 1,
+    )
+
+
+def _salted_cell_write(
+    joined: DataFrame, path: str, id_col: str, files_per_cell: int, mode: str
+) -> None:
+    """One file per cell (files_per_cell salted tasks/files for hot
+    cells), shared by build (overwrite) and append."""
     if files_per_cell > 1:
         joined = joined.repartition(
             F.col("cell"),
@@ -1417,8 +1469,62 @@ def _write_cell_store(
         )
     else:
         joined = joined.repartition("cell")
-    joined.write.mode("overwrite").partitionBy("cell").parquet(path)
-    _write_store_meta(path, **meta)
+    joined.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def _corpus_stamp(df: DataFrame, id_col: str) -> dict:
+    """Cheap content-identity fingerprint of the served id set:
+    (row count, XOR-fold of xxhash64(id)). XOR is order-independent
+    AND incrementally updatable — append_to_cell_store folds the
+    increment's stamp in without rescanning the store. One
+    single-column partial-aggregated scan; collision odds are the
+    usual 64-bit-hash negligible (this guards against STALENESS —
+    serving a store built from last month's corpus — not adversaries).
+    """
+    row = df.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
+        ).alias("x"),
+    ).collect()[0]
+    return {"corpus_n": int(row["n"]), "corpus_idhash": int(row["x"])}
+
+
+def _verify_store_corpus(
+    corpus: DataFrame, path: str, id_col: str
+) -> None:
+    """Raise when the caller's corpus is not the one the store was
+    built from (count + id-hash stamp in _store_meta.json): a store
+    built from last month's embeddings otherwise serves silently
+    wrong neighbors — candidates missing for new rows, rerank rows
+    dropping at the corpus join for deleted ones. Costs one
+    single-column corpus scan; pass verify_corpus=False on the query
+    paths to skip it (e.g. a hot serving loop that re-queries the
+    same corpus). Stores without a stamp (pre-existing layout) skip
+    the check, same degradation as _check_store_meta."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, _CELL_STORE_META)
+    if not os.path.exists(meta_path):
+        return
+    recorded = json.load(open(meta_path))
+    if "corpus_n" not in recorded:
+        return
+    got = _corpus_stamp(corpus, id_col)
+    if (
+        got["corpus_n"] != recorded["corpus_n"]
+        or got["corpus_idhash"] != recorded["corpus_idhash"]
+    ):
+        raise ValueError(
+            f"cell store at {path} was built from a different corpus "
+            f"than the one passed (store: n={recorded['corpus_n']}, "
+            f"caller: n={got['corpus_n']}; id-hash "
+            f"{'matches' if got['corpus_idhash'] == recorded['corpus_idhash'] else 'differs'}) "
+            "— the corpus changed since the build. Rebuild the store, "
+            "append_to_cell_store the new rows, or pass "
+            "verify_corpus=False if the difference is intentional"
+        )
 
 
 def read_cell_store(spark, path: str, probed_cells) -> DataFrame:
@@ -1478,7 +1584,9 @@ def build_ivf_store(
     CONTRACT: in store mode ivf_topk's candidates come from THIS
     directory — the store IS the corpus (the caller's corpus argument
     supplies only the session); build from the corpus you want
-    served, and rebuild on corpus change. Centers must be the
+    served, append_to_cell_store new rows as it grows (or rebuild
+    to compact), and the corpus-identity stamp catches a drifted
+    corpus at query time (verify_corpus). Centers must be the
     build-time ones or the query's probe cells disagree with the
     stored assignment. Static parameters (column names) are recorded
     in _store_meta.json and checked at query time.
@@ -1491,6 +1599,99 @@ def build_ivf_store(
         super_k=super_k,
         probe_supers=probe_supers,
     )
+
+
+def append_to_cell_store(
+    new_rows: DataFrame,
+    centers: DataFrame,
+    path: str,
+    codebooks: DataFrame | None = None,
+    center_id_col: str = "label",
+    center_vec_col: str = "centroid",
+    files_per_cell: int = 1,
+) -> None:
+    """Incremental maintenance for BOTH cell stores: assign and (for a
+    PQ store) encode ONLY the new rows, append them into their cell
+    partitions, and fold their ids into the corpus stamp — the
+    band-store discipline of incremental_minhash_lsh applied to the
+    serving indexes. A growing corpus (this engine's own ingest paths
+    exist precisely because corpora grow) otherwise pays the FULL
+    build per increment: SCALE.md measured build_pq_code_store at
+    361.7 s and build_ivf_store at 199.5 s for 1M vectors, both
+    linear in corpus size, while the append is linear in the
+    INCREMENT.
+
+    Everything build-specific comes from _store_meta.json (kind,
+    id/vec column names, m/bits/dim, super_k/probe_supers), so the
+    appended rows are assigned and encoded by the exact code path the
+    build used — append-then-read equals rebuild-from-the-grown-corpus
+    row for row (test-pinned). A store without the meta sidecar
+    cannot be appended to (raises): guessing the parameters is how a
+    store decodes garbage silently.
+
+    CONTRACT: ``new_rows`` are NEW ids only (dedupe upstream — the
+    store is append-only and a re-sent id would be served twice);
+    centers/codebooks must be the build-time ones (same contract as
+    the query paths, param-checked here too). Appends accumulate one
+    file (``files_per_cell`` when salted) per touched cell per call —
+    nprobe · files-per-cell opened at query time grows with append
+    count, so compact by rebuilding when increments pile up (the
+    bucketed-table compaction note in NEXT.md applies). NOT atomic:
+    files land at job commit and the stamp updates after — a crash
+    in between leaves the stamp stale, which the query-time
+    verify_corpus check then reports loudly (rebuild to recover).
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(path, _CELL_STORE_META)
+    try:
+        recorded = json.load(open(meta_path))
+    except OSError:
+        raise ValueError(
+            f"cell store at {path} has no readable {_CELL_STORE_META} — "
+            "append needs the build parameters (kind, columns, m/bits/"
+            "dim, assignment mode); rebuild the store to (re)create it"
+        )
+    kind = recorded.get("kind")
+    id_col, vec_col = recorded["id_col"], recorded["vec_col"]
+    if kind == "pq_code":
+        if codebooks is None:
+            raise ValueError(
+                "appending to a pq_code store requires the build-time "
+                "codebooks (codes must decode against the same LUT)"
+            )
+        payload = pq_encode(
+            new_rows, codebooks,
+            recorded["m"], recorded["bits"], recorded["dim"],
+            id_col, vec_col,
+        )
+    elif kind == "ivf_flat":
+        payload = new_rows.select(F.col(id_col), F.col(vec_col))
+    else:
+        raise ValueError(f"unknown cell-store kind {kind!r} at {path}")
+    cells = _assign_cells(
+        new_rows, centers, id_col, vec_col, center_id_col,
+        center_vec_col, recorded.get("super_k"),
+        recorded.get("probe_supers", 1),
+    )
+    _salted_cell_write(
+        payload.join(cells, id_col), path, id_col, files_per_cell,
+        mode="append",
+    )
+    if "corpus_n" in recorded:
+        # XOR-fold the increment in — no store rescan
+        inc = _corpus_stamp(new_rows, id_col)
+        recorded["corpus_n"] += inc["corpus_n"]
+        recorded["corpus_idhash"] ^= inc["corpus_idhash"]
+    else:
+        # pre-stamp store: certify the full served set once
+        recorded.update(
+            _corpus_stamp(
+                new_rows.sparkSession.read.parquet(path), id_col
+            )
+        )
+    _write_store_meta(path, **recorded)
 
 
 def _super_group_centroids(

@@ -876,6 +876,67 @@ def s_ivf_adc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_ivf_store_append",
+    # AUDIT-ORACLE: incremental store maintenance must be
+    # indistinguishable from a rebuild — build the IVF-Flat store
+    # from 80% of the corpus, append_to_cell_store the remaining 20%,
+    # and the grown store equals a from-scratch build of the full
+    # corpus row for row (exceptAll both ways == 0). The corpus-
+    # identity stamp is audited alongside: the base-built store
+    # REFUSES the grown corpus before the append and verifies it
+    # after (both emitted as data).
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_store_rows,
+       TRUE AS append_equals_rebuild,
+       TRUE AS stale_base_refused,
+       TRUE AS grown_corpus_verified
+FROM embeddings
+""",
+    doc="incremental ANN-store maintenance: append-only cell-store "
+    "growth (assign+encode the increment only) audited by exact "
+    "equality to a full rebuild, plus the corpus-staleness stamp "
+    "(refuse before append, verify after)",
+)
+def s_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.queries.streaming_q import _work_dir
+
+    full_tbl = load_table(spark, sf_dir, "embeddings")
+    cents = S.centroids(full_tbl)
+    e = full_tbl.select("vec_id", "embedding")
+    cut = int(e.count() * 0.8)
+    base = e.filter(F.col("vec_id") < cut)
+    inc = e.filter(F.col("vec_id") >= cut)
+    grown = _work_dir("ivfappend_grown", sf_dir)
+    full = _work_dir("ivfappend_full", sf_dir)
+    S.build_ivf_store(base, cents, grown)
+    # staleness stamp, before: base-built store must refuse the
+    # grown corpus
+    try:
+        S._verify_store_corpus(e, grown, "vec_id")
+        stale_refused = False
+    except ValueError:
+        stale_refused = True
+    S.append_to_cell_store(inc, cents, grown)
+    # staleness stamp, after: the fold-in makes the grown corpus
+    # verify (raises here -> query errors -> driver-red, as it should)
+    S._verify_store_corpus(e, grown, "vec_id")
+    S.build_ivf_store(e, cents, full)
+    cols = ["vec_id", "cell", "embedding"]
+    g = spark.read.parquet(grown).select(cols)
+    f = spark.read.parquet(full).select(cols)
+    n_store = g.agg(F.count("*").alias("n_store_rows"))
+    n_diff = g.exceptAll(f).unionByName(f.exceptAll(g)).agg(
+        F.count("*").alias("__d")
+    )
+    return n_store.crossJoin(n_diff).select(
+        "n_store_rows",
+        (F.col("__d") == 0).alias("append_equals_rebuild"),
+        F.lit(stale_refused).alias("stale_base_refused"),
+        F.lit(True).alias("grown_corpus_verified"),
+    )
+
+
+@register(
     "s_embedding_near_dup",
     # Identical vectors produce identical hyperplane signs → the SAME
     # bucket, deterministically — so LSH + exact-cosine verify MUST

@@ -306,19 +306,30 @@ def streaming_dedup_ingest(
          their prints stayed in the store);
       2. survivors overwrite their batch_id corpus partition;
       3. fingerprints overwrite their batch_id store partition.
-    Every crash point replays to the identical end state. The store
-    layout is ``store_path/batch_id=N/`` (fingerprint longs); a
-    legacy unpartitioned store is MIGRATED into a ``batch_id=-1``
-    partition before the first partitioned write (mixing the two
-    layouts would wedge partition discovery permanently), and a
-    checkpoint reset against a retained store is refused — see
-    _prepare_fingerprint_store. This is the streaming twin of the
-    reference DAG's filename-watermark + ON CONFLICT load.
+    Every crash point replays to the identical end state. Store AND
+    sink are partitioned ``run=<ns>/batch_id=N/`` where <ns> is
+    derived from the CHECKPOINT DIR (stable across restarts of the
+    same checkpoint; fresh for a fresh checkpoint): batch ids restart
+    at 0 after a checkpoint wipe, and a single-level batch_id layout
+    then overwrote OLD batches' partitions one by one — deleting
+    committed fingerprints (documents re-admitted later) and corpus
+    rows. Namespacing makes a fresh-checkpoint rerun write beside the
+    old run instead of over it (the full-source-replay recovery stays
+    test-pinned: replayed docs dedup against the old run's prints and
+    the corpus keeps every old partition), while a WIPED-IN-PLACE
+    checkpoint (same dir, so same namespace, restarting at 0 against
+    retained higher batches) is refused — see _prepare_run_layout,
+    which also migrates both legacy layouts (root-level files,
+    single-level batch_id=N dirs) before the first namespaced write
+    would wedge partition discovery. This is the streaming twin of
+    the reference DAG's filename-watermark + ON CONFLICT load.
     """
+    run_ns = _run_namespace(checkpoint_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         _dedup_ingest_batch(
-            batch, batch_id, store_path, sink_dir, text_col, id_col
+            batch, batch_id, store_path, sink_dir, text_col, id_col,
+            run_ns=run_ns,
         )
 
     writer = (
@@ -331,42 +342,57 @@ def streaming_dedup_ingest(
     return writer.start()
 
 
-def _prepare_fingerprint_store(spark, store_path: str, batch_id: int) -> None:
-    """Layout guard for the batch_id-partitioned fingerprint store,
-    run before each batch's store read. One Hadoop-FS listStatus of
-    the store root (works for any Spark URI, not just local) does two
-    jobs:
+def _run_namespace(checkpoint_dir: str) -> str:
+    """Stable run namespace for streaming_dedup_ingest's store/sink
+    partitions, derived from the checkpoint dir: restarts of the same
+    checkpoint (the crash-recovery path, where the replay-independence
+    exclusion must keep matching the prior commit's partition) get the
+    SAME namespace; a fresh checkpoint dir gets a fresh one, so its
+    batch-0 restart writes beside earlier runs instead of over them.
+    Caveat: a checkpoint MOVED to a new path changes namespace, which
+    re-exposes a torn last-batch commit of the old run as ordinary
+    store content — recover crashed checkpoints in place."""
+    import hashlib
 
-    1. LEGACY MIGRATION: a pre-partitioning store (root-level parquet
-       files from append_fingerprints) mixed with ``batch_id=N/``
-       partition dirs wedges Spark's partition discovery permanently
-       ('Conflicting directory structures detected' — which
-       _read_parquet_if_exists rightly does NOT treat as absent). So
-       before the first partitioned write can create that mix, root
-       data files are rewritten into a ``batch_id=-1/`` partition and
-       then deleted. Write-then-delete: a crash between the two
-       re-migrates on replay, duplicating some fingerprints in
-       batch_id=-1 — harmless, the store is only ever anti-joined.
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
 
-    2. CHECKPOINT-RESET GUARD: batch ids restart at 0 when the
-       checkpoint is deleted but the store retained. The replay-
-       independence exclusion plus dynamic overwrite would then
-       silently DELETE earlier batches' fingerprints partition by
-       partition (re-admitting their documents later). A legitimate
-       replay only ever re-runs the LAST committed batch, so
-       max(stored batch_id) <= incoming batch_id is an invariant;
-       max > incoming raises with guidance. (Residual: a reset at
-       batch 0 against a store holding only batch 0 is
-       indistinguishable from a replay of batch 0 — that single
-       batch's old fingerprints are replaced, bounded loss.)
+
+def _prepare_run_layout(spark, path: str, run_ns: str, batch_id: int) -> None:
+    """Layout guard for a run-namespaced dataset
+    (``path/run=<ns>/batch_id=N/``), run before each batch touches it.
+    One Hadoop-FS listStatus of the root (works for any Spark URI, not
+    just driver-local) does two jobs:
+
+    1. LEGACY MIGRATION: earlier layouts — root-level parquet files
+       (the pre-partitioning append store) and single-level
+       ``batch_id=N/`` dirs (the r10 layout) — mixed with ``run=<ns>/``
+       dirs wedge Spark partition discovery permanently ('Conflicting
+       directory structures detected', which _read_parquet_if_exists
+       rightly does NOT treat as absent). Before the first namespaced
+       write can create that mix: batch_id=N dirs RENAME under
+       ``run=legacy/`` (a metadata move, no data rewrite) and root
+       files rewrite into ``run=legacy/batch_id=-1/`` then delete
+       (write-then-delete: a crash between the two re-migrates on
+       replay, duplicating some legacy fingerprints — harmless, the
+       store is only ever anti-joined).
+
+    2. WIPED-CHECKPOINT GUARD, scoped to THIS run's namespace: batch
+       ids restart at 0 when the checkpoint's contents are deleted in
+       place (same dir ⇒ same namespace), and the dynamic overwrite
+       would then silently replace this run's EARLIER batch partitions
+       one by one — deleting committed fingerprints/corpus rows. A
+       legitimate same-checkpoint replay only re-runs the LAST batch,
+       so max(this run's batch_id) <= incoming batch_id is an
+       invariant; max > incoming raises with guidance. A fresh
+       checkpoint DIR is a different namespace and sails through —
+       that's the supported full-source-replay recovery.
     """
     jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return
-    legacy_files = []
-    max_batch = None
+    legacy_files, legacy_batch_dirs = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name.startswith(("_", ".")):
@@ -374,31 +400,57 @@ def _prepare_fingerprint_store(spark, store_path: str, batch_id: int) -> None:
         if st.isFile():
             legacy_files.append(st.getPath().toString())
         elif st.isDirectory() and name.startswith("batch_id="):
-            try:
-                max_batch = max(
-                    max_batch if max_batch is not None else -(2**62),
-                    int(name.split("=", 1)[1]),
+            legacy_batch_dirs.append((name, st.getPath()))
+    if legacy_files or legacy_batch_dirs:
+        legacy_root = jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/run=legacy"
+        )
+        fs.mkdirs(legacy_root)
+        for name, p in legacy_batch_dirs:
+            dst = jvm.org.apache.hadoop.fs.Path(f"{legacy_root}/{name}")
+            if not fs.rename(p, dst):
+                # Hadoop rename fails FALSE, not loudly (e.g. dst
+                # already exists); a silently un-migrated dir would
+                # leave the layout wedged while we proceed as if fixed
+                raise RuntimeError(
+                    f"legacy-layout migration failed: could not rename "
+                    f"{p} to {dst} — migrate or remove it manually"
                 )
-            except ValueError:
-                pass
+        if legacy_files:
+            # explicit file list: no partition discovery, so a mixed
+            # (wedged) layout reads fine and this also REPAIRS it
+            spark.read.parquet(*legacy_files).write.mode("append").parquet(
+                path.rstrip("/") + "/run=legacy/batch_id=-1"
+            )
+            for f in legacy_files:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    ns_dir = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f"/run={run_ns}"
+    )
+    max_batch = None
+    if fs.exists(ns_dir):
+        for st in fs.listStatus(ns_dir):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                try:
+                    max_batch = max(
+                        max_batch if max_batch is not None else -(2**62),
+                        int(name.split("=", 1)[1]),
+                    )
+                except ValueError:
+                    pass
     if max_batch is not None and max_batch > batch_id:
         raise RuntimeError(
-            f"fingerprint store at {store_path} already holds batch_id="
-            f"{max_batch} but the stream is (re)starting at batch "
-            f"{batch_id}: the checkpoint was reset while the store was "
-            "retained. Proceeding would overwrite earlier batches' "
-            "fingerprint partitions one by one, re-admitting their "
-            "documents. Point the restarted stream at a FRESH "
-            "store_path (or delete checkpoint and store together)."
+            f"{path} already holds batch_id={max_batch} for this "
+            f"checkpoint's run (run={run_ns}) but the stream is "
+            f"(re)starting at batch {batch_id}: the checkpoint's "
+            "contents were wiped in place while store/sink were "
+            "retained. Proceeding would overwrite this run's earlier "
+            "partitions one by one, deleting committed fingerprints "
+            "and corpus rows. Use a FRESH checkpoint DIR for a "
+            "full-source rerun (it writes under a new run namespace), "
+            "or delete checkpoint, store and sink together."
         )
-    if legacy_files:
-        # explicit file list: no partition discovery, so a mixed
-        # (wedged) layout reads fine and this also REPAIRS it
-        spark.read.parquet(*legacy_files).select("fingerprint").write.mode(
-            "append"
-        ).parquet(store_path.rstrip("/") + "/batch_id=-1")
-        for f in legacy_files:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
 
 
 def _dedup_ingest_batch(
@@ -408,10 +460,13 @@ def _dedup_ingest_batch(
     sink_dir: str,
     text_col: str,
     id_col: str,
+    run_ns: str = "main",
 ) -> None:
     """One micro-batch of streaming_dedup_ingest, module-level so the
     crash/replay protocol is directly testable (a foreachBatch closure
-    can't be re-invoked by a test)."""
+    can't be re-invoked by a test). ``run_ns`` is the checkpoint-
+    derived namespace (streaming_dedup_ingest always passes it; the
+    default only serves direct callers with a single logical run)."""
     from data_engineering_hs_spark.operators.dedup import (
         incremental_exact_dedup,
         read_fingerprint_store,
@@ -419,32 +474,36 @@ def _dedup_ingest_batch(
     from data_engineering_hs_spark.sources.parquet import write_partitioned
 
     spark = batch.sparkSession
-    _prepare_fingerprint_store(spark, store_path, batch_id)
+    _prepare_run_layout(spark, store_path, run_ns, batch_id)
+    _prepare_run_layout(spark, sink_dir, run_ns, batch_id)
     store = read_fingerprint_store(spark, store_path)
     if store is not None and "batch_id" in store.columns:
         # replay-independence: never let this batch's own (possibly
-        # partial) prior commit influence its survivor set
-        store = store.filter(F.col("batch_id") != batch_id).select(
-            "fingerprint"
-        )
+        # partial) prior commit influence its survivor set. Other
+        # runs' and legacy partitions stay visible — cross-run dedup
+        # is the point of retaining the store.
+        own = (F.col("run") == run_ns) & (F.col("batch_id") == batch_id)
+        store = store.filter(~own).select("fingerprint")
     # Materialize once: both writes below would otherwise re-run
     # the dedup plan (and re-read the store).
     survivors = incremental_exact_dedup(
         batch, store, text_col, id_col
     ).localCheckpoint(eager=True)
     write_partitioned(
-        survivors.drop("fingerprint").withColumn("batch_id", F.lit(batch_id)),
+        survivors.drop("fingerprint")
+        .withColumn("run", F.lit(run_ns))
+        .withColumn("batch_id", F.lit(batch_id)),
         sink_dir,
-        ["batch_id"],
+        ["run", "batch_id"],
         mode="overwrite",
         dynamic=True,
     )
     write_partitioned(
-        survivors.select("fingerprint").withColumn(
-            "batch_id", F.lit(batch_id)
-        ),
+        survivors.select("fingerprint")
+        .withColumn("run", F.lit(run_ns))
+        .withColumn("batch_id", F.lit(batch_id)),
         store_path,
-        ["batch_id"],
+        ["run", "batch_id"],
         mode="overwrite",
         dynamic=True,
     )

@@ -1259,6 +1259,144 @@ class TestProductQuantization:
         # non-local URI: open() fails the same way but is swallowed
         _write_store_meta("s3a://bucket/store", kind="x")
 
+    def test_append_equals_rebuild_for_both_stores(self, spark, tmp_path):
+        # incremental maintenance must be indistinguishable from a
+        # rebuild: build from 80% of the corpus, append the remaining
+        # 20%, and the store contents equal a from-scratch build of
+        # the full corpus row for row (same assignment + encode paths
+        # via _assign_cells/pq_encode, parameters from the meta)
+        from data_engineering_hs_spark.operators.similarity import (
+            append_to_cell_store,
+            build_ivf_store,
+            build_pq_code_store,
+            centroids,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        cut = int(e.count() * 0.8)
+        base = e.filter(F.col("vec_id") < cut)
+        inc = e.filter(F.col("vec_id") >= cut)
+
+        pq_grown = str(tmp_path / "pq_grown")
+        pq_full = str(tmp_path / "pq_full")
+        build_pq_code_store(base, cents, cb, pq_grown, m=8, bits=4)
+        append_to_cell_store(inc, cents, pq_grown, codebooks=cb)
+        build_pq_code_store(e, cents, cb, pq_full, m=8, bits=4)
+        cols = ["vec_id", "cell", "pq_code"]
+        grown = {tuple(r) for r in spark.read.parquet(pq_grown).select(cols).collect()}
+        full = {tuple(r) for r in spark.read.parquet(pq_full).select(cols).collect()}
+        assert grown == full and len(full) == e.count()
+
+        ivf_grown = str(tmp_path / "ivf_grown")
+        ivf_full = str(tmp_path / "ivf_full")
+        build_ivf_store(base, cents, ivf_grown)
+        append_to_cell_store(inc, cents, ivf_grown)
+        build_ivf_store(e, cents, ivf_full)
+        key = lambda r: (r["vec_id"], r["cell"], tuple(r["embedding"]))
+        grown_v = {key(r) for r in spark.read.parquet(ivf_grown).collect()}
+        full_v = {key(r) for r in spark.read.parquet(ivf_full).collect()}
+        assert grown_v == full_v and len(full_v) == e.count()
+
+    def test_append_reproduces_two_level_assignment(self, spark, tmp_path):
+        # a super_k build records its assignment mode in the meta; the
+        # append must reproduce it (flat-assigning the increment would
+        # place borderline vectors in different cells than a rebuild)
+        from data_engineering_hs_spark.operators.similarity import (
+            append_to_cell_store,
+            build_ivf_store,
+            centroids,
+        )
+
+        e, _cb = self._setup(spark)
+        cents = centroids(e)
+        cut = int(e.count() * 0.8)
+        grown, full = str(tmp_path / "g2"), str(tmp_path / "f2")
+        build_ivf_store(
+            e.filter(F.col("vec_id") < cut), cents, grown,
+            super_k=4, probe_supers=2,
+        )
+        append_to_cell_store(
+            e.filter(F.col("vec_id") >= cut), cents, grown
+        )
+        build_ivf_store(e, cents, full, super_k=4, probe_supers=2)
+        cols = ["vec_id", "cell"]
+        g = {tuple(r) for r in spark.read.parquet(grown).select(cols).collect()}
+        f = {tuple(r) for r in spark.read.parquet(full).select(cols).collect()}
+        assert g == f
+
+    def test_stale_store_corpus_raises_and_append_heals(
+        self, spark, tmp_path
+    ):
+        # the staleness guard: a store built from last month's corpus
+        # must not silently serve a corpus that has since changed
+        import pytest
+
+        from data_engineering_hs_spark.operators.similarity import (
+            append_to_cell_store,
+            build_ivf_store,
+            build_pq_code_store,
+            centroids,
+            ivf_adc_topk,
+            ivf_topk,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        cut = int(e.count() * 0.8)
+        base = e.filter(F.col("vec_id") < cut)
+        inc = e.filter(F.col("vec_id") >= cut)
+        q = e.filter(F.col("vec_id") < 2)
+
+        store = str(tmp_path / "pq_stale")
+        build_pq_code_store(base, cents, cb, store, m=8, bits=4)
+        # grown corpus vs base-built store: loud
+        with pytest.raises(ValueError, match="different corpus"):
+            ivf_adc_topk(e, q, cents, cb, nprobe=2, code_store=store)
+        # matching corpus: fine; opt-out also fine
+        ivf_adc_topk(base, q, cents, cb, nprobe=2, code_store=store).count()
+        ivf_adc_topk(
+            e, q, cents, cb, nprobe=2, code_store=store,
+            verify_corpus=False,
+        ).count()
+        # append the increment: the stamp folds it in and the grown
+        # corpus now verifies (and the base corpus no longer does)
+        append_to_cell_store(inc, cents, store, codebooks=cb)
+        ivf_adc_topk(e, q, cents, cb, nprobe=2, code_store=store).count()
+        with pytest.raises(ValueError, match="different corpus"):
+            ivf_adc_topk(base, q, cents, cb, nprobe=2, code_store=store)
+
+        vstore = str(tmp_path / "ivf_stale")
+        build_ivf_store(base, cents, vstore)
+        with pytest.raises(ValueError, match="different corpus"):
+            ivf_topk(e, q, cents, nprobe=2, vector_store=vstore)
+        append_to_cell_store(inc, cents, vstore)
+        ivf_topk(e, q, cents, nprobe=2, vector_store=vstore).count()
+
+    def test_append_refuses_without_meta_or_codebooks(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import pytest
+
+        from data_engineering_hs_spark.operators.similarity import (
+            append_to_cell_store,
+            build_pq_code_store,
+            centroids,
+        )
+
+        e, cb = self._setup(spark)
+        cents = centroids(e)
+        inc = e.filter(F.col("vec_id") < 10)
+        store = str(tmp_path / "pq_meta")
+        build_pq_code_store(e, cents, cb, store, m=8, bits=4)
+        with pytest.raises(ValueError, match="codebooks"):
+            append_to_cell_store(inc, cents, store)
+        os.remove(os.path.join(store, "_store_meta.json"))
+        with pytest.raises(ValueError, match="no readable"):
+            append_to_cell_store(inc, cents, store, codebooks=cb)
+
     def test_store_build_two_level_full_probe_matches_flat(
         self, spark, tmp_path
     ):

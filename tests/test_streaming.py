@@ -261,15 +261,17 @@ class TestStreamingDedupIngest:
         assert sorted(
             r.doc_id for r in spark.read.parquet(sink).collect()
         ) == [1, 2]
-        # tear the commit: rewrite partition 0 with ONLY doc 1's print
-        # (as if the job died after moving one task file into place)
+        # tear the commit: rewrite THIS RUN's partition 0 with ONLY
+        # doc 1's print (as if the job died after moving one task
+        # file into place)
         (
             batch0.filter(F.col("doc_id") == 1)
             .select(fingerprint64("text").alias("fingerprint"))
+            .withColumn("run", F.lit("main"))
             .withColumn("batch_id", F.lit(0))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("run", "batch_id")
             .parquet(store)
         )
         # replay batch 0: must rewrite the corpus partition IDENTICALLY
@@ -326,13 +328,15 @@ class TestStreamingDedupIngest:
             r.doc_id for r in spark.read.parquet(sink).collect()
         ) == [2]
         # the store reads cleanly (no conflicting-layout wedge) and the
-        # legacy print lives in batch_id=-1 with no root files left
+        # legacy print lives in run=legacy/batch_id=-1, no root files
         st = read_fingerprint_store(spark, store)
-        by_batch = {
-            r["batch_id"]: r["n"]
-            for r in st.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+        by_part = {
+            (r["run"], r["batch_id"]): r["n"]
+            for r in st.groupBy("run", "batch_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
-        assert by_batch == {-1: 1, 0: 1}
+        assert by_part == {("legacy", -1): 1, ("main", 0): 1}
         root_files = [
             f
             for f in _os.listdir(store)
@@ -341,12 +345,16 @@ class TestStreamingDedupIngest:
         ]
         assert root_files == []
 
-    def test_checkpoint_reset_against_retained_store_refused(
+    def test_wiped_checkpoint_same_run_refused_fresh_run_writes_beside(
         self, spark, tmp_path
     ):
-        # batch ids restart at 0 after a checkpoint wipe; replaying
-        # against a retained store would overwrite earlier batches'
-        # fingerprint partitions one by one — the prep must refuse
+        # batch ids restart at 0 after a checkpoint wipe. SAME
+        # checkpoint dir (same run namespace): refusing is the only
+        # safe move — the dynamic overwrite would replace this run's
+        # earlier partitions one by one. FRESH checkpoint dir (new
+        # namespace): writes land BESIDE the old run — the supported
+        # full-source-replay recovery — and old fingerprints still
+        # deduplicate.
         import pytest
         from pyspark.sql import types as T2
 
@@ -368,9 +376,26 @@ class TestStreamingDedupIngest:
         _dedup_ingest_batch(b1, 1, store, sink, "text", "doc_id")
         # a legitimate replay of the LAST batch is fine
         _dedup_ingest_batch(b1, 1, store, sink, "text", "doc_id")
-        # a reset-to-0 against the retained store is refused
-        with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        # a wiped-in-place checkpoint (same namespace, reset to 0) is
+        # refused before it can delete this run's earlier partitions
+        with pytest.raises(RuntimeError, match="wiped in place"):
             _dedup_ingest_batch(b0, 0, store, sink, "text", "doc_id")
+        # a FRESH checkpoint dir = new namespace: the full-source
+        # rerun dedups against the old run's prints and deletes nothing
+        replay = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+            schema,
+        )
+        _dedup_ingest_batch(
+            replay, 0, store, sink, "text", "doc_id", run_ns="run2"
+        )
+        got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert got == [1, 2, 3]
+        runs = {
+            r["run"]
+            for r in spark.read.parquet(store).select("run").distinct().collect()
+        }
+        assert runs == {"main", "run2"}
 
 
 class TestStreamingGuards:
