@@ -7,8 +7,16 @@ JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 One shared SparkSession; each query is timed to full materialization
-(count + a foreach no-op collect-free action) after a warmup of the
-session on a trivial job.
+after a warmup pass. Measurement is INTERLEAVED median-of-3: three
+full rounds over the query list, median per query — the SCALE.md
+measurement discipline applied to the bench itself. Back-to-back
+repeats of one query share any transient load spike, which is how
+three consecutive round totals (8.44 / 7.91 / 8.86 s) hid inside a
+±25% band; interleaving decorrelates the repeats and the emitted
+`round_totals_sec` / `spread_pct` make the remaining noise visible
+instead of implied. (Through round 10 the stat was best-of-3
+back-to-back — medians read slightly higher than old bests on
+identical code.)
 """
 
 from __future__ import annotations
@@ -53,27 +61,37 @@ def main() -> None:
     spark.range(1000).count()
 
     headline = [name for name, q in sorted(REGISTRY.items()) if q.bench]
-    timings: dict[str, float] = {}
+    # Warmup pass: parquet footers, codegen, broadcast build — paid
+    # once per query, outside every measured window.
     for name in headline:
-        fn = REGISTRY[name].fn
-        # Steady-state timing: one warmup run (parquet footers, codegen,
-        # broadcast build), then best of three measured runs — this box
-        # shows ±25% load noise between identical runs, and the driver
-        # records a single bench per round.
-        fn(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(3):
+        REGISTRY[name].fn(spark, sf_dir).count()
+    # Three INTERLEAVED rounds: every query once per round, so one
+    # load spike lands in at most one of each query's three readings.
+    rounds: list[dict[str, float]] = []
+    for _ in range(3):
+        r: dict[str, float] = {}
+        for name in headline:
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            n = REGISTRY[name].fn(spark, sf_dir).count()
+            r[name] = time.perf_counter() - t0
             assert n >= 0
-        timings[name] = round(best, 4)
+        rounds.append(r)
+    timings = {
+        name: round(sorted(rd[name] for rd in rounds)[1], 4)
+        for name in headline
+    }
     total = round(sum(timings.values()), 4)
     # the frozen subset must stay INTACT to mean anything round-over-
     # round: a silently shrunken sum would read as a perf win
     missing = [n for n in COMPARABLE_14 if n not in timings]
     assert not missing, f"comparable_14 queries missing from bench: {missing}"
     comparable = round(sum(timings[n] for n in COMPARABLE_14), 4)
+    round_totals = [
+        round(sum(rd[n] for n in COMPARABLE_14), 4) for rd in rounds
+    ]
+    spread_pct = round(
+        100.0 * (max(round_totals) - min(round_totals)) / comparable, 1
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -82,6 +100,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "comparable_14_sec": comparable,
+                "stat": "median3_interleaved",
+                "round_totals_sec": round_totals,
+                "spread_pct": spread_pct,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

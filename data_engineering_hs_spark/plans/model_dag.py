@@ -160,7 +160,18 @@ class ModelRunner:
         """delete+insert on unique_key (fct_orders incremental_strategy):
         partitions containing refreshed keys are rewritten with
         old-rows-minus-refreshed-keys ∪ fresh rows; untouched
-        partitions never rewrite (dynamic overwrite)."""
+        partitions never rewrite (dynamic overwrite).
+
+        CRASH CONTRACT: the dynamic overwrite and the emptied-
+        partition removal below are two steps; a crash between them
+        leaves moved keys present in BOTH their old (ghost) and new
+        partitions. That state is healed by RERUNNING THE SAME
+        INCREMENT (the ghost partition re-enters `touched` via
+        old_parts and `emptied` removes it) — the run raised, so the
+        operator reruns it, same as any failed dbt run. Do NOT skip
+        to the next increment after a failure: one that no longer
+        carries the moved keys leaves the ghost rows in place
+        permanently."""
         assert m.unique_key and m.partition_by, "incremental needs key+partition"
         path = self._target_path(m)
         if not os.path.exists(path):

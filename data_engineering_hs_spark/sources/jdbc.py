@@ -183,7 +183,12 @@ def jdbc_upsert_batch(
     insert-if-absent by default (the reference's ON CONFLICT DO
     NOTHING); update_on_match=True also updates non-key columns
     (full upsert). Batch rows are deduped on the keys first so the
-    upsert source is conflict-free. `string_type` is the SQL type
+    upsert source is conflict-free — dropDuplicates keeps an
+    ARBITRARY row per key, which is immaterial for DO NOTHING but
+    means update_on_match with intra-batch key conflicts applies an
+    unspecified one of them; pre-reduce the batch (e.g. max by a
+    sequence column, as streaming_cdc_apply does with seq_col) when
+    the winner matters. `string_type` is the SQL type
     string columns are created as (Derby can't MERGE-compare the
     CLOBs Spark maps strings to); widen it for long text payloads —
     a value longer than the cap fails the staging write loudly.

@@ -36,6 +36,25 @@ _MARKER = "_LATEST"
 _COMMITTED = "_COMMITTED"
 
 
+def _require_local_root(root: str, op: str) -> None:
+    """Reject URI roots up front: every probe here is os.path and the
+    commit point is os.replace, so on 's3a://…' os.makedirs would
+    CREATE a literal local directory named 's3a:/…' and the publish
+    would 'succeed' invisibly to every remote reader — the silent
+    wrongness the docstring's driver-local restriction exists to
+    prevent (same guard as streaming_cdc_apply / ModelRunner)."""
+    from urllib.parse import urlparse
+
+    if urlparse(root).scheme:
+        raise ValueError(
+            f"{op} requires a driver-local root (got {root!r}): the "
+            "marker flip is a POSIX os.replace and the probes are "
+            "os.path, which URIs (s3a/hdfs/abfs — and file://, pass "
+            "the plain path) don't support; remote publishing needs a "
+            "transactional table format"
+        )
+
+
 def _versions(root: str) -> list[int]:
     if not os.path.isdir(root):
         return []
@@ -78,6 +97,7 @@ def publish(tables: dict[str, DataFrame], root: str) -> int:
     crashed orphan below a LATER committed version would silently
     become "readable" torn time-travel data.
     """
+    _require_local_root(root, "publish")
     os.makedirs(root, exist_ok=True)
     seen = _versions(root)
     version = (max(seen) + 1) if seen else 1
@@ -113,6 +133,7 @@ def read_published(
     one, whatever their version number — so neither an orphan below
     the marker nor a concurrent publisher's higher complete version
     is misclassified)."""
+    _require_local_root(root, "read_published")
     committed = current_version(root)
     if committed is None:
         raise FileNotFoundError(f"nothing published under {root}")
@@ -147,6 +168,7 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
     indistinguishable from a publish IN FLIGHT, so a concurrent
     vacuum could tear it down mid-stage — the same single-writer
     caveat as compact_parquet's swap."""
+    _require_local_root(root, "vacuum")
     committed = current_version(root)
     if committed is None:
         return []

@@ -71,6 +71,22 @@ class TestPublish:
         with pytest.raises(FileNotFoundError):
             read_published(spark, str(tmp_path / "nothing"), "t")
 
+    def test_remote_root_rejected_up_front(self, spark, tmp_path):
+        # every probe is os.path and the commit is os.replace: on a
+        # URI root, os.makedirs would create a literal local 's3a:/…'
+        # dir and the publish would 'succeed' invisibly to any remote
+        # reader — reject loudly instead (streaming_cdc_apply pattern)
+        from data_engineering_hs_spark.sources.publish import vacuum
+
+        df = spark.range(1)
+        for call in (
+            lambda: publish({"t": df}, "s3a://bucket/pub"),
+            lambda: read_published(spark, "hdfs://nn/pub", "t"),
+            lambda: vacuum("s3a://bucket/pub"),
+        ):
+            with pytest.raises(ValueError, match="driver-local root"):
+                call()
+
 
 def test_time_travel_reads_explicit_version(spark, tmp_path):
     from data_engineering_hs_spark.sources.publish import (
