@@ -1629,6 +1629,17 @@ def append_to_cell_store(
     cannot be appended to (raises): guessing the parameters is how a
     store decodes garbage silently.
 
+    PARALLELISM: the increment's nearest-centroid assignment (k dots
+    per row — the dominant stage) parallelizes at min(byte-splits,
+    ROW GROUPS) of the increment's files, NOT its row count: a 100k
+    increment in one small parquet file runs the whole assignment on
+    1-2 tasks (measured 37 s one-file vs 5.7 s repartitioned at
+    1M+10%, SCALE.md round 11 — the same min(splits, row-groups)
+    lesson the r10 store A/B recorded for reads). Repartition a few-file
+    increment after reading it; the operator does not repartition for
+    you because a well-partitioned large increment would pay a
+    pointless full-vector shuffle.
+
     CONTRACT: ``new_rows`` are NEW ids only (dedupe upstream — the
     store is append-only and a re-sent id would be served twice);
     centers/codebooks must be the build-time ones (same contract as
