@@ -217,8 +217,12 @@ def optimize_table(
     import math
     import os
 
-    from data_engineering_hs_spark.sources.parquet import compact_parquet
+    from data_engineering_hs_spark.sources.parquet import (
+        _require_local_swap_path,
+        compact_parquet,
+    )
 
+    _require_local_swap_path(path, "optimize_table")
     if not zorder_cols:
         return compact_parquet(
             spark, path, target_file_bytes=target_file_bytes

@@ -246,7 +246,7 @@ class ModelRunner:
         # resolve the ON-DISK names (percent-escaped values, NULL as
         # __HIVE_DEFAULT_PARTITION__) — a hand-built f"{col}={v}"
         # missed exactly those, leaving ghost partitions behind
-        remove_partition_dirs(path, m.partition_by, emptied)
+        remove_partition_dirs(self.spark, path, m.partition_by, emptied)
         return self.spark.read.parquet(path)
 
     # -- graph / selectors -------------------------------------------------

@@ -51,6 +51,23 @@ def read_pruned(
     return df
 
 
+def _require_local_swap_path(path: str, op: str) -> None:
+    """The rename-aside swap (swap_in/recover_swap) is POSIX os.replace
+    and the file listings are os.listdir — reject URI paths up front
+    (streaming_cdc_apply pattern) instead of dying mid-protocol with a
+    confusing FileNotFoundError after work was already done."""
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme:
+        raise ValueError(
+            f"{op} requires a driver-local path (got {path!r}): the "
+            "crash-safe swap is POSIX renames, which URIs (s3a/hdfs/"
+            "abfs — and file://, pass the plain path) don't support; "
+            "compact remote tables with a transactional format's "
+            "OPTIMIZE"
+        )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -83,6 +100,8 @@ def compact_parquet(
     import math
     import os
     import shutil
+
+    _require_local_swap_path(path, "compact_parquet")
 
     def data_files(d: str) -> list[str]:
         return [
@@ -148,6 +167,7 @@ def recover_swap(path: str, tmp_suffixes: tuple[str, ...] = ("__compact", "__mer
     import os
     import shutil
 
+    _require_local_swap_path(path, "recover_swap")
     norm = path.rstrip("/")
     old = norm + ".__old"
     tmps = [norm + "." + s for s in tmp_suffixes]
@@ -239,7 +259,7 @@ def delete_keys_partitioned(
         r[0] for r in kept.select(partition_col).distinct().collect()
     }
     gone = [v for v in parts if v not in kept_parts]
-    remove_partition_dirs(path, partition_col, gone)
+    remove_partition_dirs(spark, path, partition_col, gone)
     return {
         "partitions_rewritten": len(parts),
         "rows_deleted": before - kept_n,
@@ -247,15 +267,18 @@ def delete_keys_partitioned(
 
 
 def remove_partition_dirs(
-    path: str, partition_col: str, values: "list"
+    spark: SparkSession, path: str, partition_col: str, values: "list"
 ) -> int:
     """Delete the on-disk directories of the given partition VALUES,
     resolving Spark's physical names: special chars (: / % = #) are
     percent-escaped and NULL is spelled __HIVE_DEFAULT_PARTITION__,
     so a hand-built f"{col}={v}" path misses exactly the values that
-    get escaped. Returns the number of directories removed."""
-    import os
-    import shutil
+    get escaped. Listing and deletion go through SPARK'S filesystem
+    (not os.listdir), so the callers that pair this with a dynamic
+    partition overwrite — delete_keys_partitioned's GDPR job runs
+    against object stores by nature — work on any URI instead of
+    succeeding the rewrite and then dying on a driver-local listing.
+    Returns the number of directories removed."""
     from urllib.parse import unquote
 
     if not values:
@@ -264,13 +287,19 @@ def remove_partition_dirs(
     gone_null = any(v is None for v in values)
     prefix = f"{partition_col}="
     removed = 0
-    for d in os.listdir(path):
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        d = st.getPath().getName()
         if not d.startswith(prefix):
             continue
         raw = d[len(prefix):]
         if (raw == "__HIVE_DEFAULT_PARTITION__" and gone_null) or (
             raw != "__HIVE_DEFAULT_PARTITION__" and unquote(raw) in gone_strs
         ):
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            fs.delete(st.getPath(), True)
             removed += 1
     return removed

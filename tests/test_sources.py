@@ -459,6 +459,25 @@ class TestSwapRecovery:
         with _pytest.raises(FileNotFoundError):
             recover_swap(str(tmp_path / "absent"))
 
+    def test_swap_entry_points_reject_remote_paths(self, spark):
+        # the swap is POSIX renames + os.listdir; a URI path must be
+        # refused up front, not die mid-protocol after the rewrite
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.scale import optimize_table
+        from data_engineering_hs_spark.sources.parquet import (
+            compact_parquet,
+            recover_swap,
+        )
+
+        for call in (
+            lambda: compact_parquet(spark, "s3a://bucket/t"),
+            lambda: recover_swap("hdfs://nn/t"),
+            lambda: optimize_table(spark, "s3a://bucket/t", ["a"]),
+        ):
+            with _pytest.raises(ValueError, match="driver-local path"):
+                call()
+
 
 class TestDeleteKeysPartitioned:
     def test_deletes_only_affected_partitions(self, spark, tmp_path):
