@@ -46,6 +46,44 @@ def enrich_batch(batch: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+def _refuse_batch_regression(spark, path: str, batch_id: int, what: str) -> None:
+    """Refuse a stream whose batch ids regressed below the sink's
+    committed partitions — the wiped-checkpoint state. These sinks
+    dynamically overwrite ``batch_id=N`` partitions for replay
+    idempotency, so a restart-at-0 against a retained directory would
+    DELETE old batches' rows one partition at a time (and, for an
+    append-shaped sink, a fresh checkpoint replaying the whole source
+    into batch 0 leaves batches 1..N behind as duplicates — also
+    wrong). A legitimate crash-replay only re-runs the LAST batch, so
+    max(on-disk batch_id) <= incoming is the invariant. One driver-
+    side Hadoop-FS listing per batch (any URI)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    max_batch = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                max_batch = max(
+                    max_batch if max_batch is not None else -(2**62),
+                    int(name.split("=", 1)[1]),
+                )
+            except ValueError:
+                pass
+    if max_batch is not None and max_batch > batch_id:
+        raise RuntimeError(
+            f"{what} at {path} already holds batch_id={max_batch} but "
+            f"the stream is (re)starting at batch {batch_id}: the "
+            "checkpoint was reset while the sink was retained. "
+            "Proceeding would overwrite earlier batches' partitions "
+            "(deleting their rows). Point the restarted stream at a "
+            "FRESH directory, or delete checkpoint and sink together."
+        )
+
+
 def kafka_shaped_ingest(
     stream: DataFrame,
     decode,  # DataFrame -> DataFrame adding a struct col `data`
@@ -73,6 +111,9 @@ def kafka_shaped_ingest(
             write_partitioned,
         )
 
+        _refuse_batch_regression(
+            batch.sparkSession, sink_dir, batch_id, "kafka_shaped_ingest sink"
+        )
         out = enrich_batch(batch, batch_id)
         # Dynamic overwrite of THIS batch's partition: a replay after a
         # mid-write failure (checkpoint not yet committed) rewrites the
@@ -140,6 +181,11 @@ def file_watch_ingest(
             # checkpoint commit) rewrites ITS OWN partition
             # instead of duplicating quarantine rows — same
             # idempotency discipline as the good-row upsert
+            # (good rows need no batch guard: upsert_parquet is
+            # anti-join append, batch-id-independent)
+            _refuse_batch_regression(
+                spark, quarantine_dir, batch_id, "file_watch_ingest quarantine"
+            )
             write_partitioned(
                 bad.withColumn("batch_id", F.lit(batch_id)),
                 quarantine_dir,

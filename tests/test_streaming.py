@@ -399,6 +399,31 @@ class TestStreamingDedupIngest:
 
 
 class TestStreamingGuards:
+    def test_batch_regression_guard(self, spark, tmp_path):
+        # the batch_id-overwrite sinks (kafka_shaped_ingest,
+        # file_watch_ingest quarantine) refuse a stream restarting
+        # below the sink's committed partitions — the wiped-checkpoint
+        # state that would delete old batches' rows one by one
+        import os
+
+        import pytest
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _refuse_batch_regression,
+        )
+
+        sink = str(tmp_path / "sink")
+        # absent sink: fine at any batch
+        _refuse_batch_regression(spark, sink, 0, "t")
+        os.makedirs(os.path.join(sink, "batch_id=0"))
+        os.makedirs(os.path.join(sink, "batch_id=1"))
+        # replay of the LAST batch and progress are fine
+        _refuse_batch_regression(spark, sink, 1, "t")
+        _refuse_batch_regression(spark, sink, 2, "t")
+        # regression below the committed max is refused
+        with pytest.raises(RuntimeError, match="checkpoint was reset"):
+            _refuse_batch_regression(spark, sink, 0, "t")
+
     def test_file_watch_predicate_requires_quarantine(self, spark, tmp_path):
         import pytest
         from pyspark.sql import functions as F
