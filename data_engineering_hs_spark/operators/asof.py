@@ -53,7 +53,14 @@ def asof_join(
     rstruct_cols = list(value_cols)
     if ts_tiebreak and ts_tiebreak not in rstruct_cols:
         rstruct_cols.append(ts_tiebreak)
-    tagged_right = right.select(
+    # A NULL-ts right row can never be "the most recent row <= ts" —
+    # but ascending sort puts NULLs FIRST, so without this filter it
+    # sat at the window's start and matched every left row that had no
+    # real predecessor (found live: window form returned the null-ts
+    # row where merge_asof returns no match). Null-ts LEFT rows need
+    # no special case: they sort before every right row and correctly
+    # carry a null match.
+    tagged_right = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

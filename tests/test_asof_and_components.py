@@ -60,6 +60,33 @@ class TestAsofJoin:
         got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
         assert got == EXPECTED_BACKWARD
 
+    def test_null_ts_right_rows_never_match(self, spark):
+        # ascending sort puts NULLs FIRST: without the right-side
+        # filter a null-ts quote sat at every window's start and
+        # matched trades that had no real predecessor — diverging
+        # from merge_asof (which never matches null keys). Both forms
+        # must agree: no match.
+        from pyspark.sql import types as T
+
+        trades = spark.createDataFrame([("A", 5.0, 1)], ["sym", "t", "trade_id"])
+        qschema = T.StructType(
+            [
+                T.StructField("sym", T.StringType()),
+                T.StructField("t", T.DoubleType()),
+                T.StructField("px", T.DoubleType()),
+            ]
+        )
+        quotes = spark.createDataFrame(
+            [("A", None, 9.9), ("A", 100.0, 1.0)], qschema
+        )
+        for fn in (asof_join, asof_join_pandas):
+            out = fn(
+                trades, quotes, on="sym", left_ts="t", right_ts="t",
+                value_cols=["px"],
+            )
+            got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+            assert got == {1: None}, fn.__name__
+
     def test_pandas_form_forward_direction(self, spark):
         trades, quotes = _fixture(spark)
         out = asof_join_pandas(
