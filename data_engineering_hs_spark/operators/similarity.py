@@ -1527,6 +1527,59 @@ def _verify_store_corpus(
         )
 
 
+def compact_cell_store(
+    spark, path: str, files_per_cell: int = 1
+) -> dict:
+    """Collapse an appended cell store back to ``files_per_cell``
+    files per cell — the compaction step of the build → append* →
+    compact lifecycle. Each append_to_cell_store call adds one file
+    per touched cell, so query-time opens grow as nprobe ·
+    appends-per-cell (SCALE.md round 11 counted it); this rewrites
+    the SAME rows into the canonical layout. Content is unchanged, so
+    the _store_meta.json sidecar (params + corpus stamp) carries over
+    verbatim and verify_corpus keeps matching.
+
+    Crash-safe via the shared rename-aside swap (sources.parquet.
+    swap_in): the compacted copy stages beside the store, the swap is
+    two POSIX renames, and recover_swap finishes any crash point.
+    DRIVER-LOCAL paths only, like every swap caller — a remote store
+    compacts by rebuilding (or a transactional format's OPTIMIZE).
+    Returns {"files_before", "files_after"}.
+    """
+    import json
+    import os
+
+    from data_engineering_hs_spark.sources.parquet import (
+        _require_local_swap_path,
+        swap_in,
+    )
+
+    _require_local_swap_path(path, "compact_cell_store")
+    meta_path = os.path.join(path, _CELL_STORE_META)
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
+    id_col = (meta or {}).get("id_col")
+
+    def n_files(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = n_files(path)
+    df = spark.read.parquet(path)
+    if id_col is None:
+        id_col = [c for c in df.columns if c != "cell"][0]
+    norm = path.rstrip("/")
+    tmp = norm + ".__compact"
+    _salted_cell_write(df, tmp, id_col, files_per_cell, mode="overwrite")
+    if meta is not None:
+        _write_store_meta(tmp, **meta)
+    swap_in(tmp, norm)
+    return {"files_before": before, "files_after": n_files(norm)}
+
+
 def read_cell_store(spark, path: str, probed_cells) -> DataFrame:
     """Partition-pruned read of a cell-partitioned store directory
     (build_pq_code_store or build_ivf_store) — only the probed cells'
@@ -1646,8 +1699,8 @@ def append_to_cell_store(
     the query paths, param-checked here too). Appends accumulate one
     file (``files_per_cell`` when salted) per touched cell per call —
     nprobe · files-per-cell opened at query time grows with append
-    count, so compact by rebuilding when increments pile up (the
-    bucketed-table compaction note in NEXT.md applies). NOT atomic:
+    count, so run compact_cell_store when increments pile up (same
+    rows, canonical one-file-per-cell layout, meta/stamp preserved). NOT atomic:
     files land at job commit and the stamp updates after — a crash
     in between leaves the stamp stale, which the query-time
     verify_corpus check then reports loudly (rebuild to recover).

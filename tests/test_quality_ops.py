@@ -1373,6 +1373,58 @@ class TestProductQuantization:
         append_to_cell_store(inc, cents, vstore)
         ivf_topk(e, q, cents, nprobe=2, vector_store=vstore).count()
 
+    def test_compact_cell_store_restores_layout_and_content(
+        self, spark, tmp_path
+    ):
+        # build -> append -> append accretes one file per cell per
+        # call; compaction rewrites the same rows back to one file per
+        # cell with content, meta params and corpus stamp all intact
+        import os
+
+        import pytest
+
+        from data_engineering_hs_spark.operators.similarity import (
+            _verify_store_corpus,
+            append_to_cell_store,
+            build_ivf_store,
+            centroids,
+            compact_cell_store,
+            ivf_topk,
+        )
+
+        e, _cb = self._setup(spark)
+        cents = centroids(e)
+        n = e.count()
+        a = e.filter(F.col("vec_id") < n * 0.6)
+        b = e.filter((F.col("vec_id") >= n * 0.6) & (F.col("vec_id") < n * 0.8))
+        c = e.filter(F.col("vec_id") >= n * 0.8)
+        store = str(tmp_path / "ivf_compact")
+        build_ivf_store(a, cents, store)
+        append_to_cell_store(b, cents, store)
+        append_to_cell_store(c, cents, store)
+        key = lambda r: (r["vec_id"], r["cell"], tuple(r["embedding"]))
+        pre = {key(r) for r in spark.read.parquet(store).collect()}
+        stats = compact_cell_store(spark, store)
+        assert stats["files_after"] < stats["files_before"]
+        cell_dirs = [d for d in os.listdir(store) if d.startswith("cell=")]
+        for d in cell_dirs:
+            files = [
+                f
+                for f in os.listdir(os.path.join(store, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, d
+        post = {key(r) for r in spark.read.parquet(store).collect()}
+        assert post == pre
+        # meta (params + corpus stamp) carried over: the full corpus
+        # still verifies and the store still serves
+        _verify_store_corpus(e, store, "vec_id")
+        q = e.filter(F.col("vec_id") < 2)
+        assert ivf_topk(e, q, cents, k=3, nprobe=2, vector_store=store).count() == 6
+        # remote paths refused (swap protocol is POSIX renames)
+        with pytest.raises(ValueError, match="driver-local path"):
+            compact_cell_store(spark, "s3a://bucket/store")
+
     def test_append_refuses_without_meta_or_codebooks(
         self, spark, tmp_path
     ):
