@@ -247,6 +247,8 @@ _MEASURED_SEC = {
     "s_hier_assign": 3.0,
     # r9 second session (sweep-measured Spark+oracle at sf0.01)
     "s_ivf_adc_topk": 17.6,
+    # r11 additions (sweep-measured Spark+oracle at sf0.01)
+    "s_ivf_adc_store": 15.3, "s_ivf_store_append": 12.3,
 }
 
 

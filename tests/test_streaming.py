@@ -95,6 +95,44 @@ class TestKafkaShapedIngest:
         q3.awaitTermination()
         assert spark.read.parquet(sink).count() == 3
 
+    def test_wiped_checkpoint_refused_end_to_end(self, spark, tmp_path):
+        # a MULTI-batch run followed by a fresh checkpoint against the
+        # retained sink: replayed batch 0 would overwrite the old
+        # batch_id=0 partition and leave batch 1 behind as duplicates
+        # — the guard must surface through the stream, not just the
+        # helper
+        import pytest
+        from pyspark.errors import StreamingQueryException
+
+        src = str(tmp_path / "topic2")
+        sink = str(tmp_path / "sink2")
+        ckpt = str(tmp_path / "ckpt2")
+        _avro_event_files(spark, src, [EVENTS_B1, EVENTS_B2])
+
+        def decode(df):
+            return A.decode_avro_column(df, "value", KAFKA_EVENT_AVRO_SCHEMA)
+
+        def one_file_stream():
+            return (
+                spark.readStream.schema(VALUE_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        q = kafka_shaped_ingest(one_file_stream(), decode, sink, ckpt)
+        q.awaitTermination()
+        batches = {
+            r["batch_id"]
+            for r in spark.read.parquet(sink).select("batch_id").distinct().collect()
+        }
+        assert batches == {0, 1}
+        ckpt_wiped = str(tmp_path / "ckpt2_wiped")
+        q2 = kafka_shaped_ingest(one_file_stream(), decode, sink, ckpt_wiped)
+        with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+            q2.awaitTermination()
+        # nothing was deleted: both original batches intact
+        assert spark.read.parquet(sink).count() == 3
+
 
 FUEL_SCHEMA = T.StructType(
     [
