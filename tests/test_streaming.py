@@ -240,7 +240,7 @@ class TestStreamingDedupIngest:
         q = streaming_dedup_ingest(
             spark.readStream.schema(schema).parquet(src), store, sink, ckpt
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), 'stream drain timed out'
         got1 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
         assert got1 == [1, 2]
 
@@ -251,7 +251,7 @@ class TestStreamingDedupIngest:
         q2 = streaming_dedup_ingest(
             spark.readStream.schema(schema).parquet(src), store, sink, ckpt
         )
-        q2.awaitTermination(120)
+        assert q2.awaitTermination(300), 'stream drain timed out'
         got2 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
         assert got2 == [1, 2, 11]
 
@@ -262,7 +262,7 @@ class TestStreamingDedupIngest:
         q3 = streaming_dedup_ingest(
             spark.readStream.schema(schema).parquet(src), store, sink, ckpt2
         )
-        q3.awaitTermination(120)
+        assert q3.awaitTermination(300), 'stream drain timed out'
         got3 = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
         assert got3 == [1, 2, 11]
 
@@ -536,7 +536,7 @@ class TestStreamingCdcApply:
         q = streaming_cdc_apply(
             spark.readStream.schema(schema).parquet(src), table, ckpt, keys=["k"]
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), 'stream drain timed out'
         got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
         assert got == [(1, "a"), (2, "B2"), (4, "d")]
 
@@ -547,7 +547,7 @@ class TestStreamingCdcApply:
         q2 = streaming_cdc_apply(
             spark.readStream.schema(schema).parquet(src), table, ckpt2, keys=["k"]
         )
-        q2.awaitTermination(120)
+        assert q2.awaitTermination(300), 'stream drain timed out'
         got2 = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
         assert got2 == got
 
@@ -559,7 +559,7 @@ class TestStreamingCdcApply:
         q3 = streaming_cdc_apply(
             spark.readStream.schema(schema).parquet(src), table, ckpt, keys=["k"]
         )
-        q3.awaitTermination(120)
+        assert q3.awaitTermination(300), 'stream drain timed out'
         got3 = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
         assert got3 == [(1, "a"), (2, "B2"), (5, "e")]
 
@@ -652,7 +652,7 @@ class TestStreamingCdcApplyEdges:
             keys=["k"],
         )
         try:
-            q.awaitTermination(120)
+            assert q.awaitTermination(300), 'stream drain timed out'
         except Exception:
             pass
         assert q.exception() is not None
@@ -688,7 +688,7 @@ class TestStreamingCdcApplyEdges:
             keys=["k"],
             seq_col="seq",
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), 'stream drain timed out'
         assert q.exception() is None
         got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
         assert got == [(1, "a"), (2, "B3")]
@@ -720,7 +720,7 @@ class TestStreamingCdcApplyEdges:
             str(tmp_path / "ckpt"),
             keys=["k"],
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), 'stream drain timed out'
         assert q.exception() is None
         got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
         assert got == [(1, "a"), (2, "b"), (5, "e")]
