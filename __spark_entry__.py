@@ -129,19 +129,23 @@ def _driver_verified() -> frozenset[str]:
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
 _RECHECK_THIS_ROUND = frozenset(
     {
-        # r9: semdedup assignment routed through assign_nearest_centroid
-        # + hot-cluster cap + truncated column
-        "s_semdedup",
-        # r9: mmr_select output schema now derived from the input id type
-        "s_mmr_diversify",
-        # r9: dot_pandas/_pair_arrays ragged-batch zero-padding
-        "s_cosine_topk_arrow",
-        # r9: detect_gaps numeric path drops the truncating long cast
-        "ts_gap_detection",
-        # r9: incremental materialization null-safe partition joins +
-        # shared on-disk partition-dir resolution
-        "m_fct_order_totals",
-        "m_incremental_mv",
+        # r11: asof_join null-ts right rows no longer match left rows
+        # with no real predecessor (window form agreed with merge_asof)
+        "j_asof_last_click",
+        "c_pit_join",
+        # r11: boilerplate_ratio rejoin distinct-per-id (dup-id
+        # cardinality fix)
+        "t_boilerplate_ratio",
+        # r11: dup_groups rejects max_iters < 1 (was silent identity
+        # labels); all three component rows route through it
+        "d_dup_components",
+        "d_dup_components_lsh",
+        "d_dup_components_star",
+        # r11: verify_corpus default-on adds a stamp-check agg job to
+        # the store-backed query paths
+        "s_ivf_topk",
+        "s_ivf_adc_topk",
+        "s_ivf_adc_store",
     }
 )
 
