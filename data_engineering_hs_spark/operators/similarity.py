@@ -338,10 +338,18 @@ def ivf_topk(
     batches. IN STORE MODE THE STORE IS THE CORPUS: candidates come
     exclusively from its files (the corpus argument supplies only the
     session), so a corpus filtered or grown since the build is NOT
-    honored — append_to_cell_store new rows, or rebuild. The corpus
-    argument IS fingerprint-checked against the store's build stamp
-    (verify_corpus=False skips the one-column scan). Mutually
-    exclusive with super_k (the
+    honored — append_to_cell_store new rows, or rebuild.
+
+    CONTRACT CHANGE (round 11): the corpus argument is now
+    fingerprint-checked against the store's build stamp BY DEFAULT —
+    earlier docs read 'the corpus argument supplies only the session',
+    so a caller passing a placeholder frame will now get a ValueError
+    at query time against any stamped store. That error means the
+    check is doing its job (a placeholder can't certify freshness);
+    pass the real served corpus, or verify_corpus=False to opt out
+    and skip the one-column scan (e.g. a hot serving loop re-querying
+    an unchanged corpus). Pre-stamp stores skip the check either way.
+    Mutually exclusive with super_k (the
     two-level quantizer routes the inline assignment the store
     replaces; silently ignoring it would hide a caller mistake).
     """
@@ -1080,6 +1088,12 @@ def ivf_adc_topk(
     from the corpus drop at the inner join) — the static parameters
     (m/bits/dim/column names) are checked against the store's
     _store_meta.json and mismatch raises.
+
+    CONTRACT CHANGE (round 11): the corpus is also fingerprint-checked
+    against the store's corpus stamp BY DEFAULT (here the corpus is
+    genuinely load-bearing — the rerank joins it, so staleness means
+    silently dropped neighbors). verify_corpus=False opts out of the
+    one-column scan; pre-stamp stores skip the check either way.
     """
     if code_store is not None:
         _check_store_meta(
@@ -1305,13 +1319,34 @@ def build_pq_code_store(
 _CELL_STORE_META = "_store_meta.json"
 
 
-def _is_local_store_path(path: str) -> bool:
-    """True when `path` is a driver-local filesystem path (no scheme,
-    or an explicit file: scheme) — the case where the meta sidecar is
-    writable with plain open() and a write failure is a REAL error."""
+def _local_store_dir(path: str) -> str | None:
+    """Driver-local directory for a store `path`, or None for remote
+    URIs (s3a://, hdfs://, …). Spark's writers accept ``file://`` URIs
+    but plain open()/os.path do NOT parse them — strip the scheme so
+    the meta sidecar lands beside (and is found beside) the data
+    instead of raising a raw FileNotFoundError AFTER the expensive
+    distributed write already completed. Schemeless paths return
+    unchanged."""
     from urllib.parse import urlparse
 
-    return urlparse(path).scheme in ("", "file")
+    parsed = urlparse(path)
+    if parsed.scheme == "":
+        return path
+    if parsed.scheme == "file":
+        return parsed.path or "/"
+    return None
+
+
+def _store_meta_path(path: str) -> str:
+    """Sidecar path for reads: the local dir when the store is local
+    (scheme stripped for file://), else the raw join — which
+    os.path.exists then reports missing, degrading to the documented
+    no-sidecar contract for remote stores."""
+    import os
+
+    local = _local_store_dir(path)
+    return os.path.join(local if local is not None else path,
+                        _CELL_STORE_META)
 
 
 def _write_store_meta(path: str, **params) -> None:
@@ -1320,18 +1355,21 @@ def _write_store_meta(path: str, **params) -> None:
     leading-underscore file is invisible to the parquet scan).
     Best-effort ONLY for non-local store URIs (s3://, hdfs://): there
     the sidecar is skipped and _check_store_meta degrades to the
-    documented caller contract. On a driver-local path an OSError
-    (permissions, disk full) PROPAGATES — swallowing it would
+    documented caller contract. On a driver-local path — including a
+    ``file://`` URI, whose scheme is stripped before open() — an
+    OSError (permissions, disk full) PROPAGATES: swallowing it would
     silently disable the m/bits/dim mismatch guard and a later
     mismatched query would decode garbage with no error."""
     import json
     import os
 
+    local = _local_store_dir(path)
     try:
-        with open(os.path.join(path, _CELL_STORE_META), "w") as fh:
+        target = local if local is not None else path
+        with open(os.path.join(target, _CELL_STORE_META), "w") as fh:
             json.dump(params, fh, indent=0, sort_keys=True)
     except OSError:
-        if _is_local_store_path(path):
+        if local is not None:
             raise
 
 
@@ -1345,7 +1383,7 @@ def _check_store_meta(path: str, **expected) -> None:
     import json
     import os
 
-    meta_path = os.path.join(path, _CELL_STORE_META)
+    meta_path = _store_meta_path(path)
     if not os.path.exists(meta_path):
         return
     recorded = json.load(open(meta_path))
@@ -1505,7 +1543,7 @@ def _verify_store_corpus(
     import json
     import os
 
-    meta_path = os.path.join(path, _CELL_STORE_META)
+    meta_path = _store_meta_path(path)
     if not os.path.exists(meta_path):
         return
     recorded = json.load(open(meta_path))
@@ -1555,7 +1593,7 @@ def compact_cell_store(
     )
 
     _require_local_swap_path(path, "compact_cell_store")
-    meta_path = os.path.join(path, _CELL_STORE_META)
+    meta_path = _store_meta_path(path)
     meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
     id_col = (meta or {}).get("id_col")
 
@@ -1704,11 +1742,24 @@ def append_to_cell_store(
     files land at job commit and the stamp updates after — a crash
     in between leaves the stamp stale, which the query-time
     verify_corpus check then reports loudly (rebuild to recover).
+
+    SINGLE WRITER ONLY (the compact_parquet contract): the stamp
+    update is read-modify-write on _store_meta.json, so two concurrent
+    appends — or an append racing compact_cell_store's swap — would
+    last-writer-win and lose the other's XOR fold, after which
+    verify_corpus refuses a store that is actually complete (loud,
+    but a false refusal). Serialize maintenance externally. As a cheap
+    tripwire the sidecar is RE-READ just before the stamp write and a
+    drift since this append's read raises RuntimeError — the store
+    rows from both writers are intact (parquet appends don't collide);
+    re-stamp by running a no-op append of zero rows after re-counting,
+    or rebuild. The tripwire cannot catch every interleaving (two
+    appends can both read before either writes) — it is a contract
+    check, not a lock.
     """
     import json
-    import os
 
-    meta_path = os.path.join(path, _CELL_STORE_META)
+    meta_path = _store_meta_path(path)
     try:
         recorded = json.load(open(meta_path))
     except OSError:
@@ -1717,6 +1768,7 @@ def append_to_cell_store(
             "append needs the build parameters (kind, columns, m/bits/"
             "dim, assignment mode); rebuild the store to (re)create it"
         )
+    meta_at_read = dict(recorded)
     kind = recorded.get("kind")
     id_col, vec_col = recorded["id_col"], recorded["vec_col"]
     if kind == "pq_code":
@@ -1754,6 +1806,23 @@ def append_to_cell_store(
             _corpus_stamp(
                 new_rows.sparkSession.read.parquet(path), id_col
             )
+        )
+    # single-writer tripwire: another writer touched the sidecar since
+    # this append read it — writing now would lose its fold (see
+    # docstring). The data files from both writers are already safely
+    # appended; only the stamp is in question.
+    try:
+        current = json.load(open(meta_path))
+    except OSError:
+        current = None
+    if current != meta_at_read:
+        raise RuntimeError(
+            f"_store_meta.json at {path} changed while this append ran "
+            "(single-writer contract violated — a concurrent append or "
+            "compact_cell_store). This append's rows ARE in the store; "
+            "the corpus stamp is now uncertain and was NOT overwritten. "
+            "Serialize maintenance, then re-certify the stamp (rebuild, "
+            "or re-stamp from a full store scan)."
         )
     _write_store_meta(path, **recorded)
 

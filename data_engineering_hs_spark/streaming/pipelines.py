@@ -397,10 +397,25 @@ def _run_namespace(checkpoint_dir: str) -> str:
     batch-0 restart writes beside earlier runs instead of over them.
     Caveat: a checkpoint MOVED to a new path changes namespace, which
     re-exposes a torn last-batch commit of the old run as ordinary
-    store content — recover crashed checkpoints in place."""
-    import hashlib
+    store content — recover crashed checkpoints in place.
 
-    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    The dir is NORMALIZED before hashing — trailing slashes stripped
+    always, and schemeless (driver-local) paths made absolute — so the
+    same checkpoint respelled across restarts ('ckpt' vs 'ckpt/' vs an
+    equivalent relative path) keeps its namespace instead of silently
+    bypassing the wiped-in-place guard and re-exposing the moved-
+    checkpoint hazard on a mere respelling. URI checkpoints (s3a://,
+    hdfs://) are hashed scheme-and-all after the slash strip: there is
+    no meaningful 'relative' spelling to collapse, and mangling the
+    authority would collide distinct stores."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    norm = checkpoint_dir.rstrip("/") or "/"
+    if not urlparse(norm).scheme:
+        norm = os.path.abspath(norm)
+    return hashlib.md5(norm.encode()).hexdigest()[:10]
 
 
 def _prepare_run_layout(spark, path: str, run_ns: str, batch_id: int) -> None:
@@ -438,6 +453,42 @@ def _prepare_run_layout(spark, path: str, run_ns: str, batch_id: int) -> None:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return
+    _migrate_legacy_layout(spark, fs, jvm, path)
+    ns_dir = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f"/run={run_ns}"
+    )
+    max_batch = None
+    if fs.exists(ns_dir):
+        for st in fs.listStatus(ns_dir):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                try:
+                    max_batch = max(
+                        max_batch if max_batch is not None else -(2**62),
+                        int(name.split("=", 1)[1]),
+                    )
+                except ValueError:
+                    pass
+    if max_batch is not None and max_batch > batch_id:
+        raise RuntimeError(
+            f"{path} already holds batch_id={max_batch} for this "
+            f"checkpoint's run (run={run_ns}) but the stream is "
+            f"(re)starting at batch {batch_id}: the checkpoint's "
+            "contents were wiped in place while store/sink were "
+            "retained. Proceeding would overwrite this run's earlier "
+            "partitions one by one, deleting committed fingerprints "
+            "and corpus rows. Use a FRESH checkpoint DIR for a "
+            "full-source rerun (it writes under a new run namespace), "
+            "or delete checkpoint, store and sink together."
+        )
+
+
+def _migrate_legacy_layout(spark, fs, jvm, path: str) -> None:
+    """The legacy-migration half of _prepare_run_layout (docstring
+    there), shared with compact_ingest_store so compaction of a
+    pre-namespace store migrates it first instead of wedging on
+    conflicting directory structures."""
+    root = jvm.org.apache.hadoop.fs.Path(path)
     legacy_files, legacy_batch_dirs = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -470,33 +521,121 @@ def _prepare_run_layout(spark, path: str, run_ns: str, batch_id: int) -> None:
             )
             for f in legacy_files:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-    ns_dir = jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + f"/run={run_ns}"
+
+
+def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict:
+    """Collapse a run-namespaced ingest dataset
+    (``path/run=<ns>/batch_id=N/`` — streaming_dedup_ingest's
+    fingerprint store or corpus sink) into few partitions: every batch
+    partition EXCEPT each run's maximum merges into
+    ``run=compacted/batch_id=-1``; each run's max-batch partition is
+    rewritten in place (same values, one file).
+
+    Why: the run-namespaced layout accretes one partition per batch
+    forever — at one batch per trigger that is thousands of small
+    partitions/files within days, and every batch re-lists them (the
+    small-files problem compact_parquet/compact_band_store solve for
+    their stores). Content is unchanged — same rows, no distinct —
+    so cross-run dedup results are identical before and after.
+
+    Why each run's MAX batch stays in place: two safety invariants
+    live on it. (1) Replay-independence — a crashed stream replays
+    exactly its LAST batch, and _dedup_ingest_batch excludes
+    run=<ns>/batch_id=<last> from the store it dedups against; fold a
+    possibly-torn last commit into the consolidated partition and the
+    replay would anti-join against its own partial fingerprints,
+    silently dropping rows. (2) The wiped-checkpoint guard compares
+    the incoming batch id against max(batch_id) under the run's
+    directory — merging the max away would let a wiped-in-place
+    restart sail through. Keeping one partition per historical run is
+    the entire residual cost. Earlier batches of a live run are safe
+    to merge mid-stream: only the last batch can ever replay. The
+    relabeled rows can never collide with a real run (namespaces are
+    hex digests; 'compacted'/'legacy' are reserved).
+
+    Crash-safe via the shared rename-aside swap (stage the full new
+    layout beside the store, two POSIX renames, recover_swap finishes
+    any crash point) — DRIVER-LOCAL paths only, like every swap
+    caller; compact a remote store by rebuilding or a transactional
+    format's OPTIMIZE. Do not run concurrently with an active
+    trigger's commit (the swap could drop a batch committed after the
+    staging read) — run it between triggers or while the stream is
+    stopped, like compact_band_store's cadence contract.
+
+    Legacy layouts (pre-namespace root files / bare batch_id=N dirs)
+    are migrated first, same as the per-batch path. Returns
+    {"files_before", "files_after", "partitions_before",
+    "partitions_after"}.
+    """
+    import os
+
+    from data_engineering_hs_spark.sources.parquet import (
+        _require_local_swap_path,
+        swap_in,
     )
-    max_batch = None
-    if fs.exists(ns_dir):
-        for st in fs.listStatus(ns_dir):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("batch_id="):
-                try:
-                    max_batch = max(
-                        max_batch if max_batch is not None else -(2**62),
-                        int(name.split("=", 1)[1]),
-                    )
-                except ValueError:
-                    pass
-    if max_batch is not None and max_batch > batch_id:
-        raise RuntimeError(
-            f"{path} already holds batch_id={max_batch} for this "
-            f"checkpoint's run (run={run_ns}) but the stream is "
-            f"(re)starting at batch {batch_id}: the checkpoint's "
-            "contents were wiped in place while store/sink were "
-            "retained. Proceeding would overwrite this run's earlier "
-            "partitions one by one, deleting committed fingerprints "
-            "and corpus rows. Use a FRESH checkpoint DIR for a "
-            "full-source rerun (it writes under a new run namespace), "
-            "or delete checkpoint, store and sink together."
+
+    _require_local_swap_path(path, "compact_ingest_store")
+    norm = path.rstrip("/")
+    if not os.path.isdir(norm):
+        return {
+            "files_before": 0, "files_after": 0,
+            "partitions_before": 0, "partitions_after": 0,
+        }
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(norm)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    _migrate_legacy_layout(spark, fs, jvm, norm)
+
+    def stats(d: str) -> tuple[int, int]:
+        files, parts = 0, set()
+        for r, _dirs, fnames in os.walk(d):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    files += 1
+                    parts.add(r)
+        return files, len(parts)
+
+    files_before, parts_before = stats(norm)
+    df = spark.read.parquet(norm)
+    # max batch per run from partition-column metadata (no data read)
+    run_max = df.groupBy("run").agg(F.max("batch_id").alias("__max"))
+    relabel = (F.col("batch_id") < F.col("__max")) | (
+        F.col("run") == F.lit("compacted")
+    )
+    merged = (
+        df.join(F.broadcast(run_max), "run")
+        .withColumn(
+            "run", F.when(relabel, F.lit("compacted")).otherwise(F.col("run"))
         )
+        .withColumn(
+            "batch_id",
+            F.when(relabel, F.lit(-1)).otherwise(F.col("batch_id")),
+        )
+        .drop("__max")
+    )
+    # one write task (= one file) per surviving partition; salt for
+    # a hot consolidated partition when asked
+    if files_per_partition > 1:
+        merged = merged.repartition(
+            F.col("run"),
+            F.col("batch_id"),
+            F.pmod(
+                F.xxhash64(*[c for c in df.columns if c not in ("run", "batch_id")][:1]),
+                F.lit(files_per_partition),
+            ),
+        )
+    else:
+        merged = merged.repartition("run", "batch_id")
+    tmp = norm + ".__compact"
+    merged.write.mode("overwrite").partitionBy("run", "batch_id").parquet(tmp)
+    swap_in(tmp, norm)
+    files_after, parts_after = stats(norm)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "partitions_before": parts_before,
+        "partitions_after": parts_after,
+    }
 
 
 def _dedup_ingest_batch(

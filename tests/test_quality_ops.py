@@ -1449,6 +1449,81 @@ class TestProductQuantization:
         with pytest.raises(ValueError, match="no readable"):
             append_to_cell_store(inc, cents, store, codebooks=cb)
 
+    def test_store_sidecar_works_on_file_uri(self, spark, tmp_path):
+        # Spark's writers accept file:// URIs but plain open() does
+        # not parse them: before r12 a build at file:///... completed
+        # the distributed parquet write then died on the sidecar write
+        # with a raw FileNotFoundError. The scheme is now stripped for
+        # sidecar I/O, so the whole store lifecycle works at file://
+        # and the sidecar lands beside (and is found beside) the data.
+        import os
+
+        from data_engineering_hs_spark.operators.similarity import (
+            _check_store_meta,
+            build_ivf_store,
+            centroids,
+            ivf_topk,
+        )
+
+        e, _cb = self._setup(spark)
+        cents = centroids(e)
+        local = str(tmp_path / "ivf_file_uri")
+        store_uri = "file://" + local
+        build_ivf_store(e, cents, store_uri)
+        assert os.path.exists(os.path.join(local, "_store_meta.json"))
+        # query path finds the sidecar through the URI spelling too:
+        # a param mismatch raises instead of silently skipping
+        import pytest
+
+        with pytest.raises(ValueError, match="different parameters"):
+            _check_store_meta(store_uri, kind="ivf_flat", id_col="other")
+        q = e.filter(F.col("vec_id") < 2)
+        assert (
+            ivf_topk(e, q, cents, k=3, nprobe=2, vector_store=store_uri)
+            .count() == 6
+        )
+
+    def test_append_single_writer_tripwire(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # a concurrent writer touching the sidecar between this
+        # append's read and its stamp write must raise (last-writer-
+        # wins would lose the other's XOR fold and verify_corpus would
+        # then falsely refuse a complete store) — and must NOT
+        # overwrite the interloper's sidecar
+        import json
+        import os
+
+        import pytest
+
+        from data_engineering_hs_spark.operators import similarity as sim
+
+        e, _cb = self._setup(spark)
+        cents = sim.centroids(e)
+        n = e.count()
+        store = str(tmp_path / "ivf_racy")
+        sim.build_ivf_store(e.filter(F.col("vec_id") < n * 0.8), cents, store)
+        meta_path = os.path.join(store, "_store_meta.json")
+
+        real_write = sim._salted_cell_write
+
+        def racy_write(*args, **kwargs):
+            # simulate a concurrent append finishing mid-flight: the
+            # sidecar changes after this append read it
+            interloper = json.load(open(meta_path))
+            interloper["corpus_n"] += 1
+            json.dump(interloper, open(meta_path, "w"))
+            return real_write(*args, **kwargs)
+
+        monkeypatch.setattr(sim, "_salted_cell_write", racy_write)
+        inc = e.filter(F.col("vec_id") >= n * 0.8)
+        with pytest.raises(RuntimeError, match="single-writer"):
+            sim.append_to_cell_store(inc, cents, store)
+        # the interloper's stamp survives — the loser did not clobber it
+        assert json.load(open(meta_path))["corpus_n"] == int(n * 0.8) + 1
+        # the increment's rows DID land (parquet appends don't collide)
+        assert spark.read.parquet(store).count() == n
+
     def test_store_build_two_level_full_probe_matches_flat(
         self, spark, tmp_path
     ):

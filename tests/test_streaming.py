@@ -436,6 +436,153 @@ class TestStreamingDedupIngest:
         assert runs == {"main", "run2"}
 
 
+    def test_compact_ingest_store_preserves_dedup_protocol(
+        self, spark, tmp_path
+    ):
+        # the run-namespaced store accretes one partition per batch
+        # forever; compaction merges everything except each run's MAX
+        # batch into run=compacted/batch_id=-1 with content unchanged —
+        # and the two invariants that live on the max partition
+        # (last-batch replay-independence, wiped-checkpoint refusal)
+        # must survive it
+        import pytest
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+            compact_ingest_store,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_compact")
+        sink = str(tmp_path / "corpus_compact")
+        mk = lambda rows: spark.createDataFrame(rows, schema)
+        # run "main": four batches with one cross-batch dup each way
+        _dedup_ingest_batch(mk([(1, "alpha"), (2, "beta")]), 0, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(mk([(3, "alpha"), (4, "gamma")]), 1, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(mk([(5, "delta")]), 2, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(mk([(6, "beta"), (7, "epsilon")]), 3, store, sink, "text", "doc_id")
+        # a second (finished) run
+        _dedup_ingest_batch(mk([(8, "zeta")]), 0, store, sink, "text", "doc_id", run_ns="run2")
+        pre_fp = sorted(
+            r.fingerprint for r in spark.read.parquet(store).collect()
+        )
+        pre_ids = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+        assert pre_ids == [1, 2, 4, 5, 7, 8]
+
+        st = compact_ingest_store(spark, store)
+        sk = compact_ingest_store(spark, sink)
+        # store had 5 batch partitions (main 0-3 + run2 0); survivors:
+        # main's max, run2's max, and the consolidated partition
+        assert st["partitions_before"] == 5 and st["partitions_after"] == 3
+        assert sk["partitions_after"] == 3
+        # content is untouched — same fingerprints, same corpus rows
+        assert sorted(
+            r.fingerprint for r in spark.read.parquet(store).collect()
+        ) == pre_fp
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == pre_ids
+        # last-batch replay is still independent of its own commit:
+        # batch 3 re-runs byte-identically (6 still dups, 7 survives)
+        _dedup_ingest_batch(mk([(6, "beta"), (7, "epsilon")]), 3, store, sink, "text", "doc_id")
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == pre_ids
+        # wiped-in-place checkpoint still refused after compaction
+        with pytest.raises(RuntimeError, match="wiped in place"):
+            _dedup_ingest_batch(mk([(1, "alpha")]), 0, store, sink, "text", "doc_id")
+        # cross-run dedup against COMPACTED fingerprints still exact:
+        # delta (batch 2, now consolidated) dups; eta is new
+        _dedup_ingest_batch(mk([(9, "delta"), (10, "eta")]), 4, store, sink, "text", "doc_id")
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == pre_ids + [10]
+        # remote paths refused (swap protocol is POSIX renames)
+        with pytest.raises(ValueError, match="driver-local path"):
+            compact_ingest_store(spark, "s3a://bucket/store")
+
+    def test_compact_ingest_store_migrates_legacy_first(
+        self, spark, tmp_path
+    ):
+        # a pre-namespace store (bare batch_id=N dirs + root files)
+        # compacts instead of wedging on conflicting directory
+        # structures: migration runs first, then the merge
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+            compact_ingest_store,
+        )
+
+        store = str(tmp_path / "fp_legacy_compact")
+        sink = str(tmp_path / "corpus_legacy_compact")
+        schema = "fingerprint long"
+        # legacy generation 1: root-level files
+        spark.createDataFrame([(111,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(store)
+        # legacy generation 2: bare batch_id dirs
+        spark.createDataFrame([(222,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(store + "/batch_id=0")
+        spark.createDataFrame([(333,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(store + "/batch_id=1")
+        st = compact_ingest_store(spark, store)
+        assert st["partitions_after"] <= 2  # legacy max + consolidated
+        got = sorted(r.fingerprint for r in spark.read.parquet(store).collect())
+        assert got == [111, 222, 333]
+        # and the compacted store still serves an ordinary batch
+        batch = spark.createDataFrame(
+            [(1, "one"), (2, "two")],
+            T2.StructType(
+                [
+                    T2.StructField("doc_id", T2.LongType()),
+                    T2.StructField("text", T2.StringType()),
+                ]
+            ),
+        )
+        _dedup_ingest_batch(batch, 0, store, sink, "text", "doc_id")
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == [1, 2]
+
+    def test_run_namespace_normalizes_respellings(self, tmp_path):
+        # the SAME checkpoint respelled ('ckpt' vs 'ckpt/' vs an
+        # equivalent relative path) must keep its namespace — a new
+        # namespace on a mere respelling would silently bypass the
+        # wiped-in-place guard and re-expose the moved-checkpoint
+        # hazard across restarts
+        import os
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _run_namespace,
+        )
+
+        ckpt = str(tmp_path / "ckpt")
+        base = _run_namespace(ckpt)
+        assert _run_namespace(ckpt + "/") == base
+        assert _run_namespace(ckpt + "///") == base
+        cwd = os.getcwd()
+        try:
+            os.chdir(tmp_path)
+            assert _run_namespace("ckpt") == base
+            assert _run_namespace("./ckpt/") == base
+        finally:
+            os.chdir(cwd)
+        # URI checkpoints: slash-strip applies, authority is preserved
+        assert _run_namespace("s3a://bkt/ck/") == _run_namespace("s3a://bkt/ck")
+        assert _run_namespace("s3a://bkt/ck") != _run_namespace("s3a://bkt2/ck")
+        # different checkpoints stay distinct
+        assert _run_namespace(str(tmp_path / "other")) != base
+
+
 class TestStreamingGuards:
     def test_batch_regression_guard(self, spark, tmp_path):
         # the batch_id-overwrite sinks (kafka_shaped_ingest,
