@@ -7,16 +7,20 @@ JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 One shared SparkSession; each query is timed to full materialization
-after a warmup pass. Measurement is INTERLEAVED median-of-3: three
+after a warmup pass. Measurement is INTERLEAVED median-of-5: five
 full rounds over the query list, median per query — the SCALE.md
 measurement discipline applied to the bench itself. Back-to-back
 repeats of one query share any transient load spike, which is how
 three consecutive round totals (8.44 / 7.91 / 8.86 s) hid inside a
 ±25% band; interleaving decorrelates the repeats and the emitted
 `round_totals_sec` / `spread_pct` make the remaining noise visible
-instead of implied. (Through round 10 the stat was best-of-3
-back-to-back — medians read slightly higher than old bests on
-identical code.)
+instead of implied. Stat history: best-of-3 back-to-back through
+round 10 (medians read higher than bests on identical code);
+median-of-3 interleaved in round 11; median-of-5 from round 12 —
+the r11 driver run's 34.7% round spread showed 3 rounds leave the
+median hostage to one spike, and the extra two rounds cost ~22 s.
+Median-of-5 and median-of-3 estimate the same statistic, so r12+
+values remain comparable to r11's (unlike the r10→r11 stat change).
 """
 
 from __future__ import annotations
@@ -65,10 +69,10 @@ def main() -> None:
     # once per query, outside every measured window.
     for name in headline:
         REGISTRY[name].fn(spark, sf_dir).count()
-    # Three INTERLEAVED rounds: every query once per round, so one
-    # load spike lands in at most one of each query's three readings.
+    # Five INTERLEAVED rounds: every query once per round, so one
+    # load spike lands in at most one of each query's five readings.
     rounds: list[dict[str, float]] = []
-    for _ in range(3):
+    for _ in range(5):
         r: dict[str, float] = {}
         for name in headline:
             t0 = time.perf_counter()
@@ -77,7 +81,7 @@ def main() -> None:
             assert n >= 0
         rounds.append(r)
     timings = {
-        name: round(sorted(rd[name] for rd in rounds)[1], 4)
+        name: round(sorted(rd[name] for rd in rounds)[len(rounds) // 2], 4)
         for name in headline
     }
     total = round(sum(timings.values()), 4)
@@ -100,7 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "comparable_14_sec": comparable,
-                "stat": "median3_interleaved",
+                "stat": "median5_interleaved",
                 "round_totals_sec": round_totals,
                 "spread_pct": spread_pct,
                 "queries": timings,
