@@ -51,7 +51,11 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     dlat = F.radians(lat2 - lat1) / 2
     dlon = F.radians(lon2 - lon1) / 2
     a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
-    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+    # a is mathematically in [0, 1] but float error can push
+    # near-antipodal pairs a few ulps above 1, where asin(sqrt(a))
+    # returns NaN — a silently vanishing distance. Clamp (the standard
+    # haversine guard); antipodes return exactly pi*R.
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def _cell(col: Column, cell_deg: float) -> Column:

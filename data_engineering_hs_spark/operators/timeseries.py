@@ -41,7 +41,16 @@ def resample(
 
     Returns key_cols + `bucket_start` (epoch seconds) + one column per
     aggs entry (null on empty buckets — apply coalesce/fills after).
+    Rows with a null `ts_col` cannot be placed on the grid and are
+    excluded (their bucket is null, which no spine row equi-joins).
     """
+    if bucket_seconds < 1:
+        # 0 divides by zero into ±Infinity (→ ANSI overflow mid-job);
+        # negative flips sequence() into a reversed-bounds runtime
+        # error — both die deep in the plan with no hint of the cause
+        raise ValueError(
+            f"bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
     keys = list(key_cols)
     bucket = (
         F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long")

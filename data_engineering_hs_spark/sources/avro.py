@@ -287,9 +287,14 @@ def read_avro(
                             {n: _decode_value(buf, t) for n, t in ftypes}
                         )
                     buf.read(16)
+            # dtype=object: pandas otherwise coerces a long column
+            # holding ints AND None to float64 (None → NaN), silently
+            # rounding values above 2^53 — 2^60+1 read back as 2^60
+            # (reproduced before this fix). Object columns carry exact
+            # Python ints to Arrow, which converts None → null.
             yield pd.DataFrame(
-                rows, columns=[n for n, _ in fields]
-            ) if rows else pd.DataFrame(columns=[n for n, _ in fields])
+                rows, columns=[n for n, _ in fields], dtype=object
+            )
 
     binary = spark.read.format("binaryFile").load(path).select("content")
     return binary.mapInPandas(decode_files, schema=out_schema)
@@ -321,6 +326,8 @@ def decode_avro_column(
                 continue
             buf = io.BytesIO(bytes(v))
             recs.append({n: _decode_value(buf, t) for n, t in fields})
-        return pd.DataFrame(recs, columns=[n for n, _ in fields])
+        # dtype=object: see read_avro — int+None columns otherwise
+        # coerce to float64 and corrupt longs above 2^53
+        return pd.DataFrame(recs, columns=[n for n, _ in fields], dtype=object)
 
     return df.withColumn(out_col, _decode(F.col(binary_col)))

@@ -92,6 +92,25 @@ class TestMetrics:
         km = df.collect()[0].km
         assert km == pytest.approx(343.5, abs=2.0)
 
+    def test_haversine_antipodes_not_nan(self, spark):
+        # float error can push the haversine intermediate a few ulps
+        # above 1 for (near-)antipodal pairs, where asin(sqrt(a)) is
+        # NaN — the distance must instead be ~pi*R (r12 clamp)
+        import math
+
+        df = spark.range(1).select(
+            haversine_km(
+                F.lit(35.0), F.lit(45.0), F.lit(-35.0), F.lit(-135.0)
+            ).alias("km"),
+            haversine_km(
+                F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(180.0)
+            ).alias("km2"),
+        )
+        row = df.collect()[0]
+        assert not math.isnan(row.km) and not math.isnan(row.km2)
+        assert row.km == pytest.approx(math.pi * 6371.0, rel=1e-6)
+        assert row.km2 == pytest.approx(math.pi * 6371.0, rel=1e-6)
+
     def test_planar_sq_exact(self, spark):
         df = spark.range(1).select(
             planar_sq_deg(

@@ -669,6 +669,43 @@ class TestAvroEdges:
         by_user = {r["user"] for r in rows}
         assert by_user == {"u_1", None}  # tombstone -> null fields, no crash
 
+    def test_nullable_long_above_2_53_survives_exactly(
+        self, spark, tmp_path
+    ):
+        # r12 regression: a nullable long column holding ints AND None
+        # coerced to float64 in pandas (None -> NaN) before reaching
+        # Arrow, silently ROUNDING values above 2^53 — 2^60+1 read
+        # back as 2^60. Both decode paths must carry exact ints.
+        import json as _json
+
+        from data_engineering_hs_spark.sources import avro as A2
+
+        schema = {
+            "type": "record", "name": "R",
+            "fields": [{"name": "id", "type": ["null", "long"]}],
+        }
+        big = 2**60 + 1
+        p = str(tmp_path / "big.avro")
+        A2.write_container(p, [{"id": big}, {"id": None}], schema)
+        got = {
+            r.id
+            for r in A2.read_avro(
+                spark, str(tmp_path), _json.dumps(schema), use_native=False
+            ).collect()
+        }
+        assert got == {big, None}
+        df = spark.createDataFrame(
+            [(A2.encode_record({"id": big}, schema),), (None,)],
+            "value binary",
+        )
+        got2 = {
+            r.id
+            for r in A2.decode_avro_column(
+                df, "value", _json.dumps(schema)
+            ).select("data.*").collect()
+        }
+        assert got2 == {big, None}
+
     def test_read_avro_schema_name_mismatch_raises(self, spark, tmp_path):
         import json as _json
 

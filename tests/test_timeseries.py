@@ -25,6 +25,22 @@ class TestResample:
         assert grid[("b", 10)] == 1
         assert len(grid) == 4  # b has a single bucket
 
+    def test_nonpositive_bucket_rejected_and_null_ts_excluded(self, spark):
+        # bucket_seconds <= 0 would die deep in the plan (div-by-zero
+        # Infinity under ANSI / reversed sequence bounds) — reject up
+        # front; null-ts rows can't be placed on the grid and drop
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", None, 9.0), ("a", 20, 2.0)],
+            "k string, ts int, v double",
+        )
+        for bad in (0, -10):
+            with _pytest.raises(ValueError, match="bucket_seconds"):
+                resample(df, "ts", ["k"], bad, {"n": F.count("*")})
+        out = resample(df, "ts", ["k"], 10, {"n": F.count("*")}).collect()
+        assert {r["bucket_start"] for r in out} == {0, 10, 20}
+
     def test_interpolation_values(self, spark):
         df = spark.createDataFrame(
             [
