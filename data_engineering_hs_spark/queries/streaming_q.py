@@ -417,6 +417,99 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_compact_ingest",
+    # AUDIT-ORACLE for the ingest-store compaction lifecycle: the
+    # documents table streams through _dedup_ingest_batch as three
+    # batches (doc_id % 3) plus a second run whose batch is 100%
+    # cross-run duplicates, then compact_ingest_store merges both the
+    # fingerprint store and the sink. n_sink_rows is SQL-checkable
+    # (total survivors across partitioning batches = distinct
+    # normalized texts); the protocol invariants — content preserved
+    # byte-for-byte through compaction, partitions collapsed,
+    # last-batch replay byte-identical after compaction, cross-run
+    # dedup exact — are emitted as data so any regression moves the
+    # hash.
+    oracle=r"""
+SELECT CAST(COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         AS BIGINT) AS n_sink_rows,
+       TRUE AS store_content_preserved,
+       TRUE AS partitions_collapsed,
+       TRUE AS replay_exact,
+       CAST(0 AS BIGINT) AS n_cross_run_survivors
+FROM documents
+""",
+    doc="streaming-ingest store compaction: run-namespaced fingerprint "
+    "store + sink accreted over batches, merged by "
+    "compact_ingest_store (all but each run's max batch into one "
+    "consolidated partition) with content equality, replay "
+    "independence and cross-run dedup audited as data",
+)
+def st_compact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_hs_spark.catalog import load_table
+    from data_engineering_hs_spark.streaming.pipelines import (
+        _dedup_ingest_batch,
+        compact_ingest_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _work_dir("st_compact_ingest", sf_dir)
+    store, sink = f"{root}/fp", f"{root}/corpus"
+    for b in range(3):
+        _dedup_ingest_batch(
+            docs.filter(F.col("doc_id") % 3 == b),
+            b, store, sink, "text", "doc_id",
+        )
+    # second run: every doc already ingested → zero survivors, but the
+    # batch must still dedup EXACTLY against the other run's store
+    _dedup_ingest_batch(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        0, store, sink, "text", "doc_id", run_ns="run2",
+    )
+    pre_store = spark.read.parquet(store).select("fingerprint")
+    pre_store = pre_store.localCheckpoint(eager=True)
+    pre_sink_n = spark.read.parquet(sink).count()
+    st = compact_ingest_store(spark, store)
+    sk = compact_ingest_store(spark, sink)
+    post_store = spark.read.parquet(store).select("fingerprint")
+    diff = (
+        pre_store.exceptAll(post_store)
+        .unionByName(post_store.exceptAll(pre_store))
+        .count()
+    )
+    # last-batch replay AFTER compaction: its max-batch partition was
+    # kept, so the own-partition exclusion still yields the same
+    # survivors and the rewrite is content-neutral
+    _dedup_ingest_batch(
+        docs.filter(F.col("doc_id") % 3 == 2),
+        2, store, sink, "text", "doc_id",
+    )
+    sink_df = spark.read.parquet(sink)
+    post_sink_n = sink_df.count()
+    cross_run = sink_df.filter(F.col("run") == "run2").count()
+    return spark.createDataFrame(
+        [
+            (
+                post_sink_n,
+                diff == 0,
+                st["partitions_after"] < st["partitions_before"]
+                and sk["partitions_after"] < sk["partitions_before"],
+                post_sink_n == pre_sink_n,
+                cross_run,
+            )
+        ],
+        T.StructType(
+            [
+                T.StructField("n_sink_rows", T.LongType()),
+                T.StructField("store_content_preserved", T.BooleanType()),
+                T.StructField("partitions_collapsed", T.BooleanType()),
+                T.StructField("replay_exact", T.BooleanType()),
+                T.StructField("n_cross_run_survivors", T.LongType()),
+            ]
+        ),
+    )
+
+
+@register(
     "st_cdc_apply",
     # The streaming MERGE pipeline end-to-end: a stream of
     # snapshot_diff-shaped change batches (update / delete / insert,
