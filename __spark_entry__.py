@@ -253,6 +253,8 @@ _MEASURED_SEC = {
     "s_ivf_adc_topk": 17.6,
     # r11 additions (sweep-measured Spark+oracle at sf0.01)
     "s_ivf_adc_store": 15.3, "s_ivf_store_append": 12.3,
+    # r12 additions (sweep-measured Spark+oracle at sf0.01)
+    "st_compact_ingest": 18.2,
 }
 
 
