@@ -112,6 +112,14 @@ class ModelRunner:
         """Decorator: @runner.model('stg_orders', materialization='table')."""
 
         def deco(fn: Callable[[ModelContext], DataFrame]):
+            if name in self.models:
+                # dbt errors on duplicate model names too: a copy-paste
+                # slip would otherwise silently REPLACE the first
+                # definition (and drop its checks) with no trace
+                raise ValueError(
+                    f"model {name!r} is already registered; model names "
+                    "must be unique within a runner"
+                )
             self.models[name] = Model(
                 name, fn, materialization, unique_key, partition_by, list(checks)
             )

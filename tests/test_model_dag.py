@@ -297,6 +297,16 @@ models:
         with pytest.raises(AssertionError, match="freshness error"):
             runner2.run()
 
+    def test_duplicate_model_name_rejected(self, spark):
+        # dbt errors on duplicate model names; silently replacing the
+        # first definition (and dropping its checks) is worse
+        from data_engineering_hs_spark.plans.model_dag import ModelRunner
+
+        r = ModelRunner(spark, {})
+        r.model("m")(lambda ctx: spark.range(1))
+        with pytest.raises(ValueError, match="already registered"):
+            r.model("m")(lambda ctx: spark.range(2))
+
     def test_incremental_refuses_schema_drift(self, spark, tmp_path):
         from data_engineering_hs_spark.plans.model_dag import ModelRunner
 
