@@ -128,6 +128,18 @@ def asof_join_pandas(
         rdf = rdf[rdf[right_ts].notna()].sort_values(right_ts)[
             [right_ts, *value_cols]
         ].rename(columns={c: f"asof_{c}" for c in value_cols})
+        # Integral value columns ride the merge as OBJECT dtype: the
+        # left join puts NaN on unmatched rows, which would coerce an
+        # int64 column to float64 and silently ROUND matched values
+        # above 2^53 (2^60+1 came back as 2^60 before this). Object
+        # columns carry exact Python ints; Arrow turns the NaNs into
+        # nulls. (A right column that itself holds nulls already
+        # arrives float64 from the Arrow boundary — that conversion is
+        # upstream of this function.)
+        for c in value_cols:
+            ac = f"asof_{c}"
+            if pd.api.types.is_integer_dtype(rdf[ac]):
+                rdf[ac] = rdf[ac].astype(object)
         merged = pd.merge_asof(
             ldf,
             rdf,

@@ -98,6 +98,24 @@ class TestAsofJoin:
         assert got[101] is None   # nothing after t=25 for A
         assert got[102] == 50.0   # B@5 → next quote B@6
 
+    def test_pandas_form_long_values_above_2_53_exact(self, spark):
+        # r12 regression (same class as the avro fix): merge_asof's
+        # left join puts NaN on unmatched rows, coercing an int64
+        # asof column to float64 and silently rounding matched values
+        # above 2^53 — 2^60+1 came back as 2^60. Integral value
+        # columns now ride the merge as object dtype.
+        big = 2**60 + 1
+        left = spark.createDataFrame([("k", 5), ("k", 1)], "k string, lts long")
+        right = spark.createDataFrame(
+            [("k", 3, big)], "k string, rts long, v long"
+        )
+        out = asof_join_pandas(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"],
+        )
+        got = sorted((r.lts, r.asof_v) for r in out.collect())
+        assert got == [(1, None), (5, big)]
+
 
 class TestDupComponents:
     def test_chain_collapses_to_one_component(self, spark):
