@@ -457,6 +457,19 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["size"].isna().any():
+            # a null size arrives as NaN (Arrow int64-with-nulls →
+            # float64) and NaN comparisons are all False, so the
+            # greedy fill never closes a bin again — every subsequent
+            # item in the shard silently lands in one over-capacity
+            # bin. A row with no size cannot be packed; fail loudly.
+            nulls = pdf["size"].isna()
+            bad = pdf.loc[nulls, "id"].head(3).tolist()
+            raise ValueError(
+                f"pack_sequences: {int(nulls.sum())} null size values "
+                f"would poison the greedy fill (e.g. ids {bad}); drop "
+                "or impute null-size rows upstream"
+            )
         pdf = pdf.sort_values("id").reset_index(drop=True)
         bin_ids, oversize = [], []
         b, fill = 0, 0

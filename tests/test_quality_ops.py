@@ -885,6 +885,22 @@ class TestPackSequences:
         assert bins[out[2].bin_id] == [2]  # alone
         assert not out[1].oversize and not out[3].oversize
 
+    def test_null_size_rejected_loudly(self, spark):
+        # r12: a null size arrives as NaN (Arrow int64-with-nulls →
+        # float64) and NaN comparisons are all False — before the
+        # guard, ONE null-size row silently packed every later item in
+        # the shard into a single over-capacity bin
+        import pytest
+
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 1500), (2, None), (3, 1500), (4, 1500)],
+            "doc_id long, n_tokens long",
+        )
+        with pytest.raises(Exception, match="null size"):
+            pack_sequences(df, target=2048, shards=1).collect()
+
     def test_deterministic_and_count_preserving(self, spark):
         from data_engineering_hs_spark.operators.corpus import pack_sequences
 
