@@ -507,6 +507,43 @@ class TestStreamingDedupIngest:
         with pytest.raises(ValueError, match="driver-local path"):
             compact_ingest_store(spark, "s3a://bucket/store")
 
+    def test_compact_ingest_store_salted_hot_partition(
+        self, spark, tmp_path
+    ):
+        # files_per_partition > 1 salts the consolidated partition's
+        # write so one hot partition doesn't serialize behind a single
+        # task/file — same rows, bounded file count
+        import os
+
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+            compact_ingest_store,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_salted")
+        sink = str(tmp_path / "corpus_salted")
+        for b in range(4):
+            batch = spark.createDataFrame(
+                [(b * 10 + i, f"doc {b} {i}") for i in range(10)], schema
+            )
+            _dedup_ingest_batch(batch, b, store, sink, "text", "doc_id")
+        pre = sorted(r.fingerprint for r in spark.read.parquet(store).collect())
+        st = compact_ingest_store(spark, store, files_per_partition=3)
+        assert st["partitions_after"] == 2  # max batch + consolidated
+        comp_dir = os.path.join(store, "run=compacted", "batch_id=-1")
+        files = [f for f in os.listdir(comp_dir) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 3
+        post = sorted(r.fingerprint for r in spark.read.parquet(store).collect())
+        assert post == pre
+
     def test_compact_ingest_store_migrates_legacy_first(
         self, spark, tmp_path
     ):
