@@ -659,6 +659,16 @@ def _dedup_ingest_batch(
     from data_engineering_hs_spark.sources.parquet import write_partitioned
 
     spark = batch.sparkSession
+    clash = {"run", "batch_id"} & set(batch.columns)
+    if clash:
+        # the layout stamps these as partition columns via withColumn,
+        # which would silently REPLACE the caller's same-named data
+        # columns in the sink — rename upstream instead
+        raise ValueError(
+            f"streaming_dedup_ingest reserves column names "
+            f"{sorted(clash)} for its run/batch partitioning; rename "
+            "them in the input stream"
+        )
     _prepare_run_layout(spark, store_path, run_ns, batch_id)
     _prepare_run_layout(spark, sink_dir, run_ns, batch_id)
     store = read_fingerprint_store(spark, store_path)

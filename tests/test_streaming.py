@@ -590,6 +590,25 @@ class TestStreamingDedupIngest:
             r.doc_id for r in spark.read.parquet(sink).collect()
         ) == [1, 2]
 
+    def test_reserved_partition_column_names_rejected(self, spark, tmp_path):
+        # a batch already carrying run/batch_id columns would have
+        # them silently REPLACED by the layout's partition stamps —
+        # the sink would lose the caller's data with no trace
+        import pytest
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+        )
+
+        batch = spark.createDataFrame(
+            [(1, "alpha", 7)], "doc_id long, text string, batch_id long"
+        )
+        with pytest.raises(ValueError, match="reserves column names"):
+            _dedup_ingest_batch(
+                batch, 0, str(tmp_path / "s"), str(tmp_path / "c"),
+                "text", "doc_id",
+            )
+
     def test_run_namespace_normalizes_respellings(self, tmp_path):
         # the SAME checkpoint respelled ('ckpt' vs 'ckpt/' vs an
         # equivalent relative path) must keep its namespace — a new
