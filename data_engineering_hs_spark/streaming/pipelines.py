@@ -105,6 +105,15 @@ def kafka_shaped_ingest(
     """
     decoded = decode(stream)
     flat = decoded.select(*carry_cols, "data.*")
+    clash = {"batch_id", "ingest_ts"} & set(flat.columns)
+    if clash:
+        # enrich_batch stamps these via withColumn, silently replacing
+        # same-named payload fields in the sink; columns are static at
+        # definition time, so fail before the stream ever starts
+        raise ValueError(
+            f"kafka_shaped_ingest reserves column names {sorted(clash)} "
+            "for batch enrichment; rename them in the decoded payload"
+        )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         from data_engineering_hs_spark.sources.parquet import (
@@ -164,6 +173,13 @@ def file_watch_ingest(
             "valid_predicate without quarantine_dir would silently "
             "DROP failing rows — pass quarantine_dir, or filter the "
             "stream yourself if dropping is genuinely intended"
+        )
+    if quarantine_dir is not None and "batch_id" in stream.columns:
+        # the quarantine stamps batch_id as its partition column,
+        # silently replacing a same-named data column
+        raise ValueError(
+            "file_watch_ingest reserves the column name 'batch_id' "
+            "for quarantine partitioning; rename it in the stream"
         )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:

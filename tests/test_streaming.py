@@ -608,6 +608,35 @@ class TestStreamingDedupIngest:
                 batch, 0, str(tmp_path / "s"), str(tmp_path / "c"),
                 "text", "doc_id",
             )
+        # the other stamping sinks fail fast at stream DEFINITION
+        from pyspark.sql import functions as F2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            file_watch_ingest,
+            kafka_shaped_ingest,
+        )
+
+        src = str(tmp_path / "watch_src")
+        os.makedirs(src)
+        stream = spark.readStream.schema(
+            "k long, batch_id long"
+        ).parquet(src)
+        with pytest.raises(ValueError, match="reserves the column name"):
+            file_watch_ingest(
+                stream, str(tmp_path / "t"), str(tmp_path / "ck"),
+                keys=("k",), quarantine_dir=str(tmp_path / "q"),
+                valid_predicate=F2.col("k") > 0,
+            )
+        bin_stream = spark.readStream.schema("value binary").parquet(src)
+        with pytest.raises(ValueError, match="reserves column names"):
+            kafka_shaped_ingest(
+                bin_stream,
+                lambda df: df.withColumn(
+                    "data", F2.struct(F2.lit(1).alias("ingest_ts"))
+                ),
+                str(tmp_path / "sink"),
+                str(tmp_path / "ck2"),
+            )
 
     def test_run_namespace_normalizes_respellings(self, tmp_path):
         # the SAME checkpoint respelled ('ckpt' vs 'ckpt/' vs an
