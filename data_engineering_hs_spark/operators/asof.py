@@ -118,6 +118,14 @@ def asof_join_pandas(
         T.StructField(f"asof_{c}", right.schema[c].dataType) for c in value_cols
     ]
     schema = T.StructType(fields)
+    # plain bools for the worker closure — capturing the DataFrames
+    # themselves would pickle a SparkContext reference (SPARK-5063)
+    left_ts_integral = isinstance(
+        left.schema[left_ts].dataType, T.IntegralType
+    )
+    right_ts_integral = isinstance(
+        right.schema[right_ts].dataType, T.IntegralType
+    )
 
     def merge(key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         # merge_asof RAISES on null merge keys; the window form
@@ -128,6 +136,21 @@ def asof_join_pandas(
         rdf = rdf[rdf[right_ts].notna()].sort_values(right_ts)[
             [right_ts, *value_cols]
         ].rename(columns={c: f"asof_{c}" for c in value_cols})
+        # merge_asof REFUSES mismatched key dtypes, and an integral ts
+        # column that carried nulls arrives float64 (Arrow) while the
+        # other side stays int — a single null ts on one side crashed
+        # the whole join with MergeError. The NaNs are filtered above,
+        # so when the DECLARED Spark type is integral the float column
+        # holds only exact integral values: cast it back. Gated on the
+        # Spark schema, not the pandas dtype, so a genuinely-double ts
+        # is never truncated.
+        for pdf_, col_, integral in (
+            (ldf, left_ts, left_ts_integral),
+            (rdf, right_ts, right_ts_integral),
+        ):
+            if integral:
+                # also normalizes int32-vs-int64 width mismatches
+                pdf_[col_] = pdf_[col_].astype("int64")
         # Integral value columns ride the merge as OBJECT dtype: the
         # left join puts NaN on unmatched rows, which would coerce an
         # int64 column to float64 and silently ROUND matched values

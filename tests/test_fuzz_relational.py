@@ -246,3 +246,80 @@ class TestCdcFuzz:
             map(tuple, new.collect())
         )
         diff.unpersist()
+
+
+asof_left_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                      # key
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),  # ts
+    ),
+    min_size=0,
+    max_size=15,
+)
+asof_right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                      # key
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),  # ts
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(lrows=asof_left_rows, rrows=asof_right_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_asof_window_pandas_and_naive_agree(spark, lrows, rrows):
+    # Three-way parity over random keys/timestamps/nulls: the window
+    # form, the merge_asof form, and a Python naive reference must
+    # agree exactly — including null-ts rows on both sides (left
+    # passes through unmatched, right never matches; the r11 bug this
+    # fuzz would have caught). Right timestamps are deduped per key so
+    # equal-ts tie-breaking (engine-dependent without ts_tiebreak)
+    # can't produce spurious mismatches.
+    from pyspark.sql import functions as F
+
+    from data_engineering_hs_spark.operators.asof import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    seen = set()
+    right = []
+    for k, t in rrows:
+        if (k, t) in seen and t is not None:
+            continue
+        seen.add((k, t))
+        right.append((k, t, (t if t is not None else 99) * 1000 + k))
+    left = [(k, t) for k, t in lrows]
+
+    ldf = spark.createDataFrame(left or [(None, None)], "k int, lts int").filter(
+        F.col("k").isNotNull()
+    )
+    rdf = spark.createDataFrame(
+        right or [(None, None, None)], "k int, rts int, v long"
+    ).filter(F.col("k").isNotNull())
+
+    naive = []
+    for k, t in left:
+        if t is None:
+            naive.append((k, t, None))
+            continue
+        preds = [(rt, v) for rk, rt, v in right if rk == k and rt is not None and rt <= t]
+        naive.append((k, t, max(preds)[1] if preds else None))
+
+    nkey = lambda t: tuple((x is None, 0 if x is None else x) for x in t)
+    win = sorted(
+        ((r["k"], r["lts"], r["asof_v"])
+         for r in asof_join(ldf, rdf, "k", "lts", "rts", ["v"]).collect()),
+        key=nkey,
+    )
+    pnd = sorted(
+        ((r["k"], r["lts"], r["asof_v"])
+         for r in asof_join_pandas(ldf, rdf, "k", "lts", "rts", ["v"]).collect()),
+        key=nkey,
+    )
+    assert win == pnd == sorted(naive, key=nkey)
