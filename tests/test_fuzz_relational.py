@@ -323,3 +323,64 @@ def test_fuzz_asof_window_pandas_and_naive_agree(spark, lrows, rrows):
         key=nkey,
     )
     assert win == pnd == sorted(naive, key=nkey)
+
+
+scd2_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                      # key
+        st.integers(min_value=0, max_value=12),                     # ts
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # attr
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(events=scd2_events)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_scd2_matches_naive_collapse(spark, events):
+    # SCD2 parity against a Python naive collapse over random events
+    # with duplicate timestamps (resolved by a unique seq tiebreak)
+    # and NULL attribute values (the eqNullSafe change-detection path):
+    # intervals, versions, open-interval flags must all agree.
+    from pyspark.sql import functions as F
+
+    from data_engineering_hs_spark.operators.cdc import scd2_history
+
+    rows = [(k, t, i, a) for i, (k, t, a) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "k int, ts int, seq int, attr int",
+    ).filter(F.col("k").isNotNull())
+
+    # naive: per key, order by (ts, seq), collapse consecutive equal
+    # attrs into regimes
+    naive = []
+    bykey = {}
+    for k, t, i, a in rows:
+        bykey.setdefault(k, []).append((t, i, a))
+    for k, evs in bykey.items():
+        evs.sort()
+        regimes = []
+        for t, _i, a in evs:
+            if not regimes or regimes[-1][1] != a:
+                regimes.append((t, a))
+        for v, (t, a) in enumerate(regimes, start=1):
+            nxt = regimes[v][0] if v < len(regimes) else None
+            naive.append((k, a, t, nxt, v, nxt is None))
+
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"],
+             r["version"], r["is_current"])
+            for r in scd2_history(
+                df, "k", ["attr"], "ts", tiebreak_cols=["seq"]
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == sorted(naive, key=repr)
