@@ -384,3 +384,81 @@ def test_fuzz_scd2_matches_naive_collapse(spark, events):
         key=repr,
     )
     assert got == sorted(naive, key=repr)
+
+
+ts_series = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # value
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(vals_a=ts_series, vals_b=ts_series)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_interpolate_and_locf_match_naive(spark, vals_a, vals_b):
+    # gap-fill parity against naive Python over random null patterns —
+    # all-null series, null runs at both edges, single observations
+    from pyspark.sql import functions as F
+
+    from data_engineering_hs_spark.operators.timeseries import (
+        fill_forward,
+        interpolate_linear,
+    )
+
+    rows = [("a", i, None if v is None else float(v)) for i, v in enumerate(vals_a)]
+    rows += [("b", i, None if v is None else float(v)) for i, v in enumerate(vals_b)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "k string, ts int, v double"
+    ).filter(F.col("k").isNotNull())
+
+    def naive_locf(vals):
+        out, last = [], None
+        for v in vals:
+            last = v if v is not None else last
+            out.append(last)
+        return out
+
+    def naive_interp(vals):
+        obs = [(i, v) for i, v in enumerate(vals) if v is not None]
+        out = []
+        for i, v in enumerate(vals):
+            if v is not None:
+                out.append(v)
+                continue
+            prev = [(j, w) for j, w in obs if j < i]
+            nxt = [(j, w) for j, w in obs if j > i]
+            if not prev and not nxt:
+                out.append(None)
+            elif not prev:
+                out.append(nxt[0][1])
+            elif not nxt:
+                out.append(prev[-1][1])
+            else:
+                (j0, w0), (j1, w1) = prev[-1], nxt[0]
+                out.append(w0 + (w1 - w0) * (i - j0) / (j1 - j0))
+        return out
+
+    exp_locf = {("a", i): v for i, v in enumerate(naive_locf(vals_a))}
+    exp_locf.update({("b", i): v for i, v in enumerate(naive_locf(vals_b))})
+    got_locf = {
+        (r["k"], r["ts"]): r["filled"]
+        for r in fill_forward(df, "ts", "v", ["k"], out_col="filled").collect()
+    }
+    assert got_locf == exp_locf
+
+    exp_int = {("a", i): v for i, v in enumerate(naive_interp(vals_a))}
+    exp_int.update({("b", i): v for i, v in enumerate(naive_interp(vals_b))})
+    got_int = {
+        (r["k"], r["ts"]): r["value_interp"]
+        for r in interpolate_linear(df, "ts", "v", ["k"]).collect()
+    }
+    assert set(got_int) == set(exp_int)
+    for key in exp_int:
+        g, e = got_int[key], exp_int[key]
+        assert (g is None) == (e is None), key
+        if e is not None:
+            assert abs(g - e) < 1e-9, (key, g, e)
