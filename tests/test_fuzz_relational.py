@@ -462,3 +462,51 @@ def test_fuzz_interpolate_and_locf_match_naive(spark, vals_a, vals_b):
         assert (g is None) == (e is None), key
         if e is not None:
             assert abs(g - e) < 1e-9, (key, g, e)
+
+
+geo_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=-40, max_value=40),  # lat quarter-degrees
+        st.integers(min_value=-40, max_value=40),  # lon quarter-degrees
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(pts=geo_pts, ctrs=geo_pts, r4=st.sampled_from([1, 2, 3, 8]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_radius_join_matches_naive(spark, pts, ctrs, r4):
+    # grid-bucketized spatial join vs the all-pairs distance join over
+    # random quarter-degree coordinates (exact binary doubles) — the
+    # risky parts are floor() cell math on NEGATIVE coords and points
+    # sitting exactly on cell boundaries / the radius circle
+    from data_engineering_hs_spark.operators.geo import (
+        radius_join,
+        radius_join_naive,
+    )
+
+    radius = r4 / 4.0
+    pdf = spark.createDataFrame(
+        [(i, a / 4.0, b / 4.0) for i, (a, b) in enumerate(pts)]
+        or [(None, None, None)],
+        "pid int, lat double, lon double",
+    ).where("pid is not null")
+    cdf = spark.createDataFrame(
+        [(i, a / 4.0, b / 4.0) for i, (a, b) in enumerate(ctrs)]
+        or [(None, None, None)],
+        "cid int, c_lat double, c_lon double",
+    ).where("cid is not null")
+    got = {
+        (r["pid"], r["cid"])
+        for r in radius_join(pdf, cdf, radius_deg=radius).collect()
+    }
+    exp = {
+        (r["pid"], r["cid"])
+        for r in radius_join_naive(pdf, cdf, radius_deg=radius).collect()
+    }
+    assert got == exp
