@@ -24,6 +24,8 @@ processAllAvailable drain a bounded source to completion.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -564,7 +566,9 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     the incoming batch id against max(batch_id) under the run's
     directory — merging the max away would let a wiped-in-place
     restart sail through. Keeping one partition per historical run is
-    the entire residual cost. Earlier batches of a live run are safe
+    the entire residual cost; when run count itself becomes the
+    listing problem, retire_runs folds runs whose checkpoints the
+    caller ASSERTS are gone for good. Earlier batches of a live run are safe
     to merge mid-stream: only the last batch can ever replay. The
     relabeled rows can never collide with a real run (namespaces are
     hex digests; 'compacted'/'legacy' are reserved).
@@ -583,6 +587,81 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     {"files_before", "files_after", "partitions_before",
     "partitions_after"}.
     """
+    return _compact_ingest_impl(spark, path, files_per_partition, frozenset())
+
+
+def retire_runs(
+    spark,
+    path: str,
+    *,
+    checkpoint_dirs: Sequence[str] = (),
+    runs: Sequence[str] = (),
+    checkpoints_gone_for_good: bool = False,
+    files_per_partition: int = 1,
+) -> dict:
+    """Fold CLOSED runs' partitions — including each run's max batch,
+    which compact_ingest_store deliberately preserves — into
+    ``run=compacted/batch_id=-1``, removing those runs' directories
+    from a streaming_dedup_ingest store/sink.
+
+    compact_ingest_store keeps one partition per historical run
+    forever because two safety invariants live on each run's max-batch
+    partition (last-batch replay-independence and the wiped-checkpoint
+    guard). When run count itself becomes the listing problem
+    (thousands of abandoned checkpoints), this folds named runs in —
+    but retirement DESTROYS both invariants for those runs, and
+    whether a checkpoint is gone for good CANNOT be inferred from the
+    store: a "finished" stream can always be restarted against its
+    old checkpoint, and its replayed last batch would then anti-join
+    against its OWN folded fingerprints, silently dropping every row
+    of that batch from the corpus. So the caller must assert it:
+
+    - ``checkpoints_gone_for_good=True`` is required (a loud
+      ValueError otherwise). It means: the checkpoints behind every
+      named run are deleted/unreachable and will NEVER drive another
+      trigger against this store.
+    - Name runs either by their checkpoint dir (``checkpoint_dirs=``,
+      mapped through the same normalization streaming_dedup_ingest
+      uses) or by the ``run=<ns>`` value seen in the store layout
+      (``runs=``). ``legacy`` is retirable; ``compacted`` is already
+      the fold target and is rejected; a run absent from the store is
+      a ValueError (typo protection — silently "retiring" nothing
+      would leave the caller believing the listing cost shrank).
+
+    Content is unchanged (same rows, no distinct), so cross-run dedup
+    results are identical before and after. Crash-safe via the same
+    rename-aside swap as compact_ingest_store, with the same
+    contracts: DRIVER-LOCAL paths only, never concurrent with an
+    active trigger's commit. Returns the compaction stats dict plus
+    ``runs_retired``.
+    """
+    if not checkpoints_gone_for_good:
+        raise ValueError(
+            "retire_runs folds runs' max-batch partitions into the "
+            "consolidated partition, destroying last-batch replay-"
+            "independence and the wiped-checkpoint guard for those "
+            "runs. Only do this for checkpoints that are gone for "
+            "good, and assert it: checkpoints_gone_for_good=True."
+        )
+    retire = {_run_namespace(c) for c in checkpoint_dirs} | set(runs)
+    if not retire:
+        raise ValueError(
+            "retire_runs: name at least one run via checkpoint_dirs= "
+            "or runs="
+        )
+    if "compacted" in retire:
+        raise ValueError(
+            "retire_runs: 'compacted' is the fold target, not a "
+            "retirable run"
+        )
+    return _compact_ingest_impl(
+        spark, path, files_per_partition, frozenset(retire)
+    )
+
+
+def _compact_ingest_impl(
+    spark, path: str, files_per_partition: int, retire: frozenset
+) -> dict:
     import os
 
     from data_engineering_hs_spark.sources.parquet import (
@@ -590,9 +669,14 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
         swap_in,
     )
 
-    _require_local_swap_path(path, "compact_ingest_store")
+    op = "retire_runs" if retire else "compact_ingest_store"
+    _require_local_swap_path(path, op)
     norm = path.rstrip("/")
     if not os.path.isdir(norm):
+        if retire:
+            raise ValueError(
+                f"retire_runs: {norm} does not exist — nothing to retire"
+            )
         return {
             "files_before": 0, "files_after": 0,
             "partitions_before": 0, "partitions_after": 0,
@@ -601,6 +685,20 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     root = jvm.org.apache.hadoop.fs.Path(norm)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     _migrate_legacy_layout(spark, fs, jvm, norm)
+    if retire:
+        present = {
+            d.split("=", 1)[1]
+            for d in os.listdir(norm)
+            if d.startswith("run=") and os.path.isdir(os.path.join(norm, d))
+        }
+        missing = sorted(retire - present)
+        if missing:
+            raise ValueError(
+                f"retire_runs: run(s) {missing} not present in {norm} "
+                f"(existing runs: {sorted(present)}) — a silently "
+                "skipped retirement would leave the caller believing "
+                "the listing cost shrank"
+            )
 
     def stats(d: str) -> tuple[int, int]:
         files, parts = 0, set()
@@ -618,6 +716,8 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     relabel = (F.col("batch_id") < F.col("__max")) | (
         F.col("run") == F.lit("compacted")
     )
+    if retire:
+        relabel = relabel | F.col("run").isin(*sorted(retire))
     merged = (
         df.join(F.broadcast(run_max), "run")
         .withColumn(
@@ -646,12 +746,15 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     merged.write.mode("overwrite").partitionBy("run", "batch_id").parquet(tmp)
     swap_in(tmp, norm)
     files_after, parts_after = stats(norm)
-    return {
+    out = {
         "files_before": files_before,
         "files_after": files_after,
         "partitions_before": parts_before,
         "partitions_after": parts_after,
     }
+    if retire:
+        out["runs_retired"] = sorted(retire)
+    return out
 
 
 def _dedup_ingest_batch(

@@ -590,6 +590,99 @@ class TestStreamingDedupIngest:
             r.doc_id for r in spark.read.parquet(sink).collect()
         ) == [1, 2]
 
+    def test_retire_runs_folds_closed_runs(self, spark, tmp_path):
+        # compact keeps each historical run's max partition forever;
+        # retire_runs folds named CLOSED runs in — behind the explicit
+        # gone-for-good assertion, with typo protection, and without
+        # touching live runs' invariants or any content
+        import os
+
+        import pytest
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+            _run_namespace,
+            retire_runs,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_retire")
+        sink = str(tmp_path / "corpus_retire")
+        mk = lambda rows: spark.createDataFrame(rows, schema)
+        # live run "main": two batches; two abandoned runs
+        _dedup_ingest_batch(mk([(1, "alpha")]), 0, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(mk([(2, "beta")]), 1, store, sink, "text", "doc_id")
+        old_ckpt = str(tmp_path / "old_ckpt")
+        old_ns = _run_namespace(old_ckpt)
+        _dedup_ingest_batch(mk([(3, "gamma")]), 0, store, sink, "text", "doc_id", run_ns=old_ns)
+        _dedup_ingest_batch(mk([(4, "delta")]), 0, store, sink, "text", "doc_id", run_ns="dead")
+        pre_fp = sorted(r.fingerprint for r in spark.read.parquet(store).collect())
+        pre_ids = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+
+        # the assertion flag is mandatory
+        with pytest.raises(ValueError, match="gone for good"):
+            retire_runs(spark, store, runs=["dead"])
+        # naming no run, the fold target, or an absent run is loud
+        with pytest.raises(ValueError, match="at least one run"):
+            retire_runs(spark, store, checkpoints_gone_for_good=True)
+        with pytest.raises(ValueError, match="fold target"):
+            retire_runs(
+                spark, store, runs=["compacted"],
+                checkpoints_gone_for_good=True,
+            )
+        with pytest.raises(ValueError, match="not present"):
+            retire_runs(
+                spark, store, runs=["nope"], checkpoints_gone_for_good=True
+            )
+
+        for path in (store, sink):
+            st = retire_runs(
+                spark,
+                path,
+                checkpoint_dirs=[old_ckpt],
+                runs=["dead"],
+                checkpoints_gone_for_good=True,
+            )
+            assert sorted(st["runs_retired"]) == sorted({old_ns, "dead"})
+            # surviving partitions: main's max + consolidated
+            assert st["partitions_after"] == 2
+            run_dirs = {d for d in os.listdir(path) if d.startswith("run=")}
+            assert run_dirs == {"run=main", "run=compacted"}
+        # content unchanged
+        assert sorted(
+            r.fingerprint for r in spark.read.parquet(store).collect()
+        ) == pre_fp
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == pre_ids
+        # the LIVE run's invariants survive: last-batch replay is
+        # byte-identical, wiped-in-place restart still refused, and
+        # cross-run dedup sees the folded runs' fingerprints
+        _dedup_ingest_batch(mk([(2, "beta")]), 1, store, sink, "text", "doc_id")
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == pre_ids
+        with pytest.raises(RuntimeError, match="wiped in place"):
+            _dedup_ingest_batch(mk([(9, "x")]), 0, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(
+            mk([(5, "gamma"), (6, "eta")]), 2, store, sink, "text", "doc_id"
+        )
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(sink).collect()
+        ) == pre_ids + [6]
+        # remote paths refused like every swap caller
+        with pytest.raises(ValueError, match="driver-local path"):
+            retire_runs(
+                spark, "s3a://bucket/store", runs=["dead"],
+                checkpoints_gone_for_good=True,
+            )
+
     def test_reserved_partition_column_names_rejected(self, spark, tmp_path):
         # a batch already carrying run/batch_id columns would have
         # them silently REPLACED by the layout's partition stamps —
