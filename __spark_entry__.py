@@ -138,6 +138,9 @@ _RECHECK_THIS_ROUND = frozenset(
         "t_boilerplate_ratio",
         # r11: dup_groups rejects max_iters < 1 (was silent identity
         # labels); all three component rows route through it
+        # r12: dup_groups_star emits self-loop-only nodes as singleton
+        # components (was silently dropped; fuzz-found divergence from
+        # dup_groups) — the star row re-fronts for that change too
         "d_dup_components",
         "d_dup_components_lsh",
         "d_dup_components_star",

@@ -149,7 +149,13 @@ def normalized_text(c: ColumnOrName) -> Column:
 def fingerprint64(c: ColumnOrName) -> Column:
     """64-bit stable content fingerprint: xxhash64 of the
     whitespace-normalized lowercase text. Exact-dup key at scale —
-    groupBy on 8 bytes instead of multi-KB strings."""
+    groupBy on 8 bytes instead of multi-KB strings.
+
+    NULL text does NOT yield a NULL fingerprint: xxhash64 skips null
+    inputs and returns its seed constant, so every null-text row
+    shares ONE non-null fingerprint — null-text docs dedup as a
+    single group (and never escape store anti-joins via null-key
+    semantics). Distinct from the empty string's hash."""
     return F.xxhash64(normalized_text(c))
 
 

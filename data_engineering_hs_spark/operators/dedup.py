@@ -916,8 +916,22 @@ def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     id, exactly the dup_groups shuffle budget per round but with
     exponentially fewer rounds on deep graphs. Emits the same
     (doc_id, component=min reachable id) contract, parity-tested
-    against dup_groups.
+    against dup_groups — including SELF-LOOP pairs (id_a == id_b),
+    which no upstream pair generator emits but a caller may: the node
+    is a singleton component of itself. The contraction drops
+    self-edges, so such a node survives only via the explicit node
+    set kept below (before the fix it silently vanished from the
+    output while the propagation form emitted it).
     """
+    # every node ever mentioned — the final star forest only covers
+    # nodes with surviving non-self edges, so isolated nodes
+    # (self-loop-only input) must be re-attached at the end
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .filter(F.col("doc_id").isNotNull())
+        .distinct()
+    )
     # bidirectional neighbor list; self-loops dropped
     e = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -979,8 +993,10 @@ def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     comp = (
         e.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    ).select(F.col("u").alias("doc_id"), "component")
+    return nodes.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
-    return comp.select(F.col("u").alias("doc_id"), "component")
 
 
 def canonicalize_duplicates(
