@@ -366,6 +366,14 @@ def ngram_jaccard_pairs(
     falls back to the all-pairs self-join (only sane at small n;
     callers at scale must pass candidates).
 
+    Docs with NO tokens (null/empty/whitespace text) never pair:
+    Jaccard is 0 against any non-empty doc and UNDEFINED against
+    another empty one — and that 0/0 was a job-killing ANSI
+    DIVIDE_BY_ZERO on any corpus holding two blank docs (fuzz-found;
+    same contract as char_ngrams, which stopped clustering blank
+    docs as near-identical for the same reason). A candidate pair
+    with an empty side is dropped, not scored.
+
     Scale shape (measured on a 5M-doc corpus with 500k candidates):
     the corpus is semi-join PRUNED to the candidate id set BEFORE
     tokenization, so the token arrays are built and shuffled for
@@ -388,7 +396,7 @@ def ngram_jaccard_pairs(
         df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     toks = df.select(
         F.col(id_col), F.array_distinct(tokens(text_col)).alias("tok_set")
-    )
+    ).filter(F.size("tok_set") > 0)
     a = toks.alias("a")
     b = toks.alias("b")
     if candidate_pairs is not None:
