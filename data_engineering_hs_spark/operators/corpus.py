@@ -347,6 +347,12 @@ def weighted_quota_sample(
 
     One window shuffle on the stratum; the quota map rides along as a
     literal MapType expression (no join, no broadcast)."""
+    if not quotas:
+        # an empty recipe selects nothing; create_map() with zero
+        # entries is a VOID-typed map whose lookup fails ANALYSIS
+        # (fuzz-found crash), so short-circuit to the documented
+        # drop-everything semantics
+        return df.filter(F.lit(False))
     qmap = F.create_map(
         *[F.lit(x) for k, v in quotas.items() for x in (k, v)]
     )
