@@ -50,6 +50,14 @@ def range_join(
     how='inner' drops unmatched points; how='left' keeps them with
     null interval columns.
     """
+    if bucket_width < 1:
+        # 0 dies deep in the plan with an uninformative ANSI
+        # DIVIDE_BY_ZERO from the bucketization; negative widths flip
+        # sequence() into a reversed-bounds runtime error — same guard
+        # contract as timeseries.resample's bucket_seconds
+        raise ValueError(
+            f"bucket_width must be >= 1, got {bucket_width}"
+        )
     span = F.sequence(
         _bucket(F.col(start_col), bucket_width),
         _bucket(F.col(end_col), bucket_width),

@@ -106,6 +106,13 @@ def interpolate_linear(
     nearest observation (flat extrapolation). Observed rows pass
     through untouched. `ts_col` must be numeric (epoch seconds /
     bucket index).
+
+    DUPLICATE timestamps: when the surrounding observations share one
+    timestamp (a null row sandwiched between same-instant readings —
+    sensor feeds emit these), the interpolation slope is 0/0; the row
+    takes the PRECEDING observation's value (the same flat fallback
+    as extrapolation) instead of killing the job with an ANSI
+    DIVIDE_BY_ZERO (fuzz-class find, probed and pinned).
     """
     keys = list(key_cols)
     back = (
@@ -131,6 +138,9 @@ def interpolate_linear(
         F.when(F.col(value_col).isNotNull(), F.col(value_col))
         .when(prev_v.isNull(), next_v)  # before first observation
         .when(next_v.isNull(), prev_v)  # after last observation
+        # same-instant surrounding observations: slope is 0/0 — flat
+        # fallback to the preceding value (see docstring)
+        .when(next_t == prev_t, prev_v)
         .otherwise(interp)
     )
     return df.withColumn(out_col, filled)

@@ -136,3 +136,54 @@ class TestDetectGapsFractionalSeconds:
         ).withColumn("ts", F.col("ts").cast("smallint"))
         got = detect_gaps(df, "k", "ts", 50).collect()
         assert len(got) == 1 and got[0]["gap_seconds"] == 60000
+
+
+class TestInterpolateDuplicateTimestamps:
+    def test_null_between_same_instant_observations_takes_preceding(
+        self, spark
+    ):
+        # a null sandwiched between two observations AT THE SAME ts
+        # made the interpolation slope 0/0 — a job-killing ANSI
+        # DIVIDE_BY_ZERO on data sensor feeds actually emit; the row
+        # now takes the preceding observation (flat fallback, same as
+        # extrapolation), observed rows stay untouched
+        from data_engineering_hs_spark.operators.timeseries import (
+            interpolate_linear,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0, 1.0), (1, 5.0, None), (1, 5.0, 2.0)],
+            "k int, ts double, v double",
+        )
+        got = {
+            (r["v"], r["value_interp"])
+            for r in interpolate_linear(df, "ts", "v", ["k"]).collect()
+        }
+        assert (None, 1.0) in got  # filled from the preceding obs
+        assert (1.0, 1.0) in got and (2.0, 2.0) in got
+        # distinct-ts interpolation is unchanged
+        df2 = spark.createDataFrame(
+            [(1, 0.0, 0.0), (1, 1.0, None), (1, 2.0, 4.0)],
+            "k int, ts double, v double",
+        )
+        mid = [
+            r["value_interp"]
+            for r in interpolate_linear(df2, "ts", "v", ["k"]).collect()
+            if r["v"] is None
+        ]
+        assert mid == [2.0]
+
+
+class TestRangeJoinWidthGuard:
+    def test_nonpositive_bucket_width_rejected(self, spark):
+        # width 0 died deep in the plan with an uninformative ANSI
+        # DIVIDE_BY_ZERO; negatives reversed sequence() bounds
+        import pytest
+
+        from data_engineering_hs_spark.operators.range_join import range_join
+
+        p = spark.createDataFrame([(1, 5)], "k int, t int")
+        i = spark.createDataFrame([(1, 0, 10)], "k int, lo int, hi int")
+        for w in (0, -5):
+            with pytest.raises(ValueError, match="bucket_width"):
+                range_join(p, i, "t", "lo", "hi", on="k", bucket_width=w)
