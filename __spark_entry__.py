@@ -149,6 +149,10 @@ _RECHECK_THIS_ROUND = frozenset(
         "s_ivf_topk",
         "s_ivf_adc_topk",
         "s_ivf_adc_store",
+        # r12 late: interpolate_linear grew a dup-ts 0/0 fallback
+        # branch (only fires on inputs that previously crashed, but
+        # the impl changed with an unchanged oracle)
+        "ts_resample_interpolate",
     }
 )
 
