@@ -127,34 +127,10 @@ def _driver_verified() -> frozenset[str]:
 # to the front of the rotation even though an older driver row was
 # green. Oracle-text changes no longer need this list —
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
-_RECHECK_THIS_ROUND = frozenset(
-    {
-        # r11: asof_join null-ts right rows no longer match left rows
-        # with no real predecessor (window form agreed with merge_asof)
-        "j_asof_last_click",
-        "c_pit_join",
-        # r11: boilerplate_ratio rejoin distinct-per-id (dup-id
-        # cardinality fix)
-        "t_boilerplate_ratio",
-        # r11: dup_groups rejects max_iters < 1 (was silent identity
-        # labels); all three component rows route through it
-        # r12: dup_groups_star emits self-loop-only nodes as singleton
-        # components (was silently dropped; fuzz-found divergence from
-        # dup_groups) — the star row re-fronts for that change too
-        "d_dup_components",
-        "d_dup_components_lsh",
-        "d_dup_components_star",
-        # r11: verify_corpus default-on adds a stamp-check agg job to
-        # the store-backed query paths
-        "s_ivf_topk",
-        "s_ivf_adc_topk",
-        "s_ivf_adc_store",
-        # r12 late: interpolate_linear grew a dup-ts 0/0 fallback
-        # branch (only fires on inputs that previously crashed, but
-        # the impl changed with an unchanged oracle)
-        "ts_resample_interpolate",
-    }
-)
+_RECHECK_THIS_ROUND: frozenset[str] = frozenset()
+# (r13 open: cleared — all ten r12 entries were re-verified green by
+# the r12 driver run; see CORRECTNESS_r12.json. Repopulate whenever a
+# Spark-side implementation changes under an unchanged oracle.)
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 
