@@ -127,10 +127,16 @@ def _driver_verified() -> frozenset[str]:
 # to the front of the rotation even though an older driver row was
 # green. Oracle-text changes no longer need this list —
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
-_RECHECK_THIS_ROUND: frozenset[str] = frozenset()
-# (r13 open: cleared — all ten r12 entries were re-verified green by
-# the r12 driver run; see CORRECTNESS_r12.json. Repopulate whenever a
-# Spark-side implementation changes under an unchanged oracle.)
+_RECHECK_THIS_ROUND = frozenset(
+    {
+        # r13: interpolate_linear window ordering grew a deterministic
+        # (ts, is-null, value) tiebreaker (ADVICE r12 — same-instant
+        # fill no longer depends on shuffle layout); oracle unchanged
+        "ts_resample_interpolate",
+    }
+)
+# (r13 open cleared the ten r12 entries — all re-verified green by
+# the r12 driver run; see CORRECTNESS_r12.json.)
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 

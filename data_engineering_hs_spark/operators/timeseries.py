@@ -110,19 +110,30 @@ def interpolate_linear(
     DUPLICATE timestamps: when the surrounding observations share one
     timestamp (a null row sandwiched between same-instant readings —
     sensor feeds emit these), the interpolation slope is 0/0; the row
-    takes the PRECEDING observation's value (the same flat fallback
+    takes a same-instant observation's value (the same flat fallback
     as extrapolation) instead of killing the job with an ANSI
-    DIVIDE_BY_ZERO (fuzz-class find, probed and pinned).
+    DIVIDE_BY_ZERO (fuzz-class find, probed and pinned). The window
+    ordering tie-breaks (ts, value-is-null, value) so the choice is
+    DETERMINISTIC across partitionings and shuffles — observations
+    sort before null rows at the same instant, ties among same-instant
+    observations break on value, so the fill is the LARGEST observed
+    value at that instant. A bare orderBy(ts) left intra-tie order
+    undefined: the null row could sort before its same-ts observation
+    and fall into the 'before first observation' branch, flipping the
+    filled value with the shuffle layout.
     """
     keys = list(key_cols)
+    # Deterministic total order: observed rows precede null rows at
+    # equal ts; equal-ts observations order by value.
+    order = [F.col(ts_col), F.col(value_col).isNull(), F.col(value_col)]
     back = (
         Window.partitionBy(*keys)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd = (
         Window.partitionBy(*keys)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     obs_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))

@@ -139,14 +139,19 @@ class TestDetectGapsFractionalSeconds:
 
 
 class TestInterpolateDuplicateTimestamps:
-    def test_null_between_same_instant_observations_takes_preceding(
+    def test_null_between_same_instant_observations_takes_largest(
         self, spark
     ):
         # a null sandwiched between two observations AT THE SAME ts
         # made the interpolation slope 0/0 — a job-killing ANSI
         # DIVIDE_BY_ZERO on data sensor feeds actually emit; the row
-        # now takes the preceding observation (flat fallback, same as
-        # extrapolation), observed rows stay untouched
+        # now takes a same-instant observation (flat fallback, same as
+        # extrapolation), observed rows stay untouched. The window
+        # tie-breaks (ts, is-null, value), so the fill is the LARGEST
+        # same-instant observed value — deterministic across shuffles
+        # (a bare orderBy(ts) let the null row sort before its same-ts
+        # observation on some partitionings, flipping the fill to the
+        # 'before first observation' branch).
         from data_engineering_hs_spark.operators.timeseries import (
             interpolate_linear,
         )
@@ -159,8 +164,17 @@ class TestInterpolateDuplicateTimestamps:
             (r["v"], r["value_interp"])
             for r in interpolate_linear(df, "ts", "v", ["k"]).collect()
         }
-        assert (None, 1.0) in got  # filled from the preceding obs
+        assert (None, 2.0) in got  # largest same-instant observation
         assert (1.0, 1.0) in got and (2.0, 2.0) in got
+        # deterministic under a different physical layout
+        for n in (1, 7):
+            got_n = {
+                (r["v"], r["value_interp"])
+                for r in interpolate_linear(
+                    df.repartition(n), "ts", "v", ["k"]
+                ).collect()
+            }
+            assert got_n == got
         # distinct-ts interpolation is unchanged
         df2 = spark.createDataFrame(
             [(1, 0.0, 0.0), (1, 1.0, None), (1, 2.0, 4.0)],
