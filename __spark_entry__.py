@@ -133,6 +133,12 @@ _RECHECK_THIS_ROUND = frozenset(
         # (ts, is-null, value) tiebreaker (ADVICE r12 — same-instant
         # fill no longer depends on shuffle layout); oracle unchanged
         "ts_resample_interpolate",
+        # r13: dup_groups null-id contract aligned with the star form
+        # (null ids dropped as nodes, non-null side kept as singleton;
+        # ADVICE r12); edge/label construction changed, oracles didn't
+        "d_dup_components",
+        "d_dup_components_lsh",
+        "d_dup_components_star",
     }
 )
 # (r13 open cleared the ten r12 entries — all re-verified green by

@@ -58,6 +58,12 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     two, so canonicalization keeps two "canonical" copies) — raise
     max_iters (propagation needs ~diameter rounds) or use
     dup_groups_star (log-diameter rounds) for deep graphs.
+
+    NULL ids are not nodes (same contract as dup_groups_star): a pair
+    with a null side contributes only its non-null id, which survives
+    as a singleton component unless other pairs connect it. Before
+    this was pinned, a (5, null) pair emitted a spurious (null, null)
+    row here while the star form emitted only (5, 5).
     """
     if max_iters < 1:
         # max_iters <= 0 would skip the loop with `changed` still 0,
@@ -71,13 +77,23 @@ def dup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # checkpoint each round would re-run that whole pipeline (and the
     # convergence count would run it a second time per round).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+            .select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # every non-null id ever mentioned — a node whose only pairs are
+    # null-sided has no edge, so labels must come from the full node
+    # set or it would vanish from the output (dup_groups_star keeps
+    # the same explicit node set for its self-loop-only nodes)
     labels = (
-        edges.select(F.col("src").alias("node"))
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .filter(F.col("node").isNotNull())
         .distinct()
         .withColumn("component", F.col("node"))
     )

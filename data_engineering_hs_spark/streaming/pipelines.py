@@ -686,8 +686,18 @@ def _compact_ingest_impl(
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     _migrate_legacy_layout(spark, fs, jvm, norm)
     if retire:
+        # Partition directory names are URI-escaped by Spark on write
+        # (PartitioningUtils.escapePathName: '%', '/', ':', non-ASCII
+        # etc. → %XX, '%' itself always escaped, so unquote is a
+        # faithful inverse). Compare UNESCAPED values or a run value
+        # with any special character would always trip the 'not
+        # present' guard despite existing (ADVICE r12). Run
+        # namespaces are hex digests today, but runs= accepts
+        # arbitrary caller values.
+        from urllib.parse import unquote
+
         present = {
-            d.split("=", 1)[1]
+            unquote(d.split("=", 1)[1])
             for d in os.listdir(norm)
             if d.startswith("run=") and os.path.isdir(os.path.join(norm, d))
         }

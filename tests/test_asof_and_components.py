@@ -136,6 +136,26 @@ class TestDupComponents:
         assert {got[7], got[8], got[9]} == {7}
         assert {got[20], got[21], got[22], got[23]} == {20}
 
+    def test_null_sided_pair_keeps_nonnull_node_drops_null(self, spark):
+        # r13 pin (ADVICE r12): a null id is NOT a node. (5, null)
+        # used to emit a spurious (null, null) row from dup_groups
+        # while dup_groups_star emitted only (5, 5) — both forms now
+        # agree: non-null side survives as a singleton, null dropped.
+        from data_engineering_hs_spark.operators.dedup import dup_groups_star
+
+        pairs = spark.createDataFrame(
+            [(5, None), (None, 6), (None, None), (6, 7)],
+            "id_a long, id_b long",
+        )
+        exp = {5: 5, 6: 6, 7: 6}
+        got = {r["doc_id"]: r["component"] for r in dup_groups(pairs).collect()}
+        assert got == exp
+        star = {
+            r["doc_id"]: r["component"]
+            for r in dup_groups_star(pairs).collect()
+        }
+        assert star == exp
+
     def test_nonpositive_round_budget_raises(self, spark):
         # max_iters <= 0 skips the loop entirely; without the up-front
         # check it returned identity labels (every node its own

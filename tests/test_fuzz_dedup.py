@@ -22,11 +22,12 @@ FUZZ = settings(
 # dup_groups / dup_groups_star vs union-find
 # ---------------------------------------------------------------------------
 
+# ids include None: a null id is NOT a node (pinned contract, shared
+# by dup_groups and dup_groups_star) — the non-null side of a
+# null-sided pair survives as a singleton
+_maybe_id = st.one_of(st.none(), st.integers(min_value=0, max_value=15))
 edge_lists = st.lists(
-    st.tuples(
-        st.integers(min_value=0, max_value=15),
-        st.integers(min_value=0, max_value=15),
-    ),
+    st.tuples(_maybe_id, _maybe_id),
     min_size=0,
     max_size=30,
 )
@@ -43,7 +44,10 @@ def _union_find_components(edges):
 
     for a, b in edges:
         for n in (a, b):
-            parent.setdefault(n, n)
+            if n is not None:
+                parent.setdefault(n, n)
+        if a is None or b is None:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
@@ -61,9 +65,11 @@ def test_fuzz_components_match_union_find(spark, edges):
         dup_groups_star,
     )
 
+    # null ids flow through unfiltered — both forms must drop them as
+    # nodes while keeping the non-null side as a singleton
     df = spark.createDataFrame(
         edges or [(None, None)], "id_a long, id_b long"
-    ).filter("id_a is not null")
+    )
     exp = _union_find_components(edges)
     got = {
         r["doc_id"]: r["component"]

@@ -683,6 +683,50 @@ class TestStreamingDedupIngest:
                 checkpoints_gone_for_good=True,
             )
 
+    def test_retire_runs_escaped_run_names(self, spark, tmp_path):
+        # r13 pin (ADVICE r12): Spark URI-escapes partition values on
+        # write (run=a:b → run=a%3Ab on disk), but the typo-protection
+        # presence check compared RAW os.listdir names — a run value
+        # with any special character always tripped the 'not present'
+        # ValueError despite existing. Presence now compares unescaped
+        # values. Run namespaces are hex today; runs= is caller input.
+        import os
+
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+            retire_runs,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp_esc")
+        sink = str(tmp_path / "corpus_esc")
+        mk = lambda rows: spark.createDataFrame(rows, schema)
+        weird = "a:b täst"  # ':' and non-ASCII both escape on disk
+        _dedup_ingest_batch(mk([(1, "alpha")]), 0, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(
+            mk([(2, "beta")]), 0, store, sink, "text", "doc_id", run_ns=weird
+        )
+        # the raw directory name is escaped — the precondition that
+        # made the old check wrong
+        assert not any(
+            d == f"run={weird}" for d in os.listdir(store)
+        ), "expected Spark to escape the partition value on disk"
+        st = retire_runs(
+            spark, store, runs=[weird], checkpoints_gone_for_good=True
+        )
+        assert st["runs_retired"] == [weird]
+        run_dirs = {d for d in os.listdir(store) if d.startswith("run=")}
+        assert run_dirs == {"run=main", "run=compacted"}
+        # both runs' fingerprints survive the fold
+        assert spark.read.parquet(store).select("fingerprint").distinct().count() == 2
+
     def test_reserved_partition_column_names_rejected(self, spark, tmp_path):
         # a batch already carrying run/batch_id columns would have
         # them silently REPLACED by the layout's partition stamps —
