@@ -28,9 +28,24 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(c: ColumnOrName) -> Column:
-    """Whitespace tokenization → array<string> (empty-safe)."""
-    t = F.split(F.trim(_col(c)), r"\s+")
-    return F.when(F.length(F.trim(_col(c))) == 0, F.array().cast("array<string>")).otherwise(t)
+    """Whitespace tokenization → array<string> (empty-safe).
+
+    Tokens are the NON-EMPTY segments of a Java-`\\s+` split — edge
+    whitespace yields no tokens. The previous trim-then-split form
+    was silently wrong on tab/newline-edged text (near-universal in
+    real corpora): `trim` strips only 0x20, so '\\ta b\\n' split to
+    ['', 'a', 'b', ''] — inflating token_count and diluting
+    mean_word_length / stopword_ratio / quality_score corpus-wide,
+    and leaking '' tokens into shingles → MinHash signatures
+    (r13 unicode/edge-whitespace lens find; regression-pinned).
+    Whitespace is Java `\\s` = [ \\t\\n\\x0B\\f\\r] — ASCII only by
+    contract: NBSP / U+2009 / U+3000 are NOT token separators here,
+    in DuckDB's RE2, or in the SQL oracles (pinned), though Python's
+    str.split() DOES split on them.
+    """
+    return F.filter(
+        F.split(_col(c), r"\s+"), lambda t: F.length(t) > 0
+    )
 
 
 def token_count(c: ColumnOrName) -> Column:
@@ -142,8 +157,18 @@ def normalized_text(c: ColumnOrName) -> Column:
     fingerprint64 hashes exactly this, and the md5-based oracles
     (queries/llm.py) restate exactly this, so a future normalization
     change (e.g. unicode NFC) lands everywhere at once instead of
-    silently diverging between the hash and the oracle."""
-    return F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
+    silently diverging between the hash and the oracle.
+
+    Collapse FIRST, trim LAST: the old trim-then-collapse form
+    stripped only 0x20 at the edges, so 'a\\n' normalized to 'a '
+    while 'a' stayed 'a' — two docs identical up to a trailing
+    newline got DIFFERENT fingerprints and escaped exact dedup
+    (r13 edge-whitespace lens find, regression-pinned). Lowercase is
+    FULL Unicode case mapping (Java/Python semantics: İ→i+U+0307,
+    final-sigma ς); DuckDB's utf8proc does simple mapping, so the
+    md5 oracle restatements are exact only on corpora without the
+    divergent code points (guard-tested on the driver corpus)."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
 
 
 def fingerprint64(c: ColumnOrName) -> Column:

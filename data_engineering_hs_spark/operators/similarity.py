@@ -1582,13 +1582,19 @@ def compact_cell_store(
     two POSIX renames, and recover_swap finishes any crash point.
     DRIVER-LOCAL paths only, like every swap caller — a remote store
     compacts by rebuilding (or a transactional format's OPTIMIZE).
-    Returns {"files_before", "files_after"}.
+    Not concurrent-writer-safe BY CONTRACT, and a violation is
+    detected (r13): the file set is re-snapshotted just before the
+    rename and any append since the staging read aborts with
+    RuntimeError, store untouched. Returns
+    {"files_before", "files_after"}.
     """
     import json
     import os
 
     from data_engineering_hs_spark.sources.parquet import (
         _require_local_swap_path,
+        check_no_concurrent_writer,
+        snapshot_data_files,
         swap_in,
     )
 
@@ -1606,6 +1612,10 @@ def compact_cell_store(
         )
 
     before = n_files(path)
+    # staging snapshot for the pre-swap concurrent-writer tripwire
+    # (append_to_cell_store is single-writer by contract, but a
+    # violated contract must abort loudly, not lose the append)
+    staged = snapshot_data_files(path)
     df = spark.read.parquet(path)
     if id_col is None:
         id_col = [c for c in df.columns if c != "cell"][0]
@@ -1614,6 +1624,7 @@ def compact_cell_store(
     _salted_cell_write(df, tmp, id_col, files_per_cell, mode="overwrite")
     if meta is not None:
         _write_store_meta(tmp, **meta)
+    check_no_concurrent_writer(norm, staged, "compact_cell_store", tmp)
     swap_in(tmp, norm)
     return {"files_before": before, "files_after": n_files(norm)}
 

@@ -32,7 +32,7 @@ EMBED_DIM = 64
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END) AS BIGINT)
          AS total_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        CAST(MAX(length(text)) AS BIGINT) AS max_chars,
@@ -63,13 +63,13 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tokens,
        length(text) AS n_chars_exact,
        CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
          / greatest(length(text), 1) AS punct_ratio,
        CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
          / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+                    ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END, 1)
          AS mean_word_len
 FROM documents
 """,
@@ -104,7 +104,7 @@ def t_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, lang, text,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents
 ), s AS (
@@ -149,11 +149,11 @@ _STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
 WITH c AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+              ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok,
          CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS toks
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -185,9 +185,9 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_exact_dup_summary",
     oracle="""
 SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
          AS n_distinct,
-       COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+       COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
          AS n_dup_surplus
 FROM documents
 """,
@@ -207,7 +207,7 @@ def d_exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_incremental_dedup",
     oracle=r"""
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
   FROM documents
 ),
 store AS (SELECT DISTINCT norm FROM n WHERE doc_id % 2 = 0),
@@ -256,7 +256,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_true_cross,
 FROM documents
 WHERE doc_id % 10 = 0
   AND length(trim(text)) > 0
-  AND len(string_split_regex(trim(text), '\s+')) >= 3
+  AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 """,
     doc="incremental MinHash-LSH: near-dup candidate pairs of a new "
     "batch against the even-doc_id corpus's persisted band-bucket "
@@ -299,7 +299,7 @@ def d_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id, lang,
-         list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+         list_distinct(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS tok_set
   FROM documents WHERE length(trim(text)) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -396,7 +396,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
 FROM documents
 WHERE doc_id % 10 = 0
   AND length(trim(text)) > 0
-  AND len(string_split_regex(trim(text), '\s+')) >= 3
+  AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 """,
     doc="MinHash-LSH planted-duplicate completeness audit: every "
     "byte-identical planted copy (every 10th eligible doc under "
@@ -982,7 +982,7 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_CTE = r"""
 words AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w
   FROM documents WHERE length(trim(text)) > 0
 ),
 sh AS (
@@ -1066,7 +1066,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
 FROM documents
 WHERE doc_id % 10 = 0
   AND length(trim(text)) > 0
-  AND len(string_split_regex(trim(text), '\s+')) >= 3
+  AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 """,
     doc="MOSS winnowing: distinct sliding-window minima over word "
     "3-gram hashes — passage-level overlap fingerprints (any shared "
@@ -1123,7 +1123,7 @@ def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_repetition_stats",
     oracle=r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w FROM documents
 ),
 g2 AS (
   SELECT doc_id, UNNEST([array_to_string(w[i:i+1], ' ')
@@ -1164,7 +1164,7 @@ def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_decontam_overlap",
     oracle=r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w FROM documents
 ),
 g AS (
   SELECT doc_id, UNNEST(list_distinct([array_to_string(w[i:i+3], ' ')
@@ -1233,7 +1233,7 @@ def f_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_setsim_pairs",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS tok_set
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS tok_set
   FROM documents WHERE length(trim(text)) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1259,7 +1259,7 @@ def d_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+            ELSE len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) END AS ws_tokens,
        len(regexp_extract_all(text || ' v' || CAST(doc_id AS VARCHAR) || '.0!',
                               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
 FROM documents
@@ -1364,7 +1364,7 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_chunk_documents",
     oracle=r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w
   FROM documents WHERE length(trim(text)) > 0
 )
 SELECT doc_id,
@@ -1401,7 +1401,7 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detail stays property-tested in tests/test_properties.
     oracle=r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w
   FROM documents WHERE length(trim(text)) > 0
 ),
 chunks AS (
@@ -1505,7 +1505,7 @@ SELECT doc_id AS group_rep,
 FROM documents
 WHERE doc_id % 25 = 0
   AND length(trim(text)) > 0
-  AND len(string_split_regex(trim(text), '\s+')) >= 3
+  AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 ORDER BY group_rep
 """,
     doc="the PRODUCTION dedup composition end-to-end: MinHash-LSH "
@@ -1584,7 +1584,7 @@ SELECT token, n FROM (
   SELECT token, COUNT(*) AS n,
          ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
   FROM (
-    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS token
     FROM documents WHERE length(trim(text)) > 0
   )
   GROUP BY token
@@ -1632,7 +1632,7 @@ bp AS (
 dd AS (
   SELECT doc_id, lang, text,
          ROW_NUMBER() OVER (
-           PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+           PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
            ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -1640,11 +1640,11 @@ d1 AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1),
 qc0 AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+              ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok,
          CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS toks
   FROM d1
 ),
 qc AS (
@@ -1661,7 +1661,7 @@ qc AS (
 lt AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM d1
 ),

@@ -25,7 +25,7 @@ from data_engineering_hs_spark.queries.registry import register
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS t
+              ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS t
   FROM documents
 ), segs0 AS (
   SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
@@ -92,7 +92,7 @@ _BM25_TERM_IN_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS t
+              ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS t
   FROM documents
 ), stats AS (
   SELECT COUNT(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
@@ -213,11 +213,11 @@ def _quality_cte() -> str:
 c AS (
   SELECT doc_id, lang,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+              ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok,
          CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, lang,
@@ -273,7 +273,7 @@ def t_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH n AS (
   SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+              ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok
   FROM documents
 ), b AS (
   SELECT least(n_tok // 20, 9) AS bucket FROM n
@@ -1189,7 +1189,7 @@ def _rrf_oracle() -> str:
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS t
+              ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS t
   FROM documents
 ), stats AS (
   SELECT COUNT(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
@@ -1288,7 +1288,7 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector) is pinned in tests.
     oracle=r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS l1
+       CAST(len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) AS BIGINT) AS l1
 FROM documents WHERE length(trim(text)) > 0
 ORDER BY doc_id
 """,

@@ -106,7 +106,7 @@ def log_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_substring_prefilter",
     oracle="""
 SELECT doc_id, lang,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+       len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS n_tokens
 FROM documents
 WHERE contains(text, 'dup')
 """,

@@ -68,6 +68,61 @@ def _require_local_swap_path(path: str, op: str) -> None:
         )
 
 
+# Test seam for the pre-swap tripwire: called (with the store path)
+# just before the concurrent-writer check so a test can deterministically
+# inject a "commit" into the race window. Never set in production.
+_pre_swap_test_hook = None
+
+
+def snapshot_data_files(path: str) -> frozenset:
+    """Relative paths of every data file under `path` — the staging
+    snapshot for the pre-swap concurrent-writer tripwire. Part-file
+    names are unique per Spark write (UUIDs), so ANY concurrent
+    commit — new partition or append into an existing one — changes
+    this set."""
+    import os
+
+    norm = path.rstrip("/")
+    out = set()
+    for root, _dirs, files in os.walk(norm):
+        rel = os.path.relpath(root, norm)
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.add(os.path.join(rel, f))
+    return frozenset(out)
+
+
+def check_no_concurrent_writer(
+    path: str, staged: frozenset, op: str, tmp: str | None = None
+) -> None:
+    """Abort the swap if the live store changed since the staging
+    read. The compaction family documents 'never concurrent with an
+    active trigger's commit', but without this check a batch committed
+    between the staging read and the rename SILENTLY VANISHES in the
+    swap — the one data-loss shape the rename-aside protocol cannot
+    see on its own. Cheap (one os.walk) relative to the rewrite it
+    guards. On trip: the staged tmp copy is deleted and the live
+    store is left untouched."""
+    import shutil
+
+    if _pre_swap_test_hook is not None:
+        _pre_swap_test_hook(path)
+    now = snapshot_data_files(path)
+    if now != staged:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+        added = sorted(now - staged)[:5]
+        removed = sorted(staged - now)[:5]
+        raise RuntimeError(
+            f"{op}: {path} changed between the staging read and the "
+            f"swap (files added: {added}, removed: {removed}) — a "
+            "concurrent writer committed mid-compaction and its data "
+            "would have vanished in the swap. Aborted; the live store "
+            "is untouched and the staged copy was discarded. Run "
+            f"{op} between triggers / in a maintenance window."
+        )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -111,6 +166,7 @@ def compact_parquet(
         ]
 
     before = data_files(path)
+    staged = snapshot_data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
@@ -120,6 +176,7 @@ def compact_parquet(
     sized.write.mode("overwrite").parquet(tmp)
     # Swap via rename-aside (shared protocol): rmtree(path) before
     # the rename would leave a crash window with NO dataset at path.
+    check_no_concurrent_writer(norm, staged, "compact_parquet", tmp)
     swap_in(tmp, norm)
     return {
         "files_before": len(before),

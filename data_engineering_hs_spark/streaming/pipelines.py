@@ -580,7 +580,11 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     format's OPTIMIZE. Do not run concurrently with an active
     trigger's commit (the swap could drop a batch committed after the
     staging read) — run it between triggers or while the stream is
-    stopped, like compact_band_store's cadence contract.
+    stopped, like compact_band_store's cadence contract. A violation
+    is DETECTED, not just documented (r13): the file set is
+    re-snapshotted immediately before the rename and any change since
+    the staging read aborts with RuntimeError, store untouched
+    (sources.parquet.check_no_concurrent_writer).
 
     Legacy layouts (pre-namespace root files / bare batch_id=N dirs)
     are migrated first, same as the per-batch path. Returns
@@ -632,8 +636,9 @@ def retire_runs(
     results are identical before and after. Crash-safe via the same
     rename-aside swap as compact_ingest_store, with the same
     contracts: DRIVER-LOCAL paths only, never concurrent with an
-    active trigger's commit. Returns the compaction stats dict plus
-    ``runs_retired``.
+    active trigger's commit (violations trip the same pre-swap
+    concurrent-writer check and abort loudly). Returns the compaction
+    stats dict plus ``runs_retired``.
     """
     if not checkpoints_gone_for_good:
         raise ValueError(
@@ -666,6 +671,8 @@ def _compact_ingest_impl(
 
     from data_engineering_hs_spark.sources.parquet import (
         _require_local_swap_path,
+        check_no_concurrent_writer,
+        snapshot_data_files,
         swap_in,
     )
 
@@ -720,6 +727,10 @@ def _compact_ingest_impl(
         return files, len(parts)
 
     files_before, parts_before = stats(norm)
+    # staging snapshot for the pre-swap concurrent-writer tripwire: a
+    # trigger committing a batch after this point must abort the swap
+    # (its partition would silently vanish in the rename otherwise)
+    staged = snapshot_data_files(norm)
     df = spark.read.parquet(norm)
     # max batch per run from partition-column metadata (no data read)
     run_max = df.groupBy("run").agg(F.max("batch_id").alias("__max"))
@@ -754,6 +765,7 @@ def _compact_ingest_impl(
         merged = merged.repartition("run", "batch_id")
     tmp = norm + ".__compact"
     merged.write.mode("overwrite").partitionBy("run", "batch_id").parquet(tmp)
+    check_no_concurrent_writer(norm, staged, op, tmp)
     swap_in(tmp, norm)
     files_after, parts_after = stats(norm)
     out = {
