@@ -292,6 +292,58 @@ def test_fuzz_oracle_restatements_agree_on_safe_unicode(spark, texts):
 # ---------------------------------------------------------------------------
 
 
+class TestEdgeWhitespaceRegressions:
+    """The two falsifying inputs this lens found, pinned exactly."""
+
+    def test_edge_whitespace_does_not_inflate_tokens(self, spark):
+        # before the fix: trim() strips only 0x20, Java split keeps
+        # edge '' segments → '\ta b\n' tokenized ['', 'a', 'b', '']
+        # (4 "tokens"), '\n\n' tokenized ['', ''] (2) — corpus-wide
+        # token_count inflation and '' tokens inside MinHash shingles
+        from data_engineering_hs_spark.functions.text import (
+            token_count,
+            tokens,
+            word_shingle_seq,
+        )
+
+        rows = (
+            spark.createDataFrame(
+                [("\ta b\n",), ("\n\n",), ("\tx y z\n\n",)], "s string"
+            )
+            .select(
+                tokens("s").alias("t"),
+                token_count("s").alias("n"),
+                word_shingle_seq("s", 3).alias("sh"),
+            )
+            .collect()
+        )
+        assert rows[0]["t"] == ["a", "b"] and rows[0]["n"] == 2
+        assert rows[1]["t"] == [] and rows[1]["n"] == 0
+        assert rows[2]["sh"] == ["x y z"]
+
+    def test_trailing_newline_does_not_change_fingerprint(self, spark):
+        # before the fix: normalized_text('a\n') == 'a ' != 'a' — two
+        # byte-identical docs modulo a trailing newline got different
+        # fingerprints and escaped exact dedup
+        from data_engineering_hs_spark.functions.text import (
+            fingerprint64,
+            normalized_text,
+        )
+
+        rows = (
+            spark.createDataFrame(
+                [("doc one",), ("doc one\n",), ("\tdoc  ONE  ",)], "s string"
+            )
+            .select(
+                normalized_text("s").alias("norm"),
+                fingerprint64("s").alias("fp"),
+            )
+            .collect()
+        )
+        assert {r["norm"] for r in rows} == {"doc one"}
+        assert len({r["fp"] for r in rows}) == 1
+
+
 class TestPinnedDivergences:
     def test_full_vs_simple_case_mapping_still_diverges(self, spark):
         # Spark (Java, FULL mapping, agrees with Python) vs DuckDB
