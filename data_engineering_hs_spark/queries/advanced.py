@@ -66,10 +66,10 @@ WITH RECURSIVE edges AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM (SELECT doc_id, lang,
                list_distinct(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS tok_set
-        FROM documents WHERE length(trim(text)) > 0) a
+        FROM documents WHERE length(trim(text, ' ')) > 0) a
   JOIN (SELECT doc_id, lang,
                list_distinct(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS tok_set
-        FROM documents WHERE length(trim(text)) > 0) b
+        FROM documents WHERE length(trim(text, ' ')) > 0) b
     ON a.lang = b.lang AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
           / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.9

@@ -31,7 +31,7 @@ EMBED_DIM = 64
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+       CAST(SUM(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
                 ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END) AS BIGINT)
          AS total_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
@@ -62,13 +62,13 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_quality_components",
     oracle="""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
+       CASE WHEN length(trim(text, ' ')) = 0 THEN 0
             ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tokens,
        length(text) AS n_chars_exact,
        CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
          / greatest(length(text), 1) AS punct_ratio,
-       CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
-         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       CAST(length(regexp_replace(trim(text, ' '), '\\s', '', 'g')) AS DOUBLE)
+         / greatest(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
                     ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END, 1)
          AS mean_word_len
 FROM documents
@@ -103,7 +103,7 @@ def t_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, lang, text,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_transform(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents
@@ -148,11 +148,11 @@ _STOPWORD_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
     oracle=f"""
 WITH c AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN length(trim(text, ' ')) = 0 THEN 0
               ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok,
          CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS toks
   FROM documents
 ), s AS (
@@ -185,9 +185,9 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_exact_dup_summary",
     oracle="""
 SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')))
          AS n_distinct,
-       COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+       COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')))
          AS n_dup_surplus
 FROM documents
 """,
@@ -207,7 +207,7 @@ def d_exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_incremental_dedup",
     oracle=r"""
 WITH n AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm
   FROM documents
 ),
 store AS (SELECT DISTINCT norm FROM n WHERE doc_id % 2 = 0),
@@ -255,7 +255,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_true_cross,
        TRUE AS complete_ok
 FROM documents
 WHERE doc_id % 10 = 0
-  AND length(trim(text)) > 0
+  AND length(trim(text, ' ')) > 0
   AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 """,
     doc="incremental MinHash-LSH: near-dup candidate pairs of a new "
@@ -300,7 +300,7 @@ def d_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, lang,
          list_distinct(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS tok_set
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
@@ -395,7 +395,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS complete_ok
 FROM documents
 WHERE doc_id % 10 = 0
-  AND length(trim(text)) > 0
+  AND length(trim(text, ' ')) > 0
   AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 """,
     doc="MinHash-LSH planted-duplicate completeness audit: every "
@@ -442,12 +442,12 @@ def d_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n_found_true == n_true_pairs, as data).
     oracle="""
 WITH aug AS (
-  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, text FROM documents WHERE length(trim(text, ' ')) > 0
   UNION ALL
   -- offset value is irrelevant here: the ground truth groups by
   -- text only, so any distinct relabeling works
   SELECT doc_id + 1000000, text FROM documents
-  WHERE length(trim(text)) > 0 AND doc_id % 10 = 0
+  WHERE length(trim(text, ' ')) > 0 AND doc_id % 10 = 0
 ), g AS (
   SELECT COUNT(*) AS n FROM aug GROUP BY text
 )
@@ -983,7 +983,7 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CTE = r"""
 words AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 sh AS (
   SELECT doc_id,
@@ -1065,7 +1065,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
        TRUE AS all_identical
 FROM documents
 WHERE doc_id % 10 = 0
-  AND length(trim(text)) > 0
+  AND length(trim(text, ' ')) > 0
   AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 """,
     doc="MOSS winnowing: distinct sliding-window minima over word "
@@ -1234,7 +1234,7 @@ def f_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS tok_set
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
@@ -1258,7 +1258,7 @@ def d_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_token_counts",
     oracle=r"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
+       CASE WHEN length(trim(text, ' ')) = 0 THEN 0
             ELSE len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) END AS ws_tokens,
        len(regexp_extract_all(text || ' v' || CAST(doc_id AS VARCHAR) || '.0!',
                               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
@@ -1365,7 +1365,7 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 )
 SELECT doc_id,
        CAST(UNNEST(range(len(starts))) AS INT) AS chunk_id,
@@ -1402,7 +1402,7 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 chunks AS (
   SELECT doc_id,
@@ -1504,7 +1504,7 @@ SELECT doc_id AS group_rep,
        TRUE AS intact
 FROM documents
 WHERE doc_id % 25 = 0
-  AND length(trim(text)) > 0
+  AND length(trim(text, ' ')) > 0
   AND len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) >= 3
 ORDER BY group_rep
 """,
@@ -1585,7 +1585,7 @@ SELECT token, n FROM (
          ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
   FROM (
     SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) AS token
-    FROM documents WHERE length(trim(text)) > 0
+    FROM documents WHERE length(trim(text, ' ')) > 0
   )
   GROUP BY token
 ) t WHERE rk <= 20
@@ -1632,18 +1632,18 @@ bp AS (
 dd AS (
   SELECT doc_id, lang, text,
          ROW_NUMBER() OVER (
-           PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
            ORDER BY doc_id) AS rn
   FROM documents
 ),
 d1 AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1),
 qc0 AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN length(trim(text, ' ')) = 0 THEN 0
               ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok,
          CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS toks
   FROM d1
 ),
@@ -1660,7 +1660,7 @@ qc AS (
 ),
 lt AS (
   SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_transform(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM d1
@@ -1853,7 +1853,7 @@ aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT d.doc_id + off.o, d.text FROM documents d, off
-  WHERE d.doc_id % 10 = 0 AND length(trim(d.text)) > 0
+  WHERE d.doc_id % 10 = 0 AND length(trim(d.text, ' ')) > 0
 ),
 ranked AS (
   SELECT doc_id, text,

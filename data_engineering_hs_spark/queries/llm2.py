@@ -24,7 +24,7 @@ from data_engineering_hs_spark.queries.registry import register
     oracle="""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS t
   FROM documents
 ), segs0 AS (
@@ -91,7 +91,7 @@ _BM25_TERM_IN_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS t
   FROM documents
 ), stats AS (
@@ -212,11 +212,11 @@ def _quality_cte() -> str:
     return f"""
 c AS (
   SELECT doc_id, lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN length(trim(text, ' ')) = 0 THEN 0
               ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok,
          CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS toks
   FROM documents
 ), s AS (
@@ -272,7 +272,7 @@ def t_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor division, identical in both engines.
     oracle="""
 WITH n AS (
-  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+  SELECT CASE WHEN length(trim(text, ' ')) = 0 THEN 0
               ELSE len(list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '')) END AS n_tok
   FROM documents
 ), b AS (
@@ -1188,7 +1188,7 @@ def _rrf_oracle() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         CASE WHEN length(trim(text, ' ')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE list_filter(string_split_regex(text, '\\s+'), t_ -> t_ <> '') END AS t
   FROM documents
 ), stats AS (
@@ -1289,7 +1289,7 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT doc_id,
        CAST(len(list_filter(string_split_regex(text, '\s+'), t_ -> t_ <> '')) AS BIGINT) AS l1
-FROM documents WHERE length(trim(text)) > 0
+FROM documents WHERE length(trim(text, ' ')) > 0
 ORDER BY doc_id
 """,
     doc="hashing-trick count vectorizer (1024-dim sparse): per-doc "

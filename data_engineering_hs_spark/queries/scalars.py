@@ -22,9 +22,9 @@ from data_engineering_hs_spark.queries.registry import register
     "f_string_identity",
     oracle="""
 SELECT c_custkey,
-       lower(trim(c_name)) AS norm_name,
+       lower(trim(c_name, ' ')) AS norm_name,
        upper(c_name) AS upper_name,
-       md5(lower(trim(c_name))) AS name_md5,
+       md5(lower(trim(c_name, ' '))) AS name_md5,
        concat(c_mktsegment, ':', CAST(c_custkey AS VARCHAR)) AS seg_key,
        substring(c_name, 1, 8) AS name_prefix,
        length(c_name) AS name_len

@@ -430,7 +430,7 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup exact — are emitted as data so any regression moves the
     # hash.
     oracle=r"""
-SELECT CAST(COUNT(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+SELECT CAST(COUNT(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
          AS BIGINT) AS n_sink_rows,
        TRUE AS store_content_preserved,
        TRUE AS partitions_collapsed,

@@ -251,7 +251,13 @@ def test_fuzz_oracle_restatements_agree_on_safe_unicode(spark, texts):
     oracles use must agree with the engine beyond ASCII — this is the
     100-TB risk the round-12 verdict flagged. The safe alphabet still
     covers ß, ü, combining marks, CJK, Hebrew, emoji, ligatures, NBSP
-    and all RE2-shared whitespace."""
+    and all RE2-shared whitespace.
+
+    This test found divergence #3 (now fixed across every oracle):
+    DuckDB's one-arg trim strips UNICODE whitespace while Spark's
+    trim strips only 0x20 — text like '\\u2009' normalized to ''
+    oracle-side but survived engine-side. Every oracle now uses the
+    two-arg trim(x, ' '), whose strip set matches Spark exactly."""
     from data_engineering_hs_spark.functions.text import (
         normalized_text,
         token_count,
@@ -272,7 +278,7 @@ def test_fuzz_oracle_restatements_agree_on_safe_unicode(spark, texts):
         s = texts[r["doc_id"]]
         dh, dn, dil = con.execute(
             """
-            SELECT md5(trim(regexp_replace(lower($1), '\\s+', ' ', 'g'))),
+            SELECT md5(trim(regexp_replace(lower($1), '\\s+', ' ', 'g'), ' ')),
                    len(list_filter(string_split_regex($1, '\\s+'),
                                    t_ -> t_ <> '')),
                    $1 ILIKE '%aB%'
