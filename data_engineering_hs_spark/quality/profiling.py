@@ -84,9 +84,16 @@ def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
         "n_keys",
         "n_rows",
         "top1_cnt",
-        F.floor(F.lit(1_000_000) * F.col("top1_cnt") / F.col("n_rows"))
-        .cast("long")
-        .alias("max_share_ppm"),
+        # ppm in exact 128-bit integer math (r13 overflow lens):
+        # 1_000_000 * top1_cnt as a LONG product overflows (ANSI
+        # job-killer) once the hottest key holds > ~9.2e12 rows —
+        # reachable at 100 TB of small records. DECIMAL(38,0) widens
+        # the product; DIV keeps the floor-division exact (no
+        # double rounding above 2^53, no decimal-scale rounding).
+        F.expr(
+            "CAST((CAST(top1_cnt AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_rows AS BIGINT)"
+        ).alias("max_share_ppm"),
         "p99_cnt",
     )
 

@@ -34,7 +34,7 @@ WITH k AS (
 )
 SELECT shard,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(doc_id) % 1000000007 AS BIGINT) AS id_checksum,
        arg_min(doc_id, key) AS first_id,
        arg_max(doc_id, key) AS last_id
 FROM k GROUP BY shard ORDER BY shard
@@ -53,7 +53,18 @@ def t_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("shard")
         .agg(
             F.count("*").alias("n"),
-            F.sum("doc_id").alias("id_sum"),
+            # Mod-prime content checksum (r13 overflow lens): a plain
+            # long Σid overflows ANSI once Σid > 2^63 — with dense ids
+            # that is only ~1.2e10 docs, squarely 100-TB-plausible.
+            # Sum in DECIMAL(38,0) (exact 128-bit; DuckDB sums BIGINT
+            # in HUGEINT natively), reduce mod 1e9+7 so the OUTPUT
+            # stays BIGINT — the oracle harness's pandas path degrades
+            # DECIMAL columns to float (silent >2^53 rounding), so a
+            # decimal output column is not hash-comparable.
+            F.expr(
+                "CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) % 1000000007"
+                " AS BIGINT)"
+            ).alias("id_checksum"),
             F.min_by("doc_id", "shuffle_key").alias("first_id"),
             F.max_by("doc_id", "shuffle_key").alias("last_id"),
         )

@@ -806,7 +806,7 @@ WITH c AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
 SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
        CAST(t.n_rows AS BIGINT) AS n_rows,
        CAST(t.top1_cnt AS BIGINT) AS top1_cnt,
-       CAST(FLOOR(1e6 * t.top1_cnt / t.n_rows) AS BIGINT)
+       CAST(CAST(t.top1_cnt AS HUGEINT) * 1000000 // t.n_rows AS BIGINT)
            AS max_share_ppm,
        (SELECT CAST(MIN(n) AS BIGINT) FROM r
         WHERE rn >= CEIL(0.99 * t.n_keys)) AS p99_cnt
