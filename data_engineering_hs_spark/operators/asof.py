@@ -11,6 +11,12 @@ timestamp is <= the left row's timestamp. Two implementations:
 - asof_join_pandas: applyInPandas + pandas.merge_asof per key group —
   the fallback shape for semantics the window form can't express
   (nearest/forward direction with tolerance), at Arrow-batch cost.
+- asof_join_arrow: the EXACT-dtype twin of asof_join_pandas
+  (cogroup + applyInArrow, no pandas anywhere). The pandas boundary
+  converts any null-bearing int64 column to float64 on Arrow input —
+  UPSTREAM of user code — silently rounding values above 2^53;
+  the arrow form keeps every column as its Arrow type end-to-end,
+  so null-bearing longs in the 2^60 range survive bit-exact.
 
 Tie semantics: right rows with ts equal to the left ts DO match
 (inclusive, merge_asof default). Ordering among equal timestamps is
@@ -109,7 +115,15 @@ def asof_join_pandas(
     tolerance=None,
 ) -> DataFrame:
     """merge_asof fallback: per-key pandas cogroup. Supports forward/
-    nearest directions and tolerances the window form doesn't."""
+    nearest directions and tolerances the window form doesn't.
+
+    DTYPE LIMITATION (use asof_join_arrow when it bites): an int64
+    value column that already contains nulls arrives float64 at the
+    pandas boundary (Arrow input conversion — upstream of this
+    function's object-dtype hardening), silently rounding values
+    above 2^53; pinned in tests/test_asof_and_components.py
+    (TestAsofJoinArrow.test_null_bearing_longs_above_2_53_exact).
+    asof_join_arrow has identical semantics with exact dtypes."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -182,4 +196,160 @@ def asof_join_pandas(
         left.groupBy(on)
         .cogroup(right.groupBy(on))
         .applyInPandas(merge, schema=schema)
+    )
+
+
+def asof_join_arrow(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance=None,
+) -> DataFrame:
+    """Arrow-native as-of join (cogroup + applyInArrow) — the
+    exact-dtype twin of asof_join_pandas.
+
+    WHY IT EXISTS (r12 dtype-lens residual, r13 fix): the pandas
+    boundary converts a null-bearing int64 column to float64 during
+    Arrow→pandas input conversion — before any user code runs — so
+    values above 2^53 round silently through asof_join_pandas even
+    after its own object-dtype hardening (that hardening can only
+    protect columns that ARRIVE integral). This form never touches
+    pandas: per key group both sides stay pyarrow Tables, the match
+    is computed as an int64 index array, and value columns are
+    attached with pa.Table.take (null index → null row), so every
+    dtype — including null-bearing longs in the 2^60 range — survives
+    bit-exact.
+
+    Semantics match asof_join_pandas: backward/forward/nearest,
+    optional tolerance (nearest breaks exact-distance ties backward,
+    like merge_asof); null-ts left rows pass through with null asof
+    columns; null-ts right rows never match. Among equal right
+    timestamps the LAST under a stable (ts) sort of the group wins —
+    callers needing a deterministic tie should keep right timestamps
+    unique per key (the pandas form's unstable sort_values makes its
+    equal-ts winner arbitrary anyway).
+
+    Scale shape: one cogroup shuffle on the key (same as the pandas
+    form); per-group work is numpy searchsorted + Arrow take —
+    vectorized, no per-row Python in the index math. The tolerance
+    check subtracts in object space (exact at any magnitude; numpy
+    int64 subtraction would wrap silently on extreme spans).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import types as T
+
+    fields = [left.schema[c] for c in left.columns] + [
+        T.StructField(f"asof_{c}", right.schema[c].dataType) for c in value_cols
+    ]
+    schema = T.StructType(fields)
+    left_cols = list(left.columns)
+
+    def _exact_diff_ok(lt_np, matched_ts_np, tol) -> "np.ndarray":
+        # |lt - rts| <= tol with arbitrary-precision ints: object
+        # space avoids int64 wraparound on extreme spans. Timestamps
+        # arrive as datetime64 — subtract natively there.
+        if lt_np.dtype.kind in ("i", "u"):
+            lo = lt_np.astype(object)
+            ro = matched_ts_np.astype(object)
+            return np.array(
+                [abs(a - b) <= tol for a, b in zip(lo, ro)], dtype=bool
+            )
+        return np.abs(lt_np - matched_ts_np) <= tol
+
+    def _usable_ts(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+        # NaN in a floating ts behaves like null (the pandas twin's
+        # isna() semantics) — searchsorted would otherwise rank NaN
+        # after every real timestamp and hand it the last right row
+        mask = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(pc.fill_null(col, 0.0))))
+        return mask
+
+    def merge(ltab: pa.Table, rtab: pa.Table) -> pa.Table:
+        lvalid_mask = _usable_ts(ltab[left_ts])
+        lvalid = ltab.filter(lvalid_mask)
+        lnull = ltab.filter(pc.invert(lvalid_mask))
+        r = rtab.filter(_usable_ts(rtab[right_ts]))
+        # stable ascending sort of the right side on ts
+        r = r.take(pc.sort_indices(r, sort_keys=[(right_ts, "ascending")]))
+        rts = r[right_ts].combine_chunks().to_numpy(zero_copy_only=False)
+        lt = lvalid[left_ts].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(rts)
+
+        if n == 0 or len(lt) == 0:
+            idx = np.full(len(lt), -1, dtype=np.int64)
+        elif direction == "backward":
+            idx = np.searchsorted(rts, lt, side="right") - 1
+        elif direction == "forward":
+            f = np.searchsorted(rts, lt, side="left")
+            idx = np.where(f < n, f, -1)
+        else:  # nearest
+            b = np.searchsorted(rts, lt, side="right") - 1
+            f = np.searchsorted(rts, lt, side="left")
+            f = np.where(f < n, f, -1)
+            idx = np.where(b < 0, f, b)
+            both = (b >= 0) & (f >= 0)
+            if both.any():
+                # exact-distance compare in object space; tie → backward
+                bo = rts[np.clip(b, 0, n - 1)]
+                fo = rts[np.clip(f, 0, n - 1)]
+                if lt.dtype.kind in ("i", "u"):
+                    lo = lt.astype(object)
+                    closer_fwd = np.array(
+                        [
+                            bool(bb and (abs(fv - a) < abs(a - bv)))
+                            for a, bv, fv, bb in zip(
+                                lo, bo.astype(object), fo.astype(object), both
+                            )
+                        ],
+                        dtype=bool,
+                    )
+                else:
+                    closer_fwd = both & (np.abs(fo - lt) < np.abs(lt - bo))
+                idx = np.where(closer_fwd, f, idx)
+        if n and tolerance is not None and len(lt):
+            matched = idx >= 0
+            if matched.any():
+                ok = np.zeros(len(lt), dtype=bool)
+                ok[matched] = _exact_diff_ok(
+                    lt[matched], rts[np.clip(idx[matched], 0, n - 1)], tolerance
+                )
+                idx = np.where(matched & ~ok, -1, idx)
+
+        # null index → null row: pa.Table.take propagates null indices
+        take_idx = pa.array(
+            [int(i) if i >= 0 else None for i in idx], type=pa.int64()
+        )
+        out_cols = [lvalid[c] for c in left_cols]
+        out_names = list(left_cols)
+        for c in value_cols:
+            out_cols.append(r[c].take(take_idx))
+            out_names.append(f"asof_{c}")
+        out = pa.table(dict(zip(out_names, out_cols)))
+        if len(lnull):
+            null_cols = [lnull[c] for c in left_cols] + [
+                pa.nulls(len(lnull), type=r.schema.field(c).type)
+                if c in r.schema.names
+                else pa.nulls(len(lnull))
+                for c in value_cols
+            ]
+            out = pa.concat_tables(
+                [out, pa.table(dict(zip(out_names, null_cols)))]
+            )
+        return out
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInArrow(merge, schema=schema)
     )

@@ -31,6 +31,12 @@ from data_engineering_hs_spark.operators.scale import write_bucketed
 # measure spec: out_col -> (merge_fn, source expression string)
 # merge_fn in {"sum", "count", "min", "max"}; count partials merge
 # by SUM, everything else by itself.
+# OVERFLOW CONTRACT (r13 audit): a "sum" over a LONG source column
+# accumulates across every increment forever — under ANSI that is a
+# job-killer once the lifetime total passes 2^63. Bound it yourself
+# or widen the source expression ("CAST(x AS DECIMAL(38,0))"); count
+# partials are bounded by lifetime row count and decimal sources
+# are exact.
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 

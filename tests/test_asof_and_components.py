@@ -117,6 +117,137 @@ class TestAsofJoin:
         assert got == [(1, None), (5, big)]
 
 
+class TestAsofJoinArrow:
+    """asof_join_arrow — the exact-dtype twin (r13, verdict item 5).
+
+    The decisive case is a NULL-BEARING int64 value column with
+    2^60-range values: the pandas boundary converts it to float64 on
+    Arrow INPUT (upstream of asof_join_pandas' object-dtype
+    hardening, which can only protect columns that arrive integral),
+    silently rounding 2^60+1 → 2^60. The arrow form keeps Arrow
+    types end-to-end and must return it bit-exact."""
+
+    def _frames(self, spark):
+        big = 2**60 + 1
+        left = spark.createDataFrame(
+            [("k", 1), ("k", 5), ("k", 9), ("j", 4)], "k string, lts long"
+        )
+        # v carries a null AND a >2^53 value: arrives float64 at any
+        # pandas boundary, exact int64 at an arrow boundary
+        right = spark.createDataFrame(
+            [("k", 3, big), ("k", 7, None), ("j", 4, big - 2)],
+            "k string, rts long, v long",
+        )
+        return left, right, big
+
+    def test_null_bearing_longs_above_2_53_exact(self, spark):
+        from data_engineering_hs_spark.operators.asof import (
+            asof_join_arrow,
+            asof_join_pandas,
+        )
+
+        left, right, big = self._frames(spark)
+        got = sorted(
+            ((r.k, r.lts, r.asof_v) for r in asof_join_arrow(
+                left, right, "k", "lts", "rts", ["v"]
+            ).collect())
+        )
+        assert got == [
+            ("j", 4, big - 2),
+            ("k", 1, None),
+            ("k", 5, big),
+            ("k", 9, None),  # matched right row EXISTS but its v is null
+        ]
+        # the pandas form's documented limitation on the same input:
+        # the null in v forces float64 before user code runs, so big
+        # comes back rounded — this pin is the cross-reference in the
+        # asof_join_pandas docstring; if pandas/Arrow ever fix the
+        # input conversion, this assertion will flag it for removal
+        pnd = {
+            (r.k, r.lts): r.asof_v
+            for r in asof_join_pandas(
+                left, right, "k", "lts", "rts", ["v"]
+            ).collect()
+        }
+        assert pnd[("k", 5)] == big - 1  # rounded — the pandas boundary
+
+    def test_directions_and_tolerance(self, spark):
+        from data_engineering_hs_spark.operators.asof import asof_join_arrow
+
+        left = spark.createDataFrame(
+            [("k", 10), ("k", 14), ("k", 27)], "k string, lts long"
+        )
+        right = spark.createDataFrame(
+            [("k", 8, 80), ("k", 15, 150), ("k", 30, 300)],
+            "k string, rts long, v long",
+        )
+
+        def run(**kw):
+            return {
+                r.lts: r.asof_v
+                for r in asof_join_arrow(
+                    left, right, "k", "lts", "rts", ["v"], **kw
+                ).collect()
+            }
+
+        assert run() == {10: 80, 14: 80, 27: 150}
+        assert run(direction="forward") == {10: 150, 14: 150, 27: 300}
+        # nearest: 10→8 (d2) vs 15 (d5) → 80; 14→15 (d1) → 150;
+        # 27→30 (d3) vs 15 (d12) → 300
+        assert run(direction="nearest") == {10: 80, 14: 150, 27: 300}
+        assert run(tolerance=2) == {10: 80, 14: None, 27: None}
+        assert run(direction="nearest", tolerance=1) == {
+            10: None, 14: 150, 27: None,
+        }
+
+    def test_nearest_tie_breaks_backward_and_matches_pandas(self, spark):
+        from data_engineering_hs_spark.operators.asof import (
+            asof_join_arrow,
+            asof_join_pandas,
+        )
+
+        left = spark.createDataFrame([("k", 10)], "k string, lts long")
+        right = spark.createDataFrame(
+            [("k", 8, 80), ("k", 12, 120)], "k string, rts long, v long"
+        )
+        for form in (asof_join_arrow, asof_join_pandas):
+            got = form(
+                left, right, "k", "lts", "rts", ["v"], direction="nearest"
+            ).collect()
+            assert got[0]["asof_v"] == 80, form.__name__
+
+    def test_null_ts_rows_and_empty_sides(self, spark):
+        from data_engineering_hs_spark.operators.asof import asof_join_arrow
+
+        left = spark.createDataFrame(
+            [("k", None), ("k", 5), ("solo", 1)], "k string, lts long"
+        )
+        right = spark.createDataFrame(
+            [("k", None, 1), ("k", 4, 40)], "k string, rts long, v long"
+        )
+        got = sorted(
+            (
+                (r.k, r.lts, r.asof_v)
+                for r in asof_join_arrow(
+                    left, right, "k", "lts", "rts", ["v"]
+                ).collect()
+            ),
+            key=lambda t: tuple((x is None, x or 0) for x in t),
+        )
+        # null-ts left passes through unmatched; null-ts right never
+        # matches; a key with no right rows at all still emits
+        assert got == [("k", 5, 40), ("k", None, None), ("solo", 1, None)]
+
+    def test_bad_direction_rejected(self, spark):
+        import pytest
+
+        from data_engineering_hs_spark.operators.asof import asof_join_arrow
+
+        left = spark.createDataFrame([("k", 1)], "k string, lts long")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join_arrow(left, left, "k", "lts", "lts", [], direction="up")
+
+
 class TestDupComponents:
     def test_chain_collapses_to_one_component(self, spark):
         # chain 1-2-3-4-5 plus isolated pair 10-11: diameter 4 needs

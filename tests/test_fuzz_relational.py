@@ -284,6 +284,7 @@ def test_fuzz_asof_window_pandas_and_naive_agree(spark, lrows, rrows):
 
     from data_engineering_hs_spark.operators.asof import (
         asof_join,
+        asof_join_arrow,
         asof_join_pandas,
     )
 
@@ -322,7 +323,12 @@ def test_fuzz_asof_window_pandas_and_naive_agree(spark, lrows, rrows):
          for r in asof_join_pandas(ldf, rdf, "k", "lts", "rts", ["v"]).collect()),
         key=nkey,
     )
-    assert win == pnd == sorted(naive, key=nkey)
+    arw = sorted(
+        ((r["k"], r["lts"], r["asof_v"])
+         for r in asof_join_arrow(ldf, rdf, "k", "lts", "rts", ["v"]).collect()),
+        key=nkey,
+    )
+    assert win == pnd == arw == sorted(naive, key=nkey)
 
 
 scd2_events = st.lists(
