@@ -129,20 +129,16 @@ def _driver_verified() -> frozenset[str]:
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
 _RECHECK_THIS_ROUND = frozenset(
     {
-        # r13: interpolate_linear window ordering grew a deterministic
-        # (ts, is-null, value) tiebreaker (ADVICE r12 — same-instant
-        # fill no longer depends on shuffle layout); oracle unchanged
-        "ts_resample_interpolate",
-        # r13: dup_groups null-id contract aligned with the star form
-        # (null ids dropped as nodes, non-null side kept as singleton;
-        # ADVICE r12); edge/label construction changed, oracles didn't
-        "d_dup_components",
-        "d_dup_components_lsh",
-        "d_dup_components_star",
+        # r14: asof_join_arrow nearest/tolerance integer paths
+        # vectorized (numpy searchsorted + span guard instead of
+        # object-space per-row loops); output-table construction moved
+        # to from_arrays with a collision check. Semantics unchanged,
+        # oracle unchanged — re-front the asof row.
+        "j_asof_last_click",
     }
 )
-# (r13 open cleared the ten r12 entries — all re-verified green by
-# the r12 driver run; see CORRECTNESS_r12.json.)
+# (r14 open cleared the four r13 entries — all re-verified green by
+# the r13 driver run; see CORRECTNESS_r13.json.)
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 
