@@ -29,6 +29,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_asof_output_names(
+    left_cols: list[str], value_cols: list[str]
+) -> None:
+    """All three asof forms emit left columns plus asof_<value_col>.
+    A left column already named asof_<value_col> (or a duplicated
+    value_col) would produce duplicate output names — the window form
+    silently shadows, and the arrow form's declared StructType carries
+    duplicate fields that fail later with a confusing schema-mismatch
+    error deep in a task. Fail fast with the actual collision instead.
+    """
+    out = [f"asof_{c}" for c in value_cols]
+    dups = sorted({c for c in out if out.count(c) > 1})
+    if dups:
+        raise ValueError(
+            f"duplicate value_cols produce duplicate output column(s) {dups}"
+        )
+    clash = sorted(set(left_cols) & set(out))
+    if clash:
+        raise ValueError(
+            f"left column(s) {clash} collide with as-of output name(s); "
+            "rename them before joining"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,6 +79,7 @@ def asof_join(
     value_cols) that orders equal-timestamp right rows; without it,
     which of several equal-ts right rows wins is engine-dependent.
     """
+    _check_asof_output_names(left.columns, value_cols)
     lcols = left.columns
     rstruct_cols = list(value_cols)
     if ts_tiebreak and ts_tiebreak not in rstruct_cols:
@@ -124,6 +149,7 @@ def asof_join_pandas(
     above 2^53; pinned in tests/test_asof_and_components.py
     (TestAsofJoinArrow.test_null_bearing_longs_above_2_53_exact).
     asof_join_arrow has identical semantics with exact dtypes."""
+    _check_asof_output_names(left.columns, value_cols)
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -235,12 +261,18 @@ def asof_join_arrow(
 
     Scale shape: one cogroup shuffle on the key (same as the pandas
     form); per-group work is numpy searchsorted + Arrow take —
-    vectorized, no per-row Python in the index math. The tolerance
-    check subtracts in object space (exact at any magnitude; numpy
-    int64 subtraction would wrap silently on extreme spans).
+    vectorized, no per-row Python in the index math. Integer
+    nearest/tolerance comparisons run in numpy int64 whenever the
+    group's combined timestamp span provably fits (a cheap min/max
+    check, true for any real clock domain); only a span at the very
+    edge of int64 — where subtraction could wrap — falls back to
+    exact object-space arithmetic.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    _check_asof_output_names(left.columns, value_cols)
+
+    import math
 
     import numpy as np
     import pyarrow as pa
@@ -254,11 +286,33 @@ def asof_join_arrow(
     schema = T.StructType(fields)
     left_cols = list(left.columns)
 
+    _I64_MAX = 2**63 - 1
+
+    def _int64_span_safe(*arrs) -> bool:
+        # True when every value fits in int64 AND the combined span
+        # does, so no pairwise int64 subtraction can wrap. O(1) per
+        # group (numpy min/max), checked once — the price of keeping
+        # the hot path fully vectorized.
+        nonempty = [a for a in arrs if len(a)]
+        if not nonempty:
+            return True
+        lo = min(int(a.min()) for a in nonempty)
+        hi = max(int(a.max()) for a in nonempty)
+        return -(2**63) <= lo and hi <= _I64_MAX and hi - lo <= _I64_MAX
+
     def _exact_diff_ok(lt_np, matched_ts_np, tol) -> "np.ndarray":
-        # |lt - rts| <= tol with arbitrary-precision ints: object
-        # space avoids int64 wraparound on extreme spans. Timestamps
-        # arrive as datetime64 — subtract natively there.
+        # |lt - rts| <= tol. Integer timestamps: numpy int64 when the
+        # span check proves subtraction can't wrap (tol floored to an
+        # int — exact for integral diffs — and clamped to int64: the
+        # diffs are span-bounded, so a larger tol passes everything
+        # anyway); object-space exact arithmetic on the wraparound
+        # fringe. Float/datetime timestamps subtract natively.
         if lt_np.dtype.kind in ("i", "u"):
+            if _int64_span_safe(lt_np, matched_ts_np):
+                a = lt_np.astype(np.int64, copy=False)
+                b = matched_ts_np.astype(np.int64, copy=False)
+                tol_i = min(math.floor(tol), _I64_MAX)
+                return np.abs(a - b) <= tol_i
             lo = lt_np.astype(object)
             ro = matched_ts_np.astype(object)
             return np.array(
@@ -300,20 +354,33 @@ def asof_join_arrow(
             idx = np.where(b < 0, f, b)
             both = (b >= 0) & (f >= 0)
             if both.any():
-                # exact-distance compare in object space; tie → backward
+                # exact-distance compare; tie → backward
                 bo = rts[np.clip(b, 0, n - 1)]
                 fo = rts[np.clip(f, 0, n - 1)]
                 if lt.dtype.kind in ("i", "u"):
-                    lo = lt.astype(object)
-                    closer_fwd = np.array(
-                        [
-                            bool(bb and (abs(fv - a) < abs(a - bv)))
-                            for a, bv, fv, bb in zip(
-                                lo, bo.astype(object), fo.astype(object), both
-                            )
-                        ],
-                        dtype=bool,
-                    )
+                    if _int64_span_safe(lt, rts):
+                        l64 = lt.astype(np.int64, copy=False)
+                        b64 = bo.astype(np.int64, copy=False)
+                        f64 = fo.astype(np.int64, copy=False)
+                        # garbage lanes (not `both`) can't wrap either:
+                        # the span check covers every lt/rts value
+                        closer_fwd = both & (
+                            np.abs(f64 - l64) < np.abs(l64 - b64)
+                        )
+                    else:
+                        lo = lt.astype(object)
+                        closer_fwd = np.array(
+                            [
+                                bool(bb and (abs(fv - a) < abs(a - bv)))
+                                for a, bv, fv, bb in zip(
+                                    lo,
+                                    bo.astype(object),
+                                    fo.astype(object),
+                                    both,
+                                )
+                            ],
+                            dtype=bool,
+                        )
                 else:
                     closer_fwd = both & (np.abs(fo - lt) < np.abs(lt - bo))
                 idx = np.where(closer_fwd, f, idx)
@@ -326,16 +393,20 @@ def asof_join_arrow(
                 )
                 idx = np.where(matched & ~ok, -1, idx)
 
-        # null index → null row: pa.Table.take propagates null indices
-        take_idx = pa.array(
-            [int(i) if i >= 0 else None for i in idx], type=pa.int64()
-        )
+        # null index → null row: pa.Table.take propagates null indices.
+        # Built from the numpy array with a mask (mask=True ⇒ null) —
+        # no per-row Python list.
+        idx = idx.astype(np.int64, copy=False)
+        take_idx = pa.array(idx, type=pa.int64(), mask=idx < 0)
         out_cols = [lvalid[c] for c in left_cols]
         out_names = list(left_cols)
         for c in value_cols:
             out_cols.append(r[c].take(take_idx))
             out_names.append(f"asof_{c}")
-        out = pa.table(dict(zip(out_names, out_cols)))
+        # from_arrays, not pa.table(dict(...)): a dict would silently
+        # collapse duplicate names (guarded up front, but keep the
+        # construction collision-proof too)
+        out = pa.Table.from_arrays(out_cols, names=out_names)
         if len(lnull):
             null_cols = [lnull[c] for c in left_cols] + [
                 pa.nulls(len(lnull), type=r.schema.field(c).type)
@@ -344,7 +415,7 @@ def asof_join_arrow(
                 for c in value_cols
             ]
             out = pa.concat_tables(
-                [out, pa.table(dict(zip(out_names, null_cols)))]
+                [out, pa.Table.from_arrays(null_cols, names=out_names)]
             )
         return out
 

@@ -247,6 +247,33 @@ class TestAsofJoinArrow:
         with pytest.raises(ValueError, match="direction"):
             asof_join_arrow(left, left, "k", "lts", "lts", [], direction="up")
 
+    def test_output_name_collision_rejected_up_front(self, spark):
+        # a left column already named asof_<value_col> used to reach
+        # the arrow task and die with a schema-mismatch error (the
+        # dict-based table construction silently collapsed the
+        # duplicate); all three forms now fail fast at plan time
+        import pytest
+
+        from data_engineering_hs_spark.operators.asof import (
+            asof_join,
+            asof_join_arrow,
+            asof_join_pandas,
+        )
+
+        left = spark.createDataFrame(
+            [("k", 1, 9)], "k string, lts long, asof_v long"
+        )
+        right = spark.createDataFrame([("k", 1, 5)], "k string, rts long, v long")
+        for fn in (asof_join, asof_join_pandas, asof_join_arrow):
+            with pytest.raises(ValueError, match="collide"):
+                fn(left, right, "k", "lts", "rts", ["v"])
+        # duplicated value_cols produce duplicate output names — same
+        # fail-fast contract
+        with pytest.raises(ValueError, match="duplicate"):
+            asof_join_arrow(
+                left.drop("asof_v"), right, "k", "lts", "rts", ["v", "v"]
+            )
+
 
 class TestDupComponents:
     def test_chain_collapses_to_one_component(self, spark):
