@@ -135,6 +135,17 @@ _RECHECK_THIS_ROUND = frozenset(
         # to from_arrays with a collision check. Semantics unchanged,
         # oracle unchanged — re-front the asof row.
         "j_asof_last_click",
+        # r14: swap_in grew the post-park concurrent-writer
+        # verification (staged=) and the fingerprint/LSH stores a
+        # normalization-version stamp; these rows drive those
+        # lifecycles with unchanged oracles.
+        "st_compact_ingest",
+        "st_dedup_stream",
+        "st_cdc_apply",
+        "d_incremental_dedup",
+        "d_incremental_lsh",
+        "s_ivf_adc_store",
+        "s_ivf_store_append",
     }
 )
 # (r14 open cleared the four r13 entries — all re-verified green by

@@ -151,6 +151,19 @@ def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
     )
 
 
+# Version of the content-identity normalization (normalized_text /
+# fingerprint64 / tokens): v1 = pre-r13 (trim-before-collapse, phantom
+# ''-tokens at whitespace edges), v2 = r13 semantics (collapse-then-
+# trim, non-empty tokens only). Fingerprints PERSISTED by the
+# incremental dedup / LSH stores are only comparable within one
+# version — a store built under v1 re-admits previously-seen docs
+# whose text has tab/newline edges, silently. Store commits stamp
+# this constant beside the data and reads fail loudly on mismatch
+# (operators.dedup.check_normalization_version). BUMP IT whenever
+# tokens()/normalized_text() semantics change.
+NORMALIZATION_VERSION = 2
+
+
 def normalized_text(c: ColumnOrName) -> Column:
     """Whitespace-normalized lowercase text — THE content-identity
     normalization every exact-dup key derives from. One definition:

@@ -726,17 +726,99 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
         raise
 
 
+_NORM_META = "_norm_meta.json"
+
+
+def _norm_meta_file(path: str) -> str | None:
+    """Driver-local sidecar path for the normalization stamp, or None
+    for remote URIs (where the stamp degrades to the documented
+    rebuild-on-semantics-change contract, like similarity's
+    _store_meta sidecar)."""
+    import os
+
+    from data_engineering_hs_spark.operators.similarity import (
+        _local_store_dir,
+    )
+
+    local = _local_store_dir(path)
+    return None if local is None else os.path.join(local, _NORM_META)
+
+
+def check_normalization_version(path: str) -> None:
+    """Fail loudly when a persisted fingerprint/band store was built
+    under a DIFFERENT normalization version than this code computes
+    (functions.text.NORMALIZATION_VERSION): the stored hashes are
+    xxhash64 of normalized_text, so a semantics change (r13's
+    collapse-then-trim, phantom-token fix) re-fingerprints the same
+    document differently and every previously-seen doc with affected
+    text gets silently re-admitted as 'new' by the store anti-join.
+    A store WITHOUT a stamp (pre-r14, or remote URI) passes — it
+    cannot be distinguished from a fresh one; pre-r13 stores must be
+    rebuilt (documented contract). Driver-side file read only."""
+    import json
+    import os
+
+    from data_engineering_hs_spark.functions.text import (
+        NORMALIZATION_VERSION,
+    )
+
+    meta = _norm_meta_file(path)
+    if meta is None or not os.path.exists(meta):
+        return
+    recorded = json.load(open(meta)).get("normalization_version")
+    if recorded != NORMALIZATION_VERSION:
+        raise RuntimeError(
+            f"store {path} was built with normalization_version="
+            f"{recorded} but this code computes version "
+            f"{NORMALIZATION_VERSION}: its persisted fingerprints are "
+            "not comparable (same text, different hash) and dedup "
+            "would silently re-admit previously-seen documents. "
+            "Rebuild the store from the source corpus."
+        )
+
+
+def stamp_normalization_version(path: str) -> None:
+    """Write the normalization stamp beside a store's data (leading
+    underscore ⇒ invisible to the parquet scan). Checks first, so a
+    commit into a store built under an older version aborts instead
+    of mixing incomparable fingerprints. Best-effort for remote URIs
+    (no sidecar), strict for driver-local paths."""
+    import json
+
+    from data_engineering_hs_spark.functions.text import (
+        NORMALIZATION_VERSION,
+    )
+
+    import os
+
+    check_normalization_version(path)
+    meta = _norm_meta_file(path)
+    if meta is None:
+        return
+    # first increment: the store dir may not exist yet (Spark would
+    # create it); append-mode writes into a pre-created dir are fine
+    os.makedirs(os.path.dirname(meta), exist_ok=True)
+    with open(meta, "w") as fh:
+        json.dump({"normalization_version": NORMALIZATION_VERSION}, fh)
+
+
 def read_fingerprint_store(spark, path: str) -> DataFrame | None:
     """The persistent store (parquet dir of `fingerprint` longs);
     None if no increment has been committed yet. Works for any
-    Spark-readable URI, not just the driver-local filesystem."""
+    Spark-readable URI, not just the driver-local filesystem.
+    Raises if the store carries a mismatched normalization stamp
+    (check_normalization_version)."""
+    check_normalization_version(path)
     return _read_parquet_if_exists(spark, path)
 
 
 def append_fingerprints(survivors: DataFrame, path: str) -> None:
     """Commit one increment's fingerprints. Append-only; survivors
     are already distinct on fingerprint by construction
-    (incremental_exact_dedup keeps one row per fingerprint)."""
+    (incremental_exact_dedup keeps one row per fingerprint). Stamps
+    the normalization version beside the data; aborts before writing
+    into a store stamped with an older version."""
+    stamp_normalization_version(path)
     survivors.select("fingerprint").write.mode("append").parquet(path)
 
 
@@ -762,13 +844,56 @@ def commit_fingerprints_bucketed(
         sort_cols=["fingerprint"],
         mode="append",
     )
+    _stamp_table_norm_version(survivors.sparkSession, table_name)
+
+
+def _table_norm_version(spark, table_name: str) -> int | None:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    for r in rows:
+        if r["key"] == "normalization_version":
+            return int(r["value"])
+    return None
+
+
+def _stamp_table_norm_version(spark, table_name: str) -> None:
+    """TBLPROPERTIES twin of stamp_normalization_version for the
+    bucketed managed-table stores (the property rides the metastore
+    entry, so it survives compaction's overwrite-rewrite)."""
+    from data_engineering_hs_spark.functions.text import (
+        NORMALIZATION_VERSION,
+    )
+
+    _check_table_norm_version(spark, table_name)
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES("
+        f"'normalization_version'='{NORMALIZATION_VERSION}')"
+    )
+
+
+def _check_table_norm_version(spark, table_name: str) -> None:
+    from data_engineering_hs_spark.functions.text import (
+        NORMALIZATION_VERSION,
+    )
+
+    if not spark.catalog.tableExists(table_name):
+        return
+    recorded = _table_norm_version(spark, table_name)
+    if recorded is not None and recorded != NORMALIZATION_VERSION:
+        raise RuntimeError(
+            f"table {table_name} was built with normalization_version="
+            f"{recorded} but this code computes version "
+            f"{NORMALIZATION_VERSION}: its persisted hashes are not "
+            "comparable. Rebuild the store from the source corpus."
+        )
 
 
 def read_fingerprint_store_table(spark, table_name: str) -> DataFrame | None:
     """Bucketed-table twin of read_fingerprint_store; None before the
-    first committed increment."""
+    first committed increment. Raises on a mismatched normalization
+    stamp (TBLPROPERTIES)."""
     if not spark.catalog.tableExists(table_name):
         return None
+    _check_table_norm_version(spark, table_name)
     return spark.table(table_name)
 
 
@@ -855,11 +980,18 @@ def incremental_minhash_lsh(
 def read_lsh_store(spark, path: str) -> DataFrame | None:
     """Persisted band-bucket store (parquet of id/band/bucket rows);
     None before the first committed increment. Works for any
-    Spark-readable URI, not just the driver-local filesystem."""
+    Spark-readable URI, not just the driver-local filesystem.
+    Raises on a mismatched normalization stamp — band buckets hash
+    shingles of tokens(), so the r13 token fix re-buckets the same
+    text (check_normalization_version)."""
+    check_normalization_version(path)
     return _read_parquet_if_exists(spark, path)
 
 
 def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
+    """Commit one increment's band buckets; stamps the normalization
+    version beside the data (same contract as append_fingerprints)."""
+    stamp_normalization_version(path)
     new_bands.write.mode("append").parquet(path)
 
 
@@ -880,13 +1012,16 @@ def commit_lsh_bands_bucketed(
         num_buckets=num_buckets,
         mode="append",
     )
+    _stamp_table_norm_version(new_bands.sparkSession, table_name)
 
 
 def read_lsh_store_table(spark, table_name: str) -> DataFrame | None:
     """Bucketed-table twin of read_lsh_store; None before the first
-    committed increment."""
+    committed increment. Raises on a mismatched normalization stamp
+    (TBLPROPERTIES)."""
     if not spark.catalog.tableExists(table_name):
         return None
+    _check_table_norm_version(spark, table_name)
     return spark.table(table_name)
 
 

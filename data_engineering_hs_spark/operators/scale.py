@@ -235,7 +235,13 @@ def optimize_table(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
 
+    from data_engineering_hs_spark.sources.parquet import (
+        snapshot_data_files,
+        swap_in,
+    )
+
     before = data_files(path)
+    staged = snapshot_data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
     norm = path.rstrip("/")
@@ -247,10 +253,9 @@ def optimize_table(
     # the ONE shared swap implementation (sources.parquet.swap_in):
     # a hand-rolled copy here previously skipped the leftover-.__old
     # cleanup, so a crash after the second rename wedged every later
-    # optimize run on ENOTEMPTY
-    from data_engineering_hs_spark.sources.parquet import swap_in
-
-    swap_in(tmp, norm)
+    # optimize run on ENOTEMPTY. staged= adds the post-park
+    # concurrent-writer verification (rolls back on a late commit).
+    swap_in(tmp, norm, staged=staged, op="optimize_table")
     return {
         "files_before": len(before),
         "files_after": len(data_files(norm)),

@@ -1582,10 +1582,12 @@ def compact_cell_store(
     two POSIX renames, and recover_swap finishes any crash point.
     DRIVER-LOCAL paths only, like every swap caller — a remote store
     compacts by rebuilding (or a transactional format's OPTIMIZE).
-    Not concurrent-writer-safe BY CONTRACT, and a violation is
-    detected (r13): the file set is re-snapshotted just before the
-    rename and any append since the staging read aborts with
-    RuntimeError, store untouched. Returns
+    Not concurrent-writer-safe BY CONTRACT, and a violation cannot
+    vanish silently (r13 pre-check, r14 closure): the file set is
+    re-snapshotted before the rename AND re-verified after the park
+    rename freezes the store — an append in either window aborts
+    with RuntimeError and the store rolled back intact; a writer
+    racing the renames fails loudly on ENOTEMPTY. Returns
     {"files_before", "files_after"}.
     """
     import json
@@ -1625,7 +1627,7 @@ def compact_cell_store(
     if meta is not None:
         _write_store_meta(tmp, **meta)
     check_no_concurrent_writer(norm, staged, "compact_cell_store", tmp)
-    swap_in(tmp, norm)
+    swap_in(tmp, norm, staged=staged, op="compact_cell_store")
     return {"files_before": before, "files_after": n_files(norm)}
 
 

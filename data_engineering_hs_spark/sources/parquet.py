@@ -73,6 +73,12 @@ def _require_local_swap_path(path: str, op: str) -> None:
 # inject a "commit" into the race window. Never set in production.
 _pre_swap_test_hook = None
 
+# Second seam: called (with the store path) inside swap_in BEFORE the
+# park rename — i.e. AFTER check_no_concurrent_writer passed — so a
+# test can inject a commit into the residual window the pre-check
+# cannot see and prove the post-park verification trips on it.
+_post_check_test_hook = None
+
 
 def snapshot_data_files(path: str) -> frozenset:
     """Relative paths of every data file under `path` — the staging
@@ -177,7 +183,7 @@ def compact_parquet(
     # Swap via rename-aside (shared protocol): rmtree(path) before
     # the rename would leave a crash window with NO dataset at path.
     check_no_concurrent_writer(norm, staged, "compact_parquet", tmp)
-    swap_in(tmp, norm)
+    swap_in(tmp, norm, staged=staged, op="compact_parquet")
     return {
         "files_before": len(before),
         "files_after": len(data_files(path)),
@@ -185,7 +191,9 @@ def compact_parquet(
     }
 
 
-def swap_in(tmp: str, path: str) -> None:
+def swap_in(
+    tmp: str, path: str, staged: frozenset | None = None, op: str = "swap_in"
+) -> None:
     """Commit a fully-written `tmp` dataset to `path` via the
     rename-aside protocol (the ONE shared implementation — the
     ordering is crash-sensitive and `recover_swap` assumes exactly
@@ -194,14 +202,44 @@ def swap_in(tmp: str, path: str) -> None:
     dataset at a name recover_swap knows how to finish from.
     DRIVER-LOCAL paths only (POSIX os.replace) — callers that accept
     user paths must reject URIs up front, the way
-    streaming_cdc_apply does."""
+    streaming_cdc_apply does.
+
+    `staged` (the snapshot_data_files set the rewrite was staged
+    from) closes the concurrent-writer race the PRE-swap check
+    (check_no_concurrent_writer) can only narrow: after the park
+    rename freezes the live store, the parked copy is re-verified
+    against `staged`. A writer that committed in the check→rename
+    window is now visible in the parked set — the swap ROLLS BACK
+    (original restored, late batch included, staged tmp discarded)
+    and raises. A writer that instead recreates `path` after the park
+    makes the second rename fail ENOTEMPTY with both datasets intact.
+    Either way a late commit can no longer vanish silently — it
+    aborts loudly with the store recoverable."""
     import os
     import shutil
 
     norm = path.rstrip("/")
     old = norm + ".__old"
+    if _post_check_test_hook is not None:
+        _post_check_test_hook(norm)
     shutil.rmtree(old, ignore_errors=True)
     os.replace(norm, old)
+    if staged is not None:
+        parked = snapshot_data_files(old)
+        if parked != staged:
+            os.replace(old, norm)  # ENOTEMPTY here ⇒ both dirs kept
+            shutil.rmtree(tmp, ignore_errors=True)
+            added = sorted(parked - staged)[:5]
+            removed = sorted(staged - parked)[:5]
+            raise RuntimeError(
+                f"{op}: {path} changed between the staging read and "
+                f"the swap (files added: {added}, removed: {removed}) "
+                "— a concurrent writer committed inside the swap "
+                "window and its data would have vanished. Rolled "
+                "back: the live store is restored (late batch "
+                "included) and the staged copy was discarded. Run "
+                f"{op} between triggers / in a maintenance window."
+            )
     os.replace(tmp, norm)
     shutil.rmtree(old)
 

@@ -581,10 +581,13 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     trigger's commit (the swap could drop a batch committed after the
     staging read) — run it between triggers or while the stream is
     stopped, like compact_band_store's cadence contract. A violation
-    is DETECTED, not just documented (r13): the file set is
-    re-snapshotted immediately before the rename and any change since
-    the staging read aborts with RuntimeError, store untouched
-    (sources.parquet.check_no_concurrent_writer).
+    cannot vanish silently (r13 pre-check, r14 closure): the file set
+    is re-snapshotted before the rename (check_no_concurrent_writer)
+    AND re-verified after the park rename freezes the store
+    (swap_in(staged=...)) — a commit in either window aborts with
+    RuntimeError and the store rolled back intact (late batch
+    included); a writer racing the renames themselves fails the swap
+    loudly on ENOTEMPTY with both datasets preserved.
 
     Legacy layouts (pre-namespace root files / bare batch_id=N dirs)
     are migrated first, same as the per-batch path. Returns
@@ -765,8 +768,16 @@ def _compact_ingest_impl(
         merged = merged.repartition("run", "batch_id")
     tmp = norm + ".__compact"
     merged.write.mode("overwrite").partitionBy("run", "batch_id").parquet(tmp)
+    # carry the normalization stamp through the rewrite (the sidecar
+    # is not a data file, so the swap would otherwise drop it and the
+    # store would degrade to the unstamped-legacy contract)
+    import shutil as _shutil
+
+    _meta = os.path.join(norm, "_norm_meta.json")
+    if os.path.exists(_meta):
+        _shutil.copyfile(_meta, os.path.join(tmp, "_norm_meta.json"))
     check_no_concurrent_writer(norm, staged, op, tmp)
-    swap_in(tmp, norm)
+    swap_in(tmp, norm, staged=staged, op=op)
     files_after, parts_after = stats(norm)
     out = {
         "files_before": files_before,
@@ -834,6 +845,11 @@ def _dedup_ingest_batch(
         mode="overwrite",
         dynamic=True,
     )
+    from data_engineering_hs_spark.operators.dedup import (
+        stamp_normalization_version,
+    )
+
+    stamp_normalization_version(store_path)
     write_partitioned(
         survivors.select("fingerprint")
         .withColumn("run", F.lit(run_ns))
@@ -937,11 +953,19 @@ def streaming_cdc_apply(
                     "seq_col so the batch can reduce to the last op "
                     "per key"
                 )
+        from data_engineering_hs_spark.sources.parquet import (
+            snapshot_data_files,
+        )
+
+        staged = snapshot_data_files(norm)
         current = spark.read.parquet(norm)
         merged = apply_changeset(current, b, keys=keys)
         tmp = norm + ".__merge"
         merged.write.mode("overwrite").parquet(tmp)
-        swap_in(tmp, norm)
+        # the sink is single-writer by checkpoint contract, but an
+        # out-of-band writer to the same table would vanish in the
+        # swap — same post-park verification as the compaction family
+        swap_in(tmp, norm, staged=staged, op="streaming_cdc_apply")
 
     writer = (
         changes_stream.writeStream.outputMode("append")

@@ -1,0 +1,136 @@
+"""Normalization-version stamp on persisted fingerprint/band stores
+(r14, ADVICE): r13 changed normalized_text/tokens semantics, so
+fingerprints persisted BEFORE the change no longer match the ones the
+engine now computes — previously-seen docs with tab/newline-edged
+text re-fingerprint differently and the store anti-join silently
+re-admits them as 'new'. Stores now stamp
+functions.text.NORMALIZATION_VERSION beside the data (sidecar for
+path stores, TBLPROPERTIES for the bucketed-table twins); reads and
+commits fail loudly on a mismatch. Unstamped stores (pre-r14 or
+remote URIs) pass — indistinguishable from fresh; the pre-r13 rebuild
+requirement is the documented contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_hs_spark.functions.text import NORMALIZATION_VERSION
+from data_engineering_hs_spark.operators.dedup import (
+    append_fingerprints,
+    append_lsh_bands,
+    read_fingerprint_store,
+    read_lsh_store,
+)
+
+
+def _survivors(spark, *fps):
+    return spark.createDataFrame(
+        [(f,) for f in fps], "fingerprint long"
+    )
+
+
+class TestPathStoreStamp:
+    def test_append_stamps_and_matching_read_passes(self, spark, tmp_path):
+        store = str(tmp_path / "fp")
+        append_fingerprints(_survivors(spark, 1, 2), store)
+        meta = json.load(open(os.path.join(store, "_norm_meta.json")))
+        assert meta == {"normalization_version": NORMALIZATION_VERSION}
+        assert read_fingerprint_store(spark, store).count() == 2
+
+    def test_mismatched_stamp_fails_read_and_commit(self, spark, tmp_path):
+        store = str(tmp_path / "fp")
+        append_fingerprints(_survivors(spark, 1), store)
+        # simulate a store persisted under the pre-r13 normalization
+        with open(os.path.join(store, "_norm_meta.json"), "w") as fh:
+            json.dump({"normalization_version": 1}, fh)
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            read_fingerprint_store(spark, store)
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            append_fingerprints(_survivors(spark, 2), store)
+        # the refused commit must not have written anything
+        assert (
+            spark.read.parquet(store).count() == 1
+        ), "commit into a mismatched store leaked data"
+
+    def test_unstamped_legacy_store_still_reads(self, spark, tmp_path):
+        store = str(tmp_path / "fp")
+        _survivors(spark, 7).write.parquet(store)  # no stamp
+        assert read_fingerprint_store(spark, store).count() == 1
+
+    def test_lsh_store_same_contract(self, spark, tmp_path):
+        store = str(tmp_path / "bands")
+        bands = spark.createDataFrame(
+            [(1, 0, 123)], "id long, band int, bucket long"
+        )
+        append_lsh_bands(bands, store)
+        with open(os.path.join(store, "_norm_meta.json"), "w") as fh:
+            json.dump({"normalization_version": 1}, fh)
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            read_lsh_store(spark, store)
+
+
+class TestStreamingIngestStoreStamp:
+    def test_ingest_stamps_and_compaction_preserves(self, spark, tmp_path):
+        from pyspark.sql import types as T2
+
+        from data_engineering_hs_spark.streaming.pipelines import (
+            _dedup_ingest_batch,
+            compact_ingest_store,
+        )
+
+        schema = T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("text", T2.StringType()),
+            ]
+        )
+        store = str(tmp_path / "fp")
+        sink = str(tmp_path / "corpus")
+        mk = lambda rows: spark.createDataFrame(rows, schema)
+        _dedup_ingest_batch(mk([(1, "alpha")]), 0, store, sink, "text", "doc_id")
+        _dedup_ingest_batch(mk([(2, "beta")]), 1, store, sink, "text", "doc_id")
+        meta_path = os.path.join(store, "_norm_meta.json")
+        assert json.load(open(meta_path)) == {
+            "normalization_version": NORMALIZATION_VERSION
+        }
+        compact_ingest_store(spark, store)
+        # the rewrite-and-swap must carry the sidecar, not drop it
+        assert json.load(open(meta_path)) == {
+            "normalization_version": NORMALIZATION_VERSION
+        }
+        # a replayed batch against a mismatched store aborts
+        with open(meta_path, "w") as fh:
+            json.dump({"normalization_version": 1}, fh)
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            _dedup_ingest_batch(
+                mk([(3, "gamma")]), 2, store, sink, "text", "doc_id"
+            )
+
+
+class TestBucketedTableStamp:
+    def test_table_property_stamped_and_checked(self, spark):
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import (
+            commit_fingerprints_bucketed,
+            read_fingerprint_store_table,
+        )
+
+        t = "norm_stamp_fp"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        commit_fingerprints_bucketed(_survivors(spark, 1, 2), t)
+        assert read_fingerprint_store_table(spark, t).count() == 2
+        spark.sql(
+            f"ALTER TABLE {t} SET TBLPROPERTIES('normalization_version'='1')"
+        )
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            read_fingerprint_store_table(spark, t)
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            commit_fingerprints_bucketed(_survivors(spark, 3), t)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)

@@ -125,6 +125,37 @@ class TestSwapTripwire:
         # new fingerprint); retirement folds, never drops content
         assert len(final) == len(pre) + 1
 
+    def test_post_park_verification_rolls_back_late_commit(
+        self, spark, tmp_path
+    ):
+        # r14 (ADVICE): the pre-swap check NARROWS the race but a
+        # commit between check_no_concurrent_writer and the park
+        # rename still vanished. swap_in(staged=...) re-verifies the
+        # parked file set AFTER the rename freezes the store; this
+        # injects a commit into exactly that residual window via the
+        # _post_check_test_hook seam and asserts the swap rolls back
+        # with the late batch alive.
+        store = str(tmp_path / "flat")
+        spark.range(100).repartition(4).write.parquet(store)
+
+        def late_commit(path):
+            _inject_copy_of_existing_file(path)
+
+        pq_mod._post_check_test_hook = late_commit
+        try:
+            with pytest.raises(RuntimeError, match="Rolled back"):
+                pq_mod.compact_parquet(spark, store, target_file_bytes=1 << 30)
+        finally:
+            pq_mod._post_check_test_hook = None
+        # live store restored INCLUDING the late commit; no debris
+        assert spark.read.parquet(store).count() > 100
+        assert _no_debris(store)
+        # disarmed, the same compaction succeeds and keeps every row
+        n_before = spark.read.parquet(store).count()
+        st = pq_mod.compact_parquet(spark, store, target_file_bytes=1 << 30)
+        assert st["files_after"] == 1
+        assert spark.read.parquet(store).count() == n_before
+
     def test_compact_cell_store_aborts_on_concurrent_append(
         self, spark, tmp_path, hook
     ):
