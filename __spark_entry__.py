@@ -146,6 +146,23 @@ _RECHECK_THIS_ROUND = frozenset(
         "d_incremental_lsh",
         "s_ivf_adc_store",
         "s_ivf_store_append",
+        # r14 degenerate-vector lens: cosine_from/cosine_pandas grew
+        # the non-finite-similarity→0.0 guard (a single NaN-component
+        # vector used to rank #1 for every query). Finite-data values
+        # are bit-identical; oracles unchanged — re-front every
+        # cosine-scored row.
+        "s_centroids",
+        "s_cosine_topk",
+        "s_cosine_topk_arrow",
+        "s_ivf_topk",
+        "s_hier_assign",
+        "s_lsh_topk",
+        "s_embedding_near_dup",
+        "s_semdedup",
+        "s_mmr_diversify",
+        "s_pq_topk",
+        "s_ivf_adc_topk",
+        "s_hybrid_rrf",
     }
 )
 # (r14 open cleared the four r13 entries — all re-verified green by

@@ -62,7 +62,8 @@ def norm(a: ColumnOrName) -> Column:
 
 
 def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
-    """Cosine similarity; 0.0 for zero-norm inputs.
+    """Cosine similarity; 0.0 for zero-norm AND non-finite inputs
+    (see :func:`cosine_from` for the degenerate-vector contract).
 
     Per-pair evaluation recomputes both norms every time — inside a
     candidate join prefer precomputing ``norm`` per row and combining
@@ -77,9 +78,28 @@ def cosine_from(d: Column, norm_a: Column, norm_b: Column) -> Column:
     Bit-identical to :func:`cosine` (same float ops in the same
     order); exists so the norms can be computed once per ROW before a
     candidate join instead of once per PAIR after it.
-    """
+
+    DEGENERATE-VECTOR CONTRACT (r14 lens find): a non-finite
+    similarity — NaN from a corrupt component (failed encode, bad
+    Arrow decode), or Inf/NaN from magnitude overflow — scores 0.0,
+    the same neutral affinity as a zero vector. Without the guard a
+    SINGLE NaN-component vector in the corpus ranked as the #1
+    neighbor of EVERY query (Spark and DuckDB both order NaN above
+    every real double, so desc ranking put it first) and was MMR's
+    first pick with NaN relevance — one corrupt embedding poisoned
+    every top-k corpus-wide. At 0.0 a corrupt vector can never
+    outrank any positively-correlated neighbor; finite similarities
+    are bit-identical to the unguarded form (the oracles' CASE WHEN
+    nn=0 restatements hold unchanged on finite data)."""
     nn = norm_a * norm_b
-    return F.when(nn == 0, F.lit(0.0)).otherwise(d / nn)
+    raw = d / nn
+    return F.when(
+        nn == 0, F.lit(0.0)
+    ).otherwise(
+        F.when(
+            F.isnan(raw) | (F.abs(raw) == F.lit(float("inf"))), F.lit(0.0)
+        ).otherwise(raw)
+    )
 
 
 def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
@@ -159,9 +179,28 @@ def cosine_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
         d = np.einsum("ij,ij->i", xa, ya)
         nn = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
         out = np.where(nn == 0, 0.0, d / np.where(nn == 0, 1.0, nn))
+        # same degenerate-vector contract as cosine_from: non-finite
+        # similarity (corrupt/overflowed components) scores 0.0
+        out = np.where(np.isfinite(out), out, 0.0)
         return pd.Series(out).astype("Float64").mask(bad)
 
     return _pcos(_col(a), _col(b))
+
+
+def is_finite_vector(a: ColumnOrName) -> Column:
+    """True iff the array is non-null and every component is finite —
+    the corpus-hygiene pre-filter for embedding pipelines. The
+    similarity operators TOLERATE corrupt vectors (non-finite
+    similarity scores 0.0, see :func:`cosine_from`), but at corpus
+    scale the cheaper posture is dropping them at ingest:
+    ``df.filter(is_finite_vector("embedding"))`` — one codegen'd
+    array scan, no shuffle."""
+    v = _col(a)
+    return v.isNotNull() & ~F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
 
 
 def mean_vector(a: ColumnOrName) -> Column:
