@@ -1613,7 +1613,15 @@ def compact_cell_store(
             if f.endswith(".parquet")
         )
 
+    if not os.path.isdir(path.rstrip("/")):
+        raise ValueError(
+            f"compact_cell_store: no store at {path} — build one with "
+            "build_ivf_store/build_pq_code_store first"
+        )
     before = n_files(path)
+    if before == 0:
+        # dir exists but holds no data files: nothing to rewrite
+        return {"files_before": 0, "files_after": 0}
     # staging snapshot for the pre-swap concurrent-writer tripwire
     # (append_to_cell_store is single-writer by contract, but a
     # violated contract must abort loudly, not lose the append)

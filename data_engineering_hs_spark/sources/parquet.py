@@ -157,6 +157,12 @@ def compact_parquet(
     partitioned layouts (compact each partition directory); the swap
     is not concurrent-reader-safe — run in the maintenance window,
     like any non-transactional lakehouse compaction.
+
+    Degenerate cardinalities (pinned in
+    tests/test_store_lifecycle_edges.py): an EXISTING-but-empty dir
+    is a zero-stat no-op; a MISSING path raises FileNotFoundError
+    (an empty store is a normal pre-first-commit state, a missing
+    one is a caller mistake).
     """
     import math
     import os
@@ -172,6 +178,12 @@ def compact_parquet(
         ]
 
     before = data_files(path)
+    if not before:
+        # empty existing dir (no increment committed yet): nothing to
+        # compact — a clean no-op beats the raw UNABLE_TO_INFER_SCHEMA
+        # the parquet read would otherwise throw (missing dirs still
+        # FileNotFoundError on the listdir above, deliberately loud)
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
     staged = snapshot_data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))

@@ -592,7 +592,9 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     Legacy layouts (pre-namespace root files / bare batch_id=N dirs)
     are migrated first, same as the per-batch path. Returns
     {"files_before", "files_after", "partitions_before",
-    "partitions_after"}.
+    "partitions_after"}. Missing path and existing-but-empty store
+    are both zero-stat no-ops (pinned in
+    tests/test_store_lifecycle_edges.py).
     """
     return _compact_ingest_impl(spark, path, files_per_partition, frozenset())
 
@@ -641,7 +643,10 @@ def retire_runs(
     contracts: DRIVER-LOCAL paths only, never concurrent with an
     active trigger's commit (violations trip the same pre-swap
     concurrent-writer check and abort loudly). Returns the compaction
-    stats dict plus ``runs_retired``.
+    stats dict plus ``runs_retired``. A named run whose dir exists
+    but holds NO data files is removed outright (nothing to fold;
+    the dir itself is the listing cost being shed); a missing store
+    or a named run with no dir at all raises (typo protection).
     """
     if not checkpoints_gone_for_good:
         raise ValueError(
@@ -730,6 +735,31 @@ def _compact_ingest_impl(
         return files, len(parts)
 
     files_before, parts_before = stats(norm)
+    if files_before == 0:
+        # empty EXISTING store (dir created, no increment committed,
+        # or a 0-row first batch): nothing to rewrite — a clean no-op
+        # beats the raw UNABLE_TO_INFER_SCHEMA the parquet read would
+        # throw. Retirement of named runs whose dirs exist but hold
+        # no data removes those empty dirs (nothing to fold; leaving
+        # them would keep the listing cost the caller asked to shed).
+        import shutil as _shutil
+
+        if retire:
+            for d in os.listdir(norm):
+                if d.startswith("run=") and os.path.isdir(
+                    os.path.join(norm, d)
+                ):
+                    from urllib.parse import unquote
+
+                    if unquote(d.split("=", 1)[1]) in retire:
+                        _shutil.rmtree(os.path.join(norm, d))
+        out = {
+            "files_before": 0, "files_after": 0,
+            "partitions_before": 0, "partitions_after": 0,
+        }
+        if retire:
+            out["runs_retired"] = sorted(retire)
+        return out
     # staging snapshot for the pre-swap concurrent-writer tripwire: a
     # trigger committing a batch after this point must abort the swap
     # (its partition would silently vanish in the rename otherwise)
