@@ -125,10 +125,18 @@ def dot_pandas(a: ColumnOrName, b: ColumnOrName) -> Column:
     def _pdot(x: pd.Series, y: pd.Series) -> pd.Series:
         xa, ya, bad = _pair_arrays(x, y)
         out = np.einsum("ij,ij->i", xa, ya)
-        # nullable Float64 so masked rows become real NULLs (a NaN
-        # would survive Arrow as NaN, not null — the fold returns
-        # NULL for null/ragged inputs)
-        return pd.Series(out).astype("Float64").mask(bad)
+        # FloatingArray(values, mask), NOT astype("Float64"): only the
+        # masked (null/ragged) rows become real NULLs. astype converts
+        # every COMPUTED NaN to NA too, so a NaN-component vector
+        # dotted through the arrow strategy returned NULL where the
+        # fold returns NaN — the two strategies then disagreed on
+        # corrupt vectors (NULL escapes cosine_from's NaN→0.0
+        # degenerate-vector guard and sorts last instead of scoring
+        # 0.0; r14 lens find).
+        arr = pd.arrays.FloatingArray(
+            np.asarray(out, dtype=np.float64), bad.copy()
+        )
+        return pd.Series(arr)
 
     return _pdot(_col(a), _col(b))
 

@@ -108,9 +108,12 @@ def test_fuzz_brute_force_topk_matches_naive(spark, vecs, k):
     assert all(math.isfinite(c) for _, _, c in got)
 
 
-def test_corrupt_vector_never_outranks_positive_neighbor(spark):
+@pytest.mark.parametrize("strategy", ["fold", "arrow"])
+def test_corrupt_vector_never_outranks_positive_neighbor(spark, strategy):
     # the pinned regression for the poisoning find (pre-fix: id 3
-    # ranked #1 with cos_sim NaN for every query)
+    # ranked #1 with cos_sim NaN for every query). Parametrized over
+    # both dot strategies: the guard lives in cosine_from, DOWNSTREAM
+    # of the fold/arrow dot, so a NaN einsum result must hit it too.
     from data_engineering_hs_spark.operators.similarity import (
         brute_force_topk,
     )
@@ -125,7 +128,9 @@ def test_corrupt_vector_never_outranks_positive_neighbor(spark):
             [0.8, 0.2, 0.0],
         ],
     )
-    rows = brute_force_topk(df, df.filter("vec_id = 0"), k=4).collect()
+    rows = brute_force_topk(
+        df, df.filter("vec_id = 0"), k=4, dot_strategy=strategy
+    ).collect()
     by_rank = {r["rank"]: (r["neighbor_id"], r["cos_sim"]) for r in rows}
     assert by_rank[1] == (1, pytest.approx(0.99388, abs=1e-4))
     assert by_rank[2][0] == 4
