@@ -36,6 +36,7 @@ from data_engineering_hs_spark.functions.vector import (
     cosine_from,
     dot,
     dot_pandas,
+    is_finite_vector,
     norm,
 )
 
@@ -172,6 +173,15 @@ def kmeans_centroids(
     neighbors in few cells and low nprobe recovers high recall; the
     tests pin the isotropic floors.
     """
+    # Non-finite vectors are excluded from TRAINING (r14 lens): under
+    # the cosine contract they score 0 against every center, which
+    # makes them the farthest-first argmin — with ≥ k-1 corrupt rows
+    # the seeding would pick ONLY garbage and the real structure never
+    # gets a centroid. They still ASSIGN at query time (sim 0, tie to
+    # the lowest label) — exclusion here only shapes the codebook.
+    # Zero vectors stay: a zero vector is far from everything in a
+    # mathematically meaningful way; corrupt is not.
+    df = df.filter(is_finite_vector(vec_col))
     # The per-iteration pipeline re-reads `data` each round; checkpoint
     # once (with the per-row norm — computed exactly once total) so
     # iterations scan a materialized copy, not the source plan. The
@@ -900,7 +910,20 @@ def pq_encode(
     """(id, pq_code) — each vector compressed to one BIGINT packing m
     `bits`-bit codes (subspace s occupies bits [s*bits, (s+1)*bits)).
     One broadcast assignment pass + one groupBy(id) to pack; the
-    stored column is 8 bytes/vector however wide the embedding is."""
+    stored column is 8 bytes/vector however wide the embedding is.
+
+    NON-FINITE VECTORS ARE EXCLUDED (r14 lens find): a NaN-component
+    vector has NaN distance to EVERY codebook entry, so the argmin
+    assigned it code 0 in every subspace — all corrupt vectors shared
+    one (finite!) ADC score and, when that score ranked well for a
+    query, FLOODED the whole shortlist, displacing every real
+    candidate before the exact rerank could zero them (measured: a
+    poisoned corpus returned an all-corrupt top-k at cos 0.0). Under
+    the cosine contract a non-finite vector can never be a true
+    neighbor, so it has no business in an approximate index; audit
+    them upstream with functions.vector.is_finite_vector if you need
+    the count."""
+    df = df.filter(is_finite_vector(vec_col))
     sv = _pq_subvectors(df, m, dim, id_col, vec_col)
     assigned = _pq_assign(sv, codebooks, id_col)
     # SQL expr: the Python shiftleft() wrapper takes only a literal

@@ -327,6 +327,46 @@ class TestDegenerateCorpora:
         assert not rows[3]["removed"]
         assert rows[3]["c_sim"] == 0.0
 
+    def test_pq_shortlist_not_flooded_by_corrupt_vectors(self, spark):
+        # second-order poisoning (r14 lens find): NaN subvectors have
+        # NaN distance to every codebook entry, so the argmin gave all
+        # corrupt vectors code 0 in every subspace — one shared FINITE
+        # ADC score that, when it ranked well, flooded the whole
+        # shortlist before the exact rerank could zero it (measured:
+        # all-corrupt top-k at cos 0.0). pq_encode now excludes
+        # non-finite vectors from the index.
+        from pyspark.sql import functions as F
+
+        from data_engineering_hs_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        poison = emb.filter("vec_id % 3 = 0").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.lit(NAN).cast("double")
+            ).alias("embedding"),
+        )
+        clean = emb.filter("vec_id % 3 != 0")
+        corpus = clean.unionByName(poison)
+        books = pq_train(clean, m=8, k=16, iters=2, dim=64)
+        # corrupt vectors never make it into the code store at all
+        codes = pq_encode(corpus, books)
+        assert codes.filter("vec_id % 3 = 0").count() == 0
+        out = pq_topk(
+            corpus, clean.limit(2), books, k=5, shortlist=10
+        ).collect()
+        assert len(out) == 10
+        assert all(r["neighbor_id"] % 3 != 0 for r in out)
+        assert all(math.isfinite(r["cos_sim"]) for r in out)
+
     def test_near_dups_never_pair_corrupt_vectors(self, spark):
         from data_engineering_hs_spark.operators.similarity import (
             embedding_near_dups,
