@@ -1838,7 +1838,7 @@ sims AS MATERIALIZED (
 ),
 sel1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS pick FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
 {', '.join(stages)}
-SELECT pick, vec_id, round(rel, 6) AS rel FROM {prev}
+SELECT pick, vec_id, round(rel, 6) + 0.0 AS rel FROM {prev}
 ORDER BY pick
 """
 

@@ -677,10 +677,14 @@ WITH pts AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,
-       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8)
+       -- + 0.0 normalizes DuckDB's signed zero: its round() keeps
+       -- -0.0 for a tiny-negative operand where Spark's BigDecimal
+       -- round returns +0.0, and the harness repr() distinguishes
+       -- them (r14 -0.0 lens; identity for every other value)
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8) + 0.0
          AS slope_cents_per_sec,
        round((n * sxy - sx * sy)
-             / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 8)
+             / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 8) + 0.0
          AS corr_xy
 FROM sums
 ORDER BY event_type
@@ -956,10 +960,12 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT strftime(m.month_d, '%Y-%m-%d') AS month, m.revenue_cents,
+       -- + 0.0: normalize DuckDB's signed zero on a rounded-to-zero
+       -- negative growth (Spark's round never emits -0.0; r14 lens)
        round(CAST(m.revenue_cents AS DOUBLE)
-             / NULLIF(pm.revenue_cents, 0) - 1.0, 6) AS mom,
+             / NULLIF(pm.revenue_cents, 0) - 1.0, 6) + 0.0 AS mom,
        round(CAST(m.revenue_cents AS DOUBLE)
-             / NULLIF(py.revenue_cents, 0) - 1.0, 6) AS yoy
+             / NULLIF(py.revenue_cents, 0) - 1.0, 6) + 0.0 AS yoy
 FROM monthly m
 LEFT JOIN monthly pm ON pm.month_d = m.month_d - INTERVAL 1 MONTH
 LEFT JOIN monthly py ON py.month_d = m.month_d - INTERVAL 12 MONTH

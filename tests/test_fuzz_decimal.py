@@ -226,6 +226,30 @@ class TestPinnedDivergences:
             ).fetchone()[0]
             assert Decimal(sp) == Decimal(du), (v, sp, du)
 
+    def test_round_signed_zero_divergence_and_normalization(self, spark):
+        # DuckDB round() keeps the SIGN of a rounded-to-zero negative
+        # (round(-0.0001, 2) = -0.0) while Spark's BigDecimal round
+        # returns +0.0 — and both the local harness and the driver
+        # canonicalize floats via repr(), which distinguishes '-0.0'
+        # from '0.0'. Any oracle-restated round of a possibly-negative
+        # double (growth rates, slopes, correlations, cosine
+        # relevance) is one tiny-negative value away from a hash
+        # flake. Normalization: `+ 0.0` after the DuckDB round
+        # (-0.0 + 0.0 = +0.0; identity for every other value) —
+        # applied to the w_mom_growth / a_group_regression /
+        # s_mmr_diversify oracles in r14.
+        sp = spark.sql(
+            "SELECT round(CAST(-0.0001 AS DOUBLE), 2) AS r"
+        ).collect()[0]["r"]
+        assert repr(sp) == "0.0"  # Spark strips the sign
+        con = duckdb.connect()
+        du = con.execute("SELECT round(-0.0001::DOUBLE, 2)").fetchone()[0]
+        assert repr(du) == "-0.0"  # DuckDB keeps it
+        normalized = con.execute(
+            "SELECT round(-0.0001::DOUBLE, 2) + 0.0"
+        ).fetchone()[0]
+        assert repr(normalized) == "0.0"
+
     def test_ansi_decimal_overflow_is_loud_not_null(self, spark):
         from pyspark.errors import ArithmeticException
 
