@@ -407,6 +407,74 @@ class TestPinnedDivergences:
             is False
         )
 
+    def test_letter_category_skew_absent_from_driver_corpus(self, spark):
+        # r14 category-skew scan: Java's regex Unicode tables lag
+        # RE2/utf8proc's, so some codepoints (e.g. the U+0870.. Arabic
+        # letters added in newer Unicode) are \p{L} in DuckDB but NOT
+        # in Spark's Java regex — punct_ratio (and through it
+        # quality_score and the curate pipeline) classifies them
+        # oppositely between engine and oracle. Re-derive the
+        # divergent set from the LIVE engines (version-proof: a JVM
+        # or DuckDB upgrade updates it automatically), document that
+        # the class exists, and assert the driver corpus contains
+        # none of them — the same guard posture as the three
+        # case-mapping codepoints below.
+        import duckdb
+        import pandas as pd
+        import unicodedata
+
+        cps = [
+            cp
+            for cp in range(0x20, 0x10000)
+            if not (0xD800 <= cp <= 0xDFFF)
+        ]
+        df = spark.createDataFrame(
+            [(cp, chr(cp)) for cp in cps], "cp long, ch string"
+        )
+        java_content = {
+            r["cp"]: r["keep"]
+            for r in df.select(
+                "cp",
+                (
+                    F.length(
+                        F.regexp_replace("ch", r"[\p{L}\p{N}\s]", "")
+                    )
+                    == 0
+                ).alias("keep"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "cps_t", pd.DataFrame({"cp": cps, "ch": [chr(c) for c in cps]})
+        )
+        re2_content = dict(
+            con.execute(
+                "SELECT cp, length(regexp_replace(ch,"
+                " '[\\p{L}\\p{N}\\s]', '', 'g')) = 0 FROM cps_t"
+            ).fetchall()
+        )
+        skew = sorted(cp for cp in cps if java_content[cp] != re2_content[cp])
+        # the class is real (56 codepoints on the pinning JVM) and is
+        # pure table-version skew: every divergent cp is a letter or
+        # number per Python's (recent) Unicode data
+        assert skew, "category skew vanished — update the guard's rationale"
+        assert all(
+            unicodedata.category(chr(cp))[0] in ("L", "N") for cp in skew
+        ), [hex(c) for c in skew if unicodedata.category(chr(c))[0] not in ("L", "N")][:5]
+        # driver corpus must not contain any of them (else punct_ratio
+        # oracles mismatch): check the text columns the oracles hash
+        skew_chars = "".join(chr(c) for c in skew)
+        for sf in ("0.001", "0.01", "0.1"):
+            for table, col in (("documents", "text"), ("customer", "c_name")):
+                path = f"/root/testdata/sf{sf}/{table}.parquet"
+                n = con.execute(
+                    f"""SELECT count(*) FROM '{path}'
+                        WHERE length(regexp_replace({col},
+                          '[^' || $1 || ']', '', 'g')) > 0""",
+                    [skew_chars],
+                ).fetchone()[0]
+                assert n == 0, (sf, table, n)
+
     def test_driver_corpus_stays_oracle_safe(self):
         # The md5/token oracle restatements are exact only without
         # the three divergent code points; assert the columns they
