@@ -250,6 +250,28 @@ class TestPinnedDivergences:
         ).fetchone()[0]
         assert repr(normalized) == "0.0"
 
+    def test_division_by_zero_and_try_family(self, spark):
+        # ANSI Spark throws on x/0 EVEN FOR DOUBLES (no IEEE Inf);
+        # DuckDB silently NULLs a double /0. Neither produces Inf —
+        # so every engine-side division with a zero-capable
+        # denominator needs its F.when(den != 0) guard (the repo
+        # discipline) and every oracle its NULLIF. try_divide is the
+        # sanctioned escape and agrees cross-engine. try_cast of a
+        # NON-INTEGRAL string to INT diverges: Spark NULLs, DuckDB
+        # parses-and-ROUNDS ('2.7' → 3) — never restate a Spark
+        # try_cast(string AS INT) with DuckDB try_cast directly.
+        from pyspark.errors import ArithmeticException
+
+        with pytest.raises(ArithmeticException):
+            spark.sql(
+                "SELECT CAST(1.0 AS DOUBLE) / CAST(0.0 AS DOUBLE)"
+            ).collect()
+        con = duckdb.connect()
+        assert con.execute("SELECT 1.0::DOUBLE / 0.0::DOUBLE").fetchone()[0] is None
+        assert spark.sql("SELECT try_divide(1.0, 0.0)").collect()[0][0] is None
+        assert spark.sql("SELECT try_cast('2.7' AS INT)").collect()[0][0] is None
+        assert con.execute("SELECT try_cast('2.7' AS INT)").fetchone()[0] == 3
+
     def test_ansi_decimal_overflow_is_loud_not_null(self, spark):
         from pyspark.errors import ArithmeticException
 
