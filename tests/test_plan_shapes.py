@@ -318,3 +318,29 @@ class TestRound9PlanShapes:
         assert "CartesianProduct" not in plan
         assert plan_summary(out)["broadcast_joins"] >= 2
         assert "BroadcastHashJoin" in plan  # the member equi-join
+
+
+class TestRound14PlanShapes:
+    def test_fractional_boilerplate_total_broadcasts(self, spark):
+        # The r14 scale-invariant threshold joins a 1-row distinct-doc
+        # total onto the ngram counts. That join MUST be a broadcast
+        # nested-loop (the sanctioned 1-row scalar-frame shape), never
+        # a CartesianProduct and never an Exchange of the counts side
+        # keyed for the scalar — at 100 TB the total is one long, the
+        # counts side is billions of ngrams.
+        from data_engineering_hs_spark.operators.corpus import (
+            boilerplate_ratio,
+        )
+        from data_engineering_hs_spark.catalog import load_table
+
+        d = load_table(spark, SF001, "documents").select("doc_id", "text")
+        plan = plan_string(boilerplate_ratio(d, "text", "doc_id", min_doc_frac=0.01))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+
+    def test_curate_training_set_no_cartesian(self, spark):
+        # Full pipeline: the only condition-less join is the 1-row
+        # boilerplate-threshold broadcast.
+        plan = _plan(spark, "t_curate_training_set")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
