@@ -22,12 +22,23 @@ from pyspark.sql import types as T
 
 
 def read_headerless(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession, path: str, schema: T.StructType, tz: str = "UTC"
 ) -> DataFrame:
     """S1/S3: glob of headerless CSVs (plain or .gz) with supplied
     column names — `spark.read.schema(s).csv(dir/*.csv)` replaces the
-    read_csv loop + pd.concat (lab01/tasks.ipynb:249,409)."""
-    return spark.read.schema(schema).option("header", False).csv(path)
+    read_csv loop + pd.concat (lab01/tasks.ipynb:249,409).
+
+    tz: zone used to interpret NAIVE timestamp strings (the per-read
+    `timeZone` option). Defaults to the engine's UTC contract so a
+    caller session with a foreign spark.sql.session.timeZone cannot
+    silently shift parsed instants; override for genuinely local-time
+    files."""
+    return (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("timeZone", tz)
+        .csv(path)
+    )
 
 
 def read_with_header(
@@ -35,16 +46,19 @@ def read_with_header(
     path: str,
     schema: T.StructType | None = None,
     infer: bool = False,
+    tz: str = "UTC",
 ) -> DataFrame:
     """S2/S4: header CSV; explicit schema preferred, inference as the
     demonstrated fallback (mini-lab-hdfs+spark-local/spark.ipynb:205-208
-    — which mis-infers elevation_ft; explicit schema is the fix)."""
+    — which mis-infers elevation_ft; explicit schema is the fix).
+    tz: see read_headerless — naive timestamp strings parse as UTC
+    instants regardless of the caller session's zone."""
     if schema is None and not infer:
         raise ValueError(
             "read_with_header needs schema= or infer=True — without "
             "either, every column silently reads as string"
         )
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).option("timeZone", tz)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -52,10 +66,21 @@ def read_with_header(
     return reader.csv(path)
 
 
-def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    tz: str = "UTC",
+) -> None:
     """S2: single logical CSV dataset write (one file per partition;
-    coalesce(1) only for small exports — a 100 TB export stays multi-file)."""
-    df.write.mode(mode).option("header", header).csv(path)
+    coalesce(1) only for small exports — a 100 TB export stays
+    multi-file). tz: zone used to FORMAT timestamps, symmetric with
+    the readers' parse pin so a round-trip through a foreign-tz
+    session is lossless."""
+    df.write.mode(mode).option("header", header).option("timeZone", tz).csv(
+        path
+    )
 
 
 def compact(

@@ -26,13 +26,23 @@ def read_jsonl(
     paths: str | list[str],
     schema: T.StructType,
     keep_corrupt: bool = False,
+    tz: str = "UTC",
 ) -> DataFrame:
-    """S5: JSONL (optionally gzip) with explicit nested StructType."""
+    """S5: JSONL (optionally gzip) with explicit nested StructType.
+
+    tz: per-read `timeZone` option — NAIVE timestamp strings parse as
+    UTC instants (the engine contract) even when the caller session's
+    spark.sql.session.timeZone points elsewhere; override for
+    genuinely local-time feeds."""
     if keep_corrupt:
         schema = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
         )
-    reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("timeZone", tz)
+    )
     if keep_corrupt:
         reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
     return reader.json(paths)
@@ -43,6 +53,7 @@ def read_document_array(
     path: str,
     doc_schema: T.StructType,
     array_field: str,
+    tz: str = "UTC",
 ) -> DataFrame:
     """S6: one JSON document with an embedded array of records →
     one row per element, envelope fields carried alongside.
@@ -55,6 +66,7 @@ def read_document_array(
     doc = (
         spark.read.option("multiLine", True)
         .option("mode", "FAILFAST")
+        .option("timeZone", tz)
         .schema(doc_schema)
         .json(path)
     )
