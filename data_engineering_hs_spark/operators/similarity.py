@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from data_engineering_hs_spark.functions.vector import (
     cosine_from,
@@ -1472,7 +1473,23 @@ def _write_cell_store(
     # reproduce the build's assignment mode.
     spark = corpus.sparkSession
     meta = dict(meta)
-    meta.update(_corpus_stamp(spark.read.parquet(path), meta["id_col"]))
+    try:
+        written = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # a zero-row partitioned write emits no part files, so the
+        # read-back cannot infer a schema. At corpus scale this is an
+        # upstream pipeline bug (a filter stage selected nothing, the
+        # centers frame was empty, or the assignment join matched no
+        # ids) — fail with the cause, not a schema-inference error.
+        raise ValueError(
+            f"cell store build at {path!r} wrote zero rows — empty "
+            "corpus, empty centers, or no id overlap between corpus "
+            "and assignment. A serving store needs a nonempty build; "
+            "grow an existing store with append_to_cell_store."
+        ) from e
+    meta.update(_corpus_stamp(written, meta["id_col"]))
     if super_k is not None:
         meta.update({"super_k": super_k, "probe_supers": probe_supers})
     _write_store_meta(path, **meta)

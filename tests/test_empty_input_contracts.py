@@ -1,0 +1,153 @@
+"""Empty-INPUT contracts (r14 lens — the sibling of the empty-STORE
+sweep in test_store_lifecycle_edges.py).
+
+At 100 TB an upstream filter stage legitimately selecting zero rows is
+routine; the probe ran ALL 187 registry queries against 0-row copies of
+every table (schemas preserved): 184/187 complete cleanly with empty or
+zero-stat results. The 3 exceptions are the store-lifecycle audit rows
+(s_ivf_store_append, s_ivf_adc_store, st_compact_ingest) whose work-dir
+orchestration inherently needs data: 0-row ingest batches are pinned
+no-ops, so no store exists to audit — vacuous BY DESIGN, not fixed.
+
+The one ENGINE-level gap found: _write_cell_store on a zero-row build
+left a fileless directory and crashed later with a raw
+UNABLE_TO_INFER_SCHEMA from the stamp read-back. Pinned here: the build
+now fails loudly with the cause (empty corpus / empty centers / no id
+overlap) for BOTH the IVF-flat and PQ store builders.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+CENTER_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.IntegerType()),
+        T.StructField("centroid", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _empty_vecs(spark):
+    return spark.createDataFrame([], VEC_SCHEMA)
+
+
+def _centers(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], CENTER_SCHEMA
+    )
+
+
+class TestEmptyBuildIsLoud:
+    def test_ivf_store_build_from_empty_corpus(self, spark, tmp_path):
+        from data_engineering_hs_spark.operators.similarity import (
+            build_ivf_store,
+        )
+
+        with pytest.raises(ValueError, match="wrote zero rows"):
+            build_ivf_store(
+                _empty_vecs(spark), _centers(spark), str(tmp_path / "ivf")
+            )
+
+    def test_ivf_store_build_with_empty_centers(self, spark, tmp_path):
+        from data_engineering_hs_spark.operators.similarity import (
+            build_ivf_store,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], VEC_SCHEMA
+        )
+        empty_centers = spark.createDataFrame([], CENTER_SCHEMA)
+        with pytest.raises(ValueError, match="wrote zero rows"):
+            build_ivf_store(corpus, empty_centers, str(tmp_path / "ivf2"))
+
+
+class TestEmptyInputOps:
+    """Representative per-family empty-input behaviors re-pinned as
+    fast deterministic tests (the full 187-query sweep is a round
+    probe, not a suite fixture)."""
+
+    def test_brute_force_topk_empty_corpus(self, spark):
+        from data_engineering_hs_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        queries = spark.createDataFrame([(100, [1.0, 0.0])], VEC_SCHEMA)
+        out = brute_force_topk(
+            _empty_vecs(spark), queries, k=5,
+            id_col="vec_id", vec_col="embedding",
+        )
+        assert out.count() == 0
+
+    def test_exact_dedup_empty_docs(self, spark):
+        from data_engineering_hs_spark.operators.dedup import (
+            exact_duplicates,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string"
+        )
+        assert exact_duplicates(docs, "text", "doc_id").count() == 0
+
+    def test_boilerplate_ratio_fractional_empty_docs(self, spark):
+        # ceil(frac * 0 docs) = 0 threshold over an empty counts frame
+        # — still zero rows, no division blowup
+        from data_engineering_hs_spark.operators.corpus import (
+            boilerplate_ratio,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        out = boilerplate_ratio(
+            docs, "text", "doc_id", min_doc_frac=0.01
+        )
+        assert out.count() == 0
+
+    def test_window_and_agg_rows_emit_zero_not_crash(self, spark):
+        from data_engineering_hs_spark.queries import REGISTRY, load_all
+
+        load_all()
+        # one representative per §2 family over all-empty tables
+        for name in [
+            "q1_pricing_summary",      # agg
+            "w_topk_per_group",        # window
+            "j_asof_last_click",       # as-of join (pandas cogroup)
+            "t_curate_training_set",   # multi-stage curation
+            "s_cosine_topk",           # similarity
+            "d_minhash_lsh_audit",     # dedup
+        ]:
+            n = REGISTRY[name].fn(spark, "/tmp/sf_empty").count()
+            assert n >= 0, name
+
+    @pytest.fixture(autouse=True)
+    def _empty_tables(self, spark, tmp_path_factory):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir("/tmp/sf_empty"):
+            os.makedirs("/tmp/sf_empty", exist_ok=True)
+            src = "/root/testdata/sf0.001"
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    s = pq.read_schema(os.path.join(src, f))
+                    pq.write_table(
+                        pa.table(
+                            {
+                                n: pa.array([], type=s.field(n).type)
+                                for n in s.names
+                            }
+                        ),
+                        os.path.join("/tmp/sf_empty", f),
+                    )
+        from data_engineering_hs_spark.catalog import enable_table_cache
+
+        enable_table_cache(False)
+        yield
