@@ -113,6 +113,11 @@ def word_shingle_seq(c: ColumnOrName, k: int = 3) -> Column:
     — O(words²) per document, measured ~4× slower on the MinHash
     signature stage at sf0.1.
     """
+    if k < 1:
+        raise ValueError(
+            f"shingle width k must be >= 1 (got {k}): k=0 would "
+            "silently emit the raw token list as '0-shingles'"
+        )
     toks = tokens(c)
     n = F.size(toks)
     sh = toks
@@ -140,6 +145,11 @@ def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
     empty strings yield an EMPTY array — the old [NULL]/[''] outputs
     made every pair of blank documents Jaccard-identical and
     clustered unrelated empties as near-duplicates."""
+    if n < 1:
+        raise ValueError(
+            f"char n-gram width must be >= 1 (got {n}): n=0 would "
+            "silently emit arrays of empty-string grams"
+        )
     s = _col(c)
     ln = F.length(s)
     idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))

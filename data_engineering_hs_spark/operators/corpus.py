@@ -231,6 +231,12 @@ def hash_split(
     NULL ids upstream (quality.assertions not_null) rather than
     relying on that accident.
     """
+    if not splits or any(w <= 0 for _, w in splits):
+        raise ValueError(
+            f"hash_split needs at least one split, every weight > 0 "
+            f"(got {list(splits)!r}): a non-positive weight silently "
+            "yields an empty or inverted split range"
+        )
     total = sum(w for _, w in splits)
     bucket = _det_bucket(_det_key(seed, id_col), buckets)
     expr = None
@@ -417,6 +423,10 @@ def chunk_documents(
     posexplode → slice): no UDFs, no shuffle — chunking is
     embarrassingly parallel and stays inside the scan stage.
     """
+    if chunk_tokens < 1:
+        raise ValueError(
+            f"chunk_tokens must be >= 1 (got {chunk_tokens})"
+        )
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"overlap must be in [0, chunk_tokens) (got {overlap}): a "
@@ -480,6 +490,13 @@ def pack_sequences(
 
     from pyspark.sql import types as T
 
+    if target < 1 or shards < 1:
+        raise ValueError(
+            f"pack_sequences needs target >= 1 and shards >= 1 (got "
+            f"target={target}, shards={shards}): target<=0 silently "
+            "marks EVERY item oversize in its own bin — one bin per "
+            "item at corpus scale"
+        )
     # Preserve the input id type (same contract as mmr_select): a
     # LongType literal here silently turned string/decimal ids into
     # NULLs via the cast below.

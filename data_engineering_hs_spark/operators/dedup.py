@@ -202,6 +202,12 @@ def minhash_signatures(
     partial aggregation reduces each map task to one row of
     num_hashes minima per doc before the exchange.
     """
+    if num_hashes < 1:
+        raise ValueError(
+            f"num_hashes must be >= 1 (got {num_hashes}): an empty "
+            "signature would fail deep in the aggregate with an "
+            "internal assertion, not here at the config site"
+        )
     # No partition-count probe here: touching df.rdd forces an RDD
     # conversion of the analyzed plan per call. Scan parallelism is
     # the session's job (the factory caps files.maxPartitionBytes
