@@ -524,6 +524,18 @@ def pack_sequences(
                 f"would poison the greedy fill (e.g. ids {bad}); drop "
                 "or impute null-size rows upstream"
             )
+        if (pdf["size"] < 0).any():
+            # same poison, different sign: a negative size always
+            # "fits", so the bin never closes and the whole shard
+            # lands in one giant bin. Sizes are token counts —
+            # negative means upstream corruption.
+            neg = pdf["size"] < 0
+            bad = pdf.loc[neg, "id"].head(3).tolist()
+            raise ValueError(
+                f"pack_sequences: {int(neg.sum())} negative size "
+                f"values (e.g. ids {bad}); sizes are token counts "
+                "and must be >= 0"
+            )
         pdf = pdf.sort_values("id").reset_index(drop=True)
         bin_ids, oversize = [], []
         b, fill = 0, 0

@@ -124,3 +124,18 @@ class TestDefensibleSilents:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestPackPoisonSizes:
+    def test_negative_size_raises_with_ids(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.corpus import pack_sequences
+
+        items = spark.createDataFrame(
+            [(1, 5), (2, -3), (3, 7)], "id long, n_tokens int"
+        )
+        with _pytest.raises(Exception, match="negative size"):
+            pack_sequences(
+                items, "n_tokens", "id", target=8, shards=1
+            ).collect()
