@@ -231,11 +231,14 @@ def hash_split(
     NULL ids upstream (quality.assertions not_null) rather than
     relying on that accident.
     """
-    if not splits or any(w <= 0 for _, w in splits):
+    # `not (w > 0)` rather than `w <= 0`: NaN fails BOTH comparisons,
+    # and a NaN weight would otherwise die far away in
+    # int(round(acc * buckets)) with no mention of the bad weight.
+    if not splits or any(not (w > 0) for _, w in splits):
         raise ValueError(
             f"hash_split needs at least one split, every weight > 0 "
-            f"(got {list(splits)!r}): a non-positive weight silently "
-            "yields an empty or inverted split range"
+            f"(got {list(splits)!r}): a non-positive or NaN weight "
+            "silently yields an empty or inverted split range"
         )
     total = sum(w for _, w in splits)
     bucket = _det_bucket(_det_key(seed, id_col), buckets)

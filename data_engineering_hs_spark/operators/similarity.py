@@ -1458,6 +1458,29 @@ def _write_cell_store(
     cell, which IVF recall absorbs the same way it absorbs kmeans'
     own assignment noise).
     """
+    # Fail BEFORE the destructive overwrite: the old store (data +
+    # _store_meta.json) lives inside `path`, so a zero-row build that
+    # only errored at the post-write read-back would already have
+    # wiped it — and the error's own advice (append to the existing
+    # store) would be unfollowable. Two limit-1 probes cover all
+    # causes: empty/all-excluded payload (e.g. a PQ corpus whose
+    # vectors are all non-finite encodes to nothing) and empty
+    # centers (assignment join matches nothing). Cost: two
+    # short-circuiting jobs, negligible against the build.
+    if payload.limit(1).isEmpty():
+        raise ValueError(
+            f"cell store build at {path!r} would write zero rows: the "
+            "corpus (after any encode-time exclusions) is empty. A "
+            "serving store needs a nonempty build; grow an existing "
+            "store with append_to_cell_store. The existing store, if "
+            "any, was left untouched."
+        )
+    if centers.limit(1).isEmpty():
+        raise ValueError(
+            f"cell store build at {path!r} would write zero rows: the "
+            "centers frame is empty, so no corpus row can be assigned "
+            "a cell. The existing store, if any, was left untouched."
+        )
     cells = _assign_cells(
         corpus, centers, id_col, vec_col, center_id_col, center_vec_col,
         super_k, probe_supers,
@@ -1547,7 +1570,17 @@ def _salted_cell_write(
         )
     else:
         joined = joined.repartition("cell")
-    joined.write.mode(mode).partitionBy("cell").parquet(path)
+    writer = joined.write.mode(mode).partitionBy("cell")
+    if mode == "overwrite":
+        # a BUILD is a full rebuild: under a caller session left on
+        # partitionOverwriteMode=dynamic, overwrite would only replace
+        # the cells present in the new build — stale cells from a
+        # previous build survive and serve inconsistent assignments
+        # (and a zero-row build would silently restamp old data).
+        # Force static semantics for this write regardless of session
+        # conf; appends (mode='append') are unaffected.
+        writer = writer.option("partitionOverwriteMode", "static")
+    writer.parquet(path)
 
 
 def _corpus_stamp(df: DataFrame, id_col: str) -> dict:

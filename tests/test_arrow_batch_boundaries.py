@@ -19,6 +19,7 @@ vectorized call sites. Where a deterministic pure-Python mirror exists
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -29,19 +30,27 @@ from pyspark.sql import types as T
 BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
 
 
-@pytest.fixture()
-def tiny_batches(spark):
-    """Force many tiny Arrow batches; restore the session default."""
+@contextlib.contextmanager
+def arrow_batch_size(spark, n: int):
+    """Force Arrow batches of n records; restore the session default."""
     try:
         old = spark.conf.get(BATCH_KEY)
     except Exception:
         old = None
-    spark.conf.set(BATCH_KEY, "3")
-    yield spark
-    if old is None:
-        spark.conf.unset(BATCH_KEY)
-    else:
-        spark.conf.set(BATCH_KEY, old)
+    spark.conf.set(BATCH_KEY, str(n))
+    try:
+        yield spark
+    finally:
+        if old is None:
+            spark.conf.unset(BATCH_KEY)
+        else:
+            spark.conf.set(BATCH_KEY, old)
+
+
+@pytest.fixture()
+def tiny_batches(spark):
+    with arrow_batch_size(spark, 3):
+        yield spark
 
 
 def _media_df(spark, n=25, parts=9):
@@ -171,19 +180,9 @@ class TestAvroBatchInvariance:
             ]
             want.extend((r["k"], r["s"]) for r in recs)
             A.write_container(os.path.join(d, f"f{f_no}.avro"), recs, schema)
-        try:
-            old = spark.conf.get(BATCH_KEY)
-        except Exception:
-            old = None
-        spark.conf.set(BATCH_KEY, "1")
-        try:
+        with arrow_batch_size(spark, 1):
             df = A.read_avro(spark, d, json.dumps(schema), use_native=False)
             got = sorted((r["k"], r["s"]) for r in df.collect())
-        finally:
-            if old is None:
-                spark.conf.unset(BATCH_KEY)
-            else:
-                spark.conf.set(BATCH_KEY, old)
         assert got == sorted(want)
 
     def test_decode_avro_column_with_tombstone(self, tiny_batches):
@@ -239,11 +238,13 @@ class TestStatefulCounterBatchInvariance:
         stream = tiny_batches.readStream.schema(schema).parquet(d)
         counts = stateful_counter(stream)
         q, table = run_to_memory(counts, "kv_counter_batchlens", "update")
-        got = {
-            r["key"]: r["max(count)"]
-            for r in table.groupBy("key").max("count").collect()
-        }
-        q.stop()
+        try:
+            got = {
+                r["key"]: r["max(count)"]
+                for r in table.groupBy("key").max("count").collect()
+            }
+        finally:
+            q.stop()
         assert got == {"hot": 25, "cold": 2}
 
 
@@ -270,16 +271,6 @@ class TestPackSequencesBatchInvariance:
             )
 
         baseline = run()
-        try:
-            old = spark.conf.get(BATCH_KEY)
-        except Exception:
-            old = None
-        spark.conf.set(BATCH_KEY, "3")
-        try:
+        with arrow_batch_size(spark, 3):
             tiny = run()
-        finally:
-            if old is None:
-                spark.conf.unset(BATCH_KEY)
-            else:
-                spark.conf.set(BATCH_KEY, old)
         assert tiny == baseline

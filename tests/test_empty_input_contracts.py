@@ -51,7 +51,7 @@ class TestEmptyBuildIsLoud:
             build_ivf_store,
         )
 
-        with pytest.raises(ValueError, match="wrote zero rows"):
+        with pytest.raises(ValueError, match="zero rows"):
             build_ivf_store(
                 _empty_vecs(spark), _centers(spark), str(tmp_path / "ivf")
             )
@@ -65,7 +65,7 @@ class TestEmptyBuildIsLoud:
             [(1, [1.0, 0.0]), (2, [0.0, 1.0])], VEC_SCHEMA
         )
         empty_centers = spark.createDataFrame([], CENTER_SCHEMA)
-        with pytest.raises(ValueError, match="wrote zero rows"):
+        with pytest.raises(ValueError, match="zero rows"):
             build_ivf_store(corpus, empty_centers, str(tmp_path / "ivf2"))
 
 
@@ -109,7 +109,9 @@ class TestEmptyInputOps:
         )
         assert out.count() == 0
 
-    def test_window_and_agg_rows_emit_zero_not_crash(self, spark):
+    def test_window_and_agg_rows_emit_zero_not_crash(
+        self, spark, empty_sf_dir
+    ):
         from data_engineering_hs_spark.queries import REGISTRY, load_all
 
         load_all()
@@ -122,31 +124,38 @@ class TestEmptyInputOps:
             "s_cosine_topk",           # similarity
             "d_minhash_lsh_audit",     # dedup
         ]:
-            n = REGISTRY[name].fn(spark, "/tmp/sf_empty").count()
+            n = REGISTRY[name].fn(spark, empty_sf_dir).count()
             assert n >= 0, name
 
-    @pytest.fixture(autouse=True)
-    def _empty_tables(self, spark, tmp_path_factory):
+    @pytest.fixture(scope="session")
+    def empty_sf_dir(self, tmp_path_factory):
+        """0-row copies of every testdata table, REGENERATED per test
+        session under pytest's tmp dir — an existence-keyed /tmp cache
+        would go stale the moment a testdata regeneration changed a
+        schema, and two parallel workers would race the first write."""
         import os
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if not os.path.isdir("/tmp/sf_empty"):
-            os.makedirs("/tmp/sf_empty", exist_ok=True)
-            src = "/root/testdata/sf0.001"
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    s = pq.read_schema(os.path.join(src, f))
-                    pq.write_table(
-                        pa.table(
-                            {
-                                n: pa.array([], type=s.field(n).type)
-                                for n in s.names
-                            }
-                        ),
-                        os.path.join("/tmp/sf_empty", f),
-                    )
+        d = str(tmp_path_factory.mktemp("sf_empty"))
+        src = "/root/testdata/sf0.001"
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                s = pq.read_schema(os.path.join(src, f))
+                pq.write_table(
+                    pa.table(
+                        {
+                            n: pa.array([], type=s.field(n).type)
+                            for n in s.names
+                        }
+                    ),
+                    os.path.join(d, f),
+                )
+        return d
+
+    @pytest.fixture(autouse=True)
+    def _no_table_cache(self):
         from data_engineering_hs_spark.catalog import enable_table_cache
 
         enable_table_cache(False)

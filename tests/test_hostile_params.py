@@ -81,6 +81,10 @@ class TestLoudMisconfigs:
             hash_split(docs, "doc_id", [("train", 1.0), ("val", 0.0)])
         with pytest.raises(ValueError, match="every weight > 0"):
             hash_split(docs, "doc_id", [("a", -0.5), ("b", 1.5)])
+        with pytest.raises(ValueError, match="every weight > 0"):
+            # NaN fails both < and >; a naive w <= 0 guard passes it
+            # and the failure surfaces far away in int(round(NaN))
+            hash_split(docs, "doc_id", [("a", float("nan")), ("b", 0.5)])
         with pytest.raises(ValueError, match="at least one split"):
             hash_split(docs, "doc_id", [])
 
@@ -128,14 +132,12 @@ class TestDefensibleSilents:
 
 class TestPackPoisonSizes:
     def test_negative_size_raises_with_ids(self, spark):
-        import pytest as _pytest
-
         from data_engineering_hs_spark.operators.corpus import pack_sequences
 
         items = spark.createDataFrame(
             [(1, 5), (2, -3), (3, 7)], "id long, n_tokens int"
         )
-        with _pytest.raises(Exception, match="negative size"):
+        with pytest.raises(Exception, match="negative size"):
             pack_sequences(
                 items, "n_tokens", "id", target=8, shards=1
             ).collect()
