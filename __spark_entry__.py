@@ -127,46 +127,10 @@ def _driver_verified() -> frozenset[str]:
 # to the front of the rotation even though an older driver row was
 # green. Oracle-text changes no longer need this list —
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
-_RECHECK_THIS_ROUND = frozenset(
-    {
-        # r14: asof_join_arrow nearest/tolerance integer paths
-        # vectorized (numpy searchsorted + span guard instead of
-        # object-space per-row loops); output-table construction moved
-        # to from_arrays with a collision check. Semantics unchanged,
-        # oracle unchanged — re-front the asof row.
-        "j_asof_last_click",
-        # r14: swap_in grew the post-park concurrent-writer
-        # verification (staged=) and the fingerprint/LSH stores a
-        # normalization-version stamp; these rows drive those
-        # lifecycles with unchanged oracles.
-        "st_compact_ingest",
-        "st_dedup_stream",
-        "st_cdc_apply",
-        "d_incremental_dedup",
-        "d_incremental_lsh",
-        "s_ivf_adc_store",
-        "s_ivf_store_append",
-        # r14 degenerate-vector lens: cosine_from/cosine_pandas grew
-        # the non-finite-similarity→0.0 guard (a single NaN-component
-        # vector used to rank #1 for every query). Finite-data values
-        # are bit-identical; oracles unchanged — re-front every
-        # cosine-scored row.
-        "s_centroids",
-        "s_cosine_topk",
-        "s_cosine_topk_arrow",
-        "s_ivf_topk",
-        "s_hier_assign",
-        "s_lsh_topk",
-        "s_embedding_near_dup",
-        "s_semdedup",
-        "s_mmr_diversify",
-        "s_pq_topk",
-        "s_ivf_adc_topk",
-        "s_hybrid_rrf",
-    }
-)
-# (r14 open cleared the four r13 entries — all re-verified green by
-# the r13 driver run; see CORRECTNESS_r13.json.)
+_RECHECK_THIS_ROUND = frozenset()
+# (r15 open cleared all twenty r14 entries — every one re-verified
+# green by the r14 driver run; see CORRECTNESS_r14.json. Oracle-text
+# edits this round are caught automatically by ORACLE_HASHES.json.)
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 
