@@ -90,16 +90,30 @@ def cosine_from(d: Column, norm_a: Column, norm_b: Column) -> Column:
     every top-k corpus-wide. At 0.0 a corrupt vector can never
     outrank any positively-correlated neighbor; finite similarities
     are bit-identical to the unguarded form (the oracles' CASE WHEN
-    nn=0 restatements hold unchanged on finite data)."""
+    nn=0 restatements hold unchanged on finite data).
+
+    SINGLE-EVALUATION SHAPE (r15 perf fix): the naive
+    ``WHEN isnan(raw) OR abs(raw)=inf THEN 0 ELSE raw`` references
+    ``raw`` — and therefore ``d``, typically the whole 64-element dot
+    FOLD — three times. Higher-order-function expressions are
+    CodegenFallback and Spark's subexpression elimination does not
+    hoist branch-local subtrees, so the fold re-evaluated per
+    reference: an interleaved A/B at sf0.1 measured the naive guard
+    at +41 % on s_cosine_topk (0.554 s vs 0.393 s unguarded; the r14
+    driver's +30.8 % read was REAL, not noise). Binding ``raw`` as a
+    1-element ``aggregate`` lambda variable evaluates it exactly once
+    and the guard then touches only the bound double — same values,
+    fold evaluated once."""
     nn = norm_a * norm_b
     raw = d / nn
-    return F.when(
-        nn == 0, F.lit(0.0)
-    ).otherwise(
-        F.when(
-            F.isnan(raw) | (F.abs(raw) == F.lit(float("inf"))), F.lit(0.0)
-        ).otherwise(raw)
+    guarded = F.aggregate(
+        F.array(raw),
+        F.lit(0.0),
+        lambda _, v: F.when(
+            F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(0.0)
+        ).otherwise(v),
     )
+    return F.when(nn == 0, F.lit(0.0)).otherwise(guarded)
 
 
 def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
