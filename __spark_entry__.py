@@ -151,6 +151,15 @@ _RECHECK_THIS_ROUND = frozenset(
         "s_hybrid_rrf",
         "s_ivf_adc_store",
         "s_ivf_store_append",
+        # r15 ADVICE closes: bucketed store commits check the
+        # normalization version BEFORE the append, compact carries
+        # the stamp, cell-store builds probe the joined frame
+        # pre-write, asof validates non-finite tolerances. Oracles
+        # unchanged; all swept green locally at sf0.01.
+        "d_incremental_dedup",
+        "d_incremental_lsh",
+        "st_compact_ingest",
+        "j_asof_last_click",
     }
 )
 # (r15 open cleared all twenty r14 entries — every one re-verified

@@ -53,6 +53,23 @@ def _check_asof_output_names(
         )
 
 
+def _check_asof_tolerance(tolerance) -> None:
+    """A NaN tolerance makes every |diff| <= tol comparison False —
+    the join silently returns ALL-NULL asof columns, which at corpus
+    scale reads as 'no right rows matched' rather than 'the caller
+    passed garbage'. Reject it at the API boundary (r15, ADVICE; the
+    int64 fast path's floor() would otherwise raise ValueError deep
+    inside an executor task). ±inf is meaningful (no bound / match
+    nothing) and passes through."""
+    import math
+
+    if isinstance(tolerance, float) and math.isnan(tolerance):
+        raise ValueError(
+            "tolerance=NaN matches nothing (every |diff| <= NaN is "
+            "False); pass None for unbounded or a finite tolerance"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -150,6 +167,7 @@ def asof_join_pandas(
     (TestAsofJoinArrow.test_null_bearing_longs_above_2_53_exact).
     asof_join_arrow has identical semantics with exact dtypes."""
     _check_asof_output_names(left.columns, value_cols)
+    _check_asof_tolerance(tolerance)
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -271,6 +289,7 @@ def asof_join_arrow(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     _check_asof_output_names(left.columns, value_cols)
+    _check_asof_tolerance(tolerance)
 
     import math
 
@@ -311,7 +330,15 @@ def asof_join_arrow(
             if _int64_span_safe(lt_np, matched_ts_np):
                 a = lt_np.astype(np.int64, copy=False)
                 b = matched_ts_np.astype(np.int64, copy=False)
-                tol_i = min(math.floor(tol), _I64_MAX)
+                # non-finite tol: floor() raises (OverflowError on
+                # inf) deep in an executor task, while the object-
+                # space fallback compares gracefully — map +inf to
+                # everything-passes and -inf to nothing-passes here
+                # (NaN is rejected at the API boundary)
+                if isinstance(tol, float) and math.isinf(tol):
+                    tol_i = _I64_MAX if tol > 0 else -1
+                else:
+                    tol_i = min(math.floor(tol), _I64_MAX)
                 return np.abs(a - b) <= tol_i
             lo = lt_np.astype(object)
             ro = matched_ts_np.astype(object)

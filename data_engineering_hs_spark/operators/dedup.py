@@ -839,9 +839,13 @@ def commit_fingerprints_bucketed(
     pre-clustered and the only Exchange left in the plan is the small
     batch side (plan-asserted in tests/test_scale_ops.py). Appends
     validate against the existing bucket spec, so every increment
-    lands bucket-aligned."""
+    lands bucket-aligned. The normalization-version check runs BEFORE
+    the append (same abort-before-mixing contract as the path-based
+    append_fingerprints): a refused commit leaves the stamped table's
+    rows untouched."""
     from data_engineering_hs_spark.operators.scale import write_bucketed
 
+    _check_table_norm_version(survivors.sparkSession, table_name)
     write_bucketed(
         survivors.select("fingerprint"),
         table_name,
@@ -863,8 +867,9 @@ def _table_norm_version(spark, table_name: str) -> int | None:
 
 def _stamp_table_norm_version(spark, table_name: str) -> None:
     """TBLPROPERTIES twin of stamp_normalization_version for the
-    bucketed managed-table stores (the property rides the metastore
-    entry, so it survives compaction's overwrite-rewrite)."""
+    bucketed managed-table stores. The property does NOT survive
+    saveAsTable(mode='overwrite') — that drops and recreates the
+    table — so compact_band_store re-stamps after its rewrite."""
     from data_engineering_hs_spark.functions.text import (
         NORMALIZATION_VERSION,
     )
@@ -1008,9 +1013,12 @@ def commit_lsh_bands_bucketed(
     to a managed table BUCKETED on (band, bucket). The per-increment
     store-side groupBy in incremental_minhash_lsh then aggregates
     straight off the bucketed scan with NO Exchange — only the new
-    batch's bands shuffle (plan-asserted in tests/test_scale_ops.py)."""
+    batch's bands shuffle (plan-asserted in tests/test_scale_ops.py).
+    The normalization-version check runs BEFORE the append
+    (abort-before-mixing, matching append_lsh_bands)."""
     from data_engineering_hs_spark.operators.scale import write_bucketed
 
+    _check_table_norm_version(new_bands.sparkSession, table_name)
     write_bucketed(
         new_bands,
         table_name,
@@ -1043,9 +1051,16 @@ def compact_band_store(
     read), and rewrites it with the SAME bucket spec — rows,
     bucketing, and the Exchange-free read contract are unchanged;
     only the file count collapses. Run it on a cadence (e.g. every
-    N increments), not per commit."""
+    N increments), not per commit.
+
+    saveAsTable(mode='overwrite') DROPS AND RECREATES the table, so
+    the normalization-version TBLPROPERTIES stamp does not ride
+    through on its own: the version is checked before the staging
+    read (compacting a mismatched store must abort, not launder it
+    into a fresh-looking one) and re-stamped after the rewrite."""
     from data_engineering_hs_spark.operators.scale import write_bucketed
 
+    _check_table_norm_version(spark, table_name)
     store = spark.table(table_name).localCheckpoint(eager=True)
     # repartition on the bucket columns with the bucket count: hash
     # partitioning and bucket-id assignment use the same murmur3 pmod,
@@ -1065,6 +1080,7 @@ def compact_band_store(
         num_buckets=num_buckets,
         mode="overwrite",
     )
+    _stamp_table_norm_version(spark, table_name)
 
 
 def dup_groups_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:

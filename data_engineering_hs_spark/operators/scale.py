@@ -212,7 +212,9 @@ def optimize_table(
     Morton curve AND right-sized (file count from on-disk bytes /
     target), through the same crash-safe swap, so one maintenance
     window fixes both file-count and clustering. Returns
-    {"files_before", "files_after", "bytes"}.
+    {"files_before", "files_after", "bytes"}. Not
+    concurrent-reader-safe — see sources.parquet.swap_in's
+    CONCURRENT-READER VISIBILITY note; run in the maintenance window.
     """
     import math
     import os

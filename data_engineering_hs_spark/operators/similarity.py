@@ -1462,11 +1462,14 @@ def _write_cell_store(
     # _store_meta.json) lives inside `path`, so a zero-row build that
     # only errored at the post-write read-back would already have
     # wiped it — and the error's own advice (append to the existing
-    # store) would be unfollowable. Two limit-1 probes cover all
+    # store) would be unfollowable. Three limit-1 probes cover all
     # causes: empty/all-excluded payload (e.g. a PQ corpus whose
     # vectors are all non-finite encodes to nothing) and empty
-    # centers (assignment join matches nothing). Cost: two
-    # short-circuiting jobs, negligible against the build.
+    # centers (assignment join matches nothing); a third probe on the
+    # JOINED frame below closes the residual window — nonempty corpus
+    # and centers whose assignment join shares no id with the payload
+    # (r15, ADVICE). Cost: three short-circuiting jobs, negligible
+    # against the build.
     if payload.limit(1).isEmpty():
         raise ValueError(
             f"cell store build at {path!r} would write zero rows: the "
@@ -1485,8 +1488,16 @@ def _write_cell_store(
         corpus, centers, id_col, vec_col, center_id_col, center_vec_col,
         super_k, probe_supers,
     )
+    joined = payload.join(cells, id_col)
+    if joined.limit(1).isEmpty():
+        raise ValueError(
+            f"cell store build at {path!r} would write zero rows: the "
+            "cell assignment shares no id with the payload (corpus "
+            f"and payload {id_col!r} sets do not overlap). The "
+            "existing store, if any, was left untouched."
+        )
     _salted_cell_write(
-        payload.join(cells, id_col), path, id_col, files_per_cell,
+        joined, path, id_col, files_per_cell,
         mode="overwrite",
     )
     # corpus-identity stamp: read back what was WRITTEN (no TOCTOU
@@ -1660,8 +1671,11 @@ def compact_cell_store(
     re-snapshotted before the rename AND re-verified after the park
     rename freezes the store — an append in either window aborts
     with RuntimeError and the store rolled back intact; a writer
-    racing the renames fails loudly on ENOTEMPTY. Returns
-    {"files_before", "files_after"}.
+    racing the renames fails loudly on ENOTEMPTY. Readers get no
+    such protection: a query spanning the swap sees old-or-new per
+    cell or a mid-scan FileNotFoundException (see swap_in's
+    CONCURRENT-READER VISIBILITY note) — compact between query
+    batches. Returns {"files_before", "files_after"}.
     """
     import json
     import os
@@ -1775,6 +1789,18 @@ def build_ivf_store(
     build-time ones or the query's probe cells disagree with the
     stored assignment. Static parameters (column names) are recorded
     in _store_meta.json and checked at query time.
+
+    CORRUPT-VECTOR ADMIT SEMANTICS (r15, sanctioned as-is): unlike
+    build_pq_code_store (whose encoder EXCLUDES non-finite vectors —
+    they are unencodable), the IVF-Flat build ADMITS them: cosine_from
+    scores a non-finite similarity 0.0, so a corrupt row ties the
+    zero-vector contract and IVF↔brute-force parity on 0-scored ties
+    holds exactly. The residual hazard is skew, not correctness: every
+    non-finite vector lands in the lowest-label cell (all assignment
+    scores 0.0, ties break by label), so a corpus with a LARGE corrupt
+    fraction bloats one cell's files and every probe of that cell
+    scans them. Filter with functions.vector.is_finite_vector at
+    ingest if corrupt rates are non-trivial.
     """
     _write_cell_store(
         corpus.select(F.col(id_col), F.col(vec_col)),
@@ -1850,6 +1876,14 @@ def append_to_cell_store(
     or rebuild. The tripwire cannot catch every interleaving (two
     appends can both read before either writes) — it is a contract
     check, not a lock.
+
+    CORRUPT-VECTOR ADMIT SEMANTICS (r15, sanctioned as-is): appends
+    into an IVF-Flat store ADMIT non-finite vectors (scored 0.0 —
+    IVF↔brute-force parity on 0-scored ties), and they all land in the
+    LOWEST-LABEL cell (assignment ties break by label); PQ appends
+    exclude them (unencodable). If the increment can carry a
+    non-trivial corrupt fraction, pre-filter it with
+    functions.vector.is_finite_vector — see build_ivf_store.
     """
     import json
 

@@ -155,8 +155,11 @@ def compact_parquet(
 
     Returns {"files_before", "files_after", "bytes"}. NOT for
     partitioned layouts (compact each partition directory); the swap
-    is not concurrent-reader-safe — run in the maintenance window,
-    like any non-transactional lakehouse compaction.
+    is not concurrent-reader-safe — a reader spanning the swap sees
+    an old-or-new mix per partition or a mid-scan
+    FileNotFoundException (see swap_in's CONCURRENT-READER VISIBILITY
+    note) — run in the maintenance window, like any
+    non-transactional lakehouse compaction.
 
     Degenerate cardinalities (pinned in
     tests/test_store_lifecycle_edges.py): an EXISTING-but-empty dir
@@ -192,6 +195,14 @@ def compact_parquet(
     norm = path.rstrip("/")
     tmp = norm + ".__compact"
     sized.write.mode("overwrite").parquet(tmp)
+    # Carry `_*.json` sidecars (normalization stamp, store meta)
+    # through the rewrite: they are invisible to the parquet scan, so
+    # the rename-aside swap would otherwise DROP them and a stamped
+    # store would silently degrade to the unstamped-legacy contract
+    # after one compaction (same carry as _compact_ingest_impl).
+    for f in os.listdir(norm):
+        if f.startswith("_") and f.endswith(".json"):
+            shutil.copyfile(os.path.join(norm, f), os.path.join(tmp, f))
     # Swap via rename-aside (shared protocol): rmtree(path) before
     # the rename would leave a crash window with NO dataset at path.
     check_no_concurrent_writer(norm, staged, "compact_parquet", tmp)
@@ -226,7 +237,19 @@ def swap_in(
     and raises. A writer that instead recreates `path` after the park
     makes the second rename fail ENOTEMPTY with both datasets intact.
     Either way a late commit can no longer vanish silently — it
-    aborts loudly with the store recoverable."""
+    aborts loudly with the store recoverable.
+
+    CONCURRENT-READER VISIBILITY (r15, documented limitation): the
+    single-writer guarantees above protect WRITERS only. A reader
+    whose job spans the swap lists files per partition as it goes, so
+    it can observe old files for partitions read before the rename
+    and new files after — a mixed old/new view, or
+    FileNotFoundException if a listed old file is deleted mid-scan.
+    This is inherent to directory-rename swaps on a plain filesystem
+    (no snapshot isolation without a table format); run the swap
+    family in a maintenance window or behind an external
+    reader-drain, same as any non-transactional lakehouse compaction.
+    """
     import os
     import shutil
 

@@ -594,7 +594,10 @@ def compact_ingest_store(spark, path: str, files_per_partition: int = 1) -> dict
     {"files_before", "files_after", "partitions_before",
     "partitions_after"}. Missing path and existing-but-empty store
     are both zero-stat no-ops (pinned in
-    tests/test_store_lifecycle_edges.py).
+    tests/test_store_lifecycle_edges.py). Readers spanning the swap
+    see old-or-new per partition or a mid-scan FileNotFoundException
+    (see sources.parquet.swap_in's CONCURRENT-READER VISIBILITY
+    note) — compact between triggers.
     """
     return _compact_ingest_impl(spark, path, files_per_partition, frozenset())
 
@@ -647,6 +650,9 @@ def retire_runs(
     but holds NO data files is removed outright (nothing to fold;
     the dir itself is the listing cost being shed); a missing store
     or a named run with no dir at all raises (typo protection).
+    Reader visibility during the swap is old-or-new per partition
+    (see sources.parquet.swap_in's CONCURRENT-READER VISIBILITY
+    note).
     """
     if not checkpoints_gone_for_good:
         raise ValueError(

@@ -491,3 +491,63 @@ class TestRangeJoinNullColumns:
         rows = sorted((r["t"], r["tag"]) for r in out.collect())
         # matched null-note row appears ONCE (tagged), unmatched once
         assert rows == [(15, "w"), (99, None)]
+
+
+class TestAsofNonFiniteTolerance:
+    """r15, ADVICE: tolerance=inf with integer timestamps hit
+    math.floor(inf) → OverflowError deep inside an executor task on
+    the r14 int64 fast path (the object-space comparison it replaced
+    handled |diff| <= inf gracefully). +inf now means unbounded,
+    -inf matches nothing, NaN is rejected at the API boundary."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [("k", 10), ("k", 50)], "k string, lts long"
+        )
+        right = spark.createDataFrame(
+            [("k", 1, 100), ("k", 40, 200)], "k string, rts long, v long"
+        )
+        return left, right
+
+    def test_pos_inf_tolerance_is_unbounded(self, spark):
+        from data_engineering_hs_spark.operators.asof import asof_join_arrow
+
+        left, right = self._frames(spark)
+        got = sorted(
+            (r.lts, r.asof_v)
+            for r in asof_join_arrow(
+                left, right, "k", "lts", "rts", ["v"],
+                direction="nearest", tolerance=float("inf"),
+            ).collect()
+        )
+        # unbounded nearest: 10 → rts=1 (diff 9 < 30), 50 → rts=40
+        assert got == [(10, 100), (50, 200)]
+
+    def test_neg_inf_tolerance_matches_nothing(self, spark):
+        from data_engineering_hs_spark.operators.asof import asof_join_arrow
+
+        left, right = self._frames(spark)
+        got = sorted(
+            (r.lts, r.asof_v)
+            for r in asof_join_arrow(
+                left, right, "k", "lts", "rts", ["v"],
+                direction="backward", tolerance=float("-inf"),
+            ).collect()
+        )
+        assert got == [(10, None), (50, None)]
+
+    def test_nan_tolerance_rejected_at_boundary(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.asof import (
+            asof_join_arrow,
+            asof_join_pandas,
+        )
+
+        left, right = self._frames(spark)
+        for form in (asof_join_arrow, asof_join_pandas):
+            with _pytest.raises(ValueError, match="tolerance=NaN"):
+                form(
+                    left, right, "k", "lts", "rts", ["v"],
+                    direction="backward", tolerance=float("nan"),
+                )

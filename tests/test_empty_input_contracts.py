@@ -160,3 +160,60 @@ class TestEmptyInputOps:
 
         enable_table_cache(False)
         yield
+
+
+class TestNoOverlapBuildIsLoudPreWrite:
+    """r15, ADVICE: the residual zero-row cause — nonempty corpus AND
+    centers, but the assignment join shares no id with the payload —
+    used to run the destructive overwrite before the post-write
+    read-back ValueError fired, wiping the existing store the error
+    told you to append to. The joined-frame probe must fire with the
+    store untouched."""
+
+    def test_no_overlap_payload_leaves_store_untouched(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from data_engineering_hs_spark.operators.similarity import (
+            _write_cell_store,
+            build_ivf_store,
+        )
+
+        store = str(tmp_path / "ivf")
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], VEC_SCHEMA
+        )
+        build_ivf_store(corpus, _centers(spark), store)
+        before = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(store)
+            for f in fs
+        )
+        assert before, "fixture store is empty"
+        # payload ids disjoint from the corpus ids: the two existing
+        # probes pass (both frames nonempty) but the join is empty
+        disjoint_payload = spark.createDataFrame(
+            [(99, [1.0, 0.0])], VEC_SCHEMA
+        )
+        with pytest.raises(ValueError, match="no id"):
+            _write_cell_store(
+                payload=disjoint_payload,
+                corpus=corpus,
+                centers=_centers(spark),
+                path=store,
+                id_col="vec_id",
+                vec_col="embedding",
+                center_id_col="label",
+                center_vec_col="centroid",
+                files_per_cell=1,
+                meta={},
+            )
+        after = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(store)
+            for f in fs
+        )
+        assert after == before, (
+            "refused no-overlap build modified the existing store"
+        )

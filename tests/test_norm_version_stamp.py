@@ -132,5 +132,97 @@ class TestBucketedTableStamp:
             read_fingerprint_store_table(spark, t)
         with pytest.raises(RuntimeError, match="normalization_version"):
             commit_fingerprints_bucketed(_survivors(spark, 3), t)
+        # abort-before-mixing (r15, ADVICE): the refused commit must
+        # check BEFORE the append — the incomparable fingerprints must
+        # not have landed in the table before the raise
+        assert (
+            spark.table(t).count() == 2
+        ), "refused bucketed commit leaked rows into the stamped table"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    def test_lsh_commit_checks_before_append(self, spark):
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import (
+            commit_lsh_bands_bucketed,
+        )
+
+        t = "norm_stamp_bands"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        bands = spark.createDataFrame(
+            [(1, 0, 123)], "id long, band int, bucket long"
+        )
+        commit_lsh_bands_bucketed(bands, t)
+        spark.sql(
+            f"ALTER TABLE {t} SET TBLPROPERTIES('normalization_version'='1')"
+        )
+        more = spark.createDataFrame(
+            [(2, 1, 456)], "id long, band int, bucket long"
+        )
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            commit_lsh_bands_bucketed(more, t)
+        assert (
+            spark.table(t).count() == 1
+        ), "refused bucketed band commit leaked rows into the stamped table"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    def test_stamp_survives_band_store_compaction(self, spark):
+        import shutil
+
+        from data_engineering_hs_spark.operators.dedup import (
+            _table_norm_version,
+            commit_lsh_bands_bucketed,
+            compact_band_store,
+            read_lsh_store_table,
+        )
+
+        t = "norm_stamp_bands_compact"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        bands = spark.createDataFrame(
+            [(1, 0, 123), (2, 1, 456)], "id long, band int, bucket long"
+        )
+        commit_lsh_bands_bucketed(bands, t)
+        assert _table_norm_version(spark, t) == NORMALIZATION_VERSION
+        # saveAsTable(overwrite) drops+recreates the table, losing
+        # TBLPROPERTIES — compaction must re-stamp (r15, ADVICE)
+        compact_band_store(spark, t)
+        assert _table_norm_version(spark, t) == NORMALIZATION_VERSION, (
+            "compaction dropped the normalization stamp — the store "
+            "degraded to the unstamped-legacy contract"
+        )
+        assert read_lsh_store_table(spark, t).count() == 2
+        # compacting a MISMATCHED store aborts loud, rows untouched
+        spark.sql(
+            f"ALTER TABLE {t} SET TBLPROPERTIES('normalization_version'='1')"
+        )
+        with pytest.raises(RuntimeError, match="normalization_version"):
+            compact_band_store(spark, t)
+        assert spark.table(t).count() == 2
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
+class TestCompactParquetSidecarCarry:
+    def test_compact_parquet_carries_norm_stamp(self, spark, tmp_path):
+        """compact_parquet's rename-aside swap must carry _*.json
+        sidecars (r15, ADVICE): before the fix one compaction silently
+        dropped _norm_meta.json and the mismatch protection vanished."""
+        from data_engineering_hs_spark.sources.parquet import (
+            compact_parquet,
+        )
+
+        store = str(tmp_path / "fp")
+        append_fingerprints(_survivors(spark, 1, 2), store)
+        append_fingerprints(_survivors(spark, 3), store)
+        meta_path = os.path.join(store, "_norm_meta.json")
+        assert os.path.exists(meta_path)
+        stats = compact_parquet(spark, store)
+        assert stats["files_before"] >= 2
+        assert json.load(open(meta_path)) == {
+            "normalization_version": NORMALIZATION_VERSION
+        }, "compact_parquet dropped the normalization sidecar"
+        assert read_fingerprint_store(spark, store).count() == 3
