@@ -136,6 +136,33 @@ def cents_to_amount(c: ColumnOrName) -> Column:
     return _col(c).cast("double") / F.lit(100.0)
 
 
+def stable_round(c: ColumnOrName, n: int) -> Column:
+    """Engine-stable round of a computed double ratio/score, DOUBLE out.
+
+    round(DOUBLE, n) tie semantics differ per engine (r14 decimal
+    lens, tests/test_fuzz_decimal.py): Spark rounds the SHORTEST-REPR
+    decimal half-up (1.005 → 1.01), DuckDB value-dependently
+    (1.005 → 1.00 but 2.675 → 2.68) — any computed ratio whose
+    nearest double prints as an (n+1)-digit tie is a latent
+    cross-engine divergence, and the reachable population grows with
+    corpus size. The stable route: STRING-cast (both engines print
+    the shortest round-trip repr and parse it EXACTLY into decimal),
+    round in decimal (HALF_UP in both), then back through STRING to
+    DOUBLE (a direct decimal→double conversion is correctly-rounded in
+    Spark but float-math scale-dependent in DuckDB — the string hop
+    removes that asymmetry; string→double parse is correctly rounded
+    in both). Also normalizes signed zero (decimals have none), so
+    the -0.0 repr divergence the r14 oracles patched with `+ 0.0`
+    cannot arise. NULL-safe. Caveat: |x| must fit 20 integer digits
+    under ANSI (DECIMAL(38,18)) — fine for every ratio/score site.
+    Oracle twin: queries.registry.stable_round_sql."""
+    return (
+        F.round(_col(c).cast("string").cast("decimal(38,18)"), n)
+        .cast("string")
+        .cast("double")
+    )
+
+
 def to_money(c: ColumnOrName, precision: int = 12, scale: int = 2) -> Column:
     """toDecimal64(x, 2) equivalent (stg_orders.sql:9)."""
     return _col(c).cast(f"decimal({precision},{scale})")

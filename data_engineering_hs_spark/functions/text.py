@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from data_engineering_hs_spark.functions.scalar import ColumnOrName, _col
+from data_engineering_hs_spark.functions.scalar import (
+    ColumnOrName,
+    _col,
+    stable_round,
+)
 
 # A small English stopword list for quality scoring (public, standard).
 STOPWORDS = (
@@ -98,7 +102,11 @@ def quality_score(c: ColumnOrName) -> Column:
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
     sw = stopword_ratio(c)
     sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25)) * 2.0
-    return F.round((len_score + punct_score + F.greatest(sw_score, F.lit(0.0))) / 3.0, 6)
+    # string-route round (r15 sanctioned): the composite is a computed
+    # ratio — tie-stable cross-engine (see scalar.stable_round)
+    return stable_round(
+        (len_score + punct_score + F.greatest(sw_score, F.lit(0.0))) / 3.0, 6
+    )
 
 
 def word_shingle_seq(c: ColumnOrName, k: int = 3) -> Column:

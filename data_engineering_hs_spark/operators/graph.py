@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_engineering_hs_spark.functions.scalar import stable_round
+
 
 def pagerank(
     edges: DataFrame,
@@ -87,7 +89,10 @@ def pagerank(
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node",
-        F.round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"),
+        # string-route round (r15 sanctioned): rank is a computed
+        # ratio re-rounded every iteration — tie-stable cross-engine
+        # (see functions.scalar.stable_round)
+        stable_round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"),
     )
     for _ in range(iterations):
         term = (
@@ -111,7 +116,7 @@ def pagerank(
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
-                F.round(
+                stable_round(
                     base / F.col("n")
                     + damping
                     * (

@@ -757,8 +757,11 @@ def mmr_select(
     )
     out = embeddings.sparkSession.createDataFrame(picks, schema=out_schema)
     # final rounding engine-side: Spark round is HALF_UP, Python's is
-    # banker's — the oracle expects the engine's
-    return out.select("pick", "vec_id", F.round("rel", 6).alias("rel"))
+    # banker's — the oracle expects the engine's. String-route form
+    # (r15 sanctioned): tie-stable cross-engine, no -0.0.
+    from data_engineering_hs_spark.functions.scalar import stable_round
+
+    return out.select("pick", "vec_id", stable_round("rel", 6).alias("rel"))
 
 
 # ---------------------------------------------------------------------------

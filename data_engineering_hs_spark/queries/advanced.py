@@ -10,7 +10,7 @@ from data_engineering_hs_spark.catalog import load_table
 from data_engineering_hs_spark.functions import text as TX
 from data_engineering_hs_spark.operators.asof import asof_join
 from data_engineering_hs_spark.operators.dedup import dup_groups
-from data_engineering_hs_spark.queries.registry import register
+from data_engineering_hs_spark.queries.registry import register, stable_round_sql
 
 
 @register(
@@ -406,9 +406,10 @@ def _pagerank_oracle() -> str:
     for i in range(1, _PR_ITERS + 1):
         its.append(f"""r{i} AS (
   SELECT n.node,
-         round({1.0 - _PR_DAMPING!r} / (SELECT n FROM nn)
-               + {_PR_DAMPING!r} * (CAST(coalesce(s.ci, 0) AS DOUBLE)
-                                    / 1000000000000.0), {_PR_DEC}) AS rank
+         {stable_round_sql(
+             f"{1.0 - _PR_DAMPING!r} / (SELECT n FROM nn)"
+             f" + {_PR_DAMPING!r} * (CAST(coalesce(s.ci, 0) AS DOUBLE)"
+             " / 1000000000000.0)", _PR_DEC)} AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node,
            CAST(SUM(CAST(round(r.rank * CAST(e.wi AS DOUBLE)
@@ -440,7 +441,9 @@ WITH edges AS (
 ), nn AS (SELECT COUNT(*) AS n FROM nodes),
 out_w AS (SELECT src, CAST(SUM(wi) AS BIGINT) AS out_wi FROM edges GROUP BY src),
 r0 AS (
-  SELECT node, round(1.0 / (SELECT n FROM nn), {_PR_DEC}) AS rank FROM nodes
+  SELECT node,
+         {stable_round_sql("1.0 / (SELECT n FROM nn)", _PR_DEC)} AS rank
+  FROM nodes
 ),
 {unrolled}
 SELECT node AS nation, rank

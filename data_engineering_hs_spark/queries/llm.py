@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
 from data_engineering_hs_spark.functions import text as TX
+from data_engineering_hs_spark.functions.scalar import stable_round
 from data_engineering_hs_spark.operators import dedup as D
 from data_engineering_hs_spark.operators import similarity as S
-from data_engineering_hs_spark.queries.registry import register
+from data_engineering_hs_spark.queries.registry import register, stable_round_sql
 
 EMBED_DIM = 64
 
@@ -165,8 +166,10 @@ WITH c AS (
   FROM c
 )
 SELECT doc_id,
-       round((len_score + punct_score
-              + greatest(1.0 - abs(sw - 0.25) * 2.0, 0.0)) / 3.0, 6) AS quality
+       {stable_round_sql(
+           "(len_score + punct_score"
+           " + greatest(1.0 - abs(sw - 0.25) * 2.0, 0.0)) / 3.0", 6)}
+         AS quality
 FROM s
 """,
     doc="composite document quality score (length/punct/stopword mix)",
@@ -1657,13 +1660,14 @@ qc0 AS (
 ),
 qc AS (
   SELECT doc_id,
-         round((least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
-                + (1.0 - least(pr * 5.0, 1.0))
-                + greatest(1.0 - abs(
-                    CAST(len(list_filter(toks,
-                        t -> list_contains({_STOPWORD_SQL_LIST}, lower(t))))
-                      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
-                    - 0.25) * 2.0, 0.0)) / 3.0, 6) AS quality
+         {stable_round_sql(
+             "(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)"
+             " + (1.0 - least(pr * 5.0, 1.0))"
+             " + greatest(1.0 - abs("
+             "     CAST(len(list_filter(toks,"
+             f"         t -> list_contains({_STOPWORD_SQL_LIST}, lower(t))))"
+             "       AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+             "     - 0.25) * 2.0, 0.0)) / 3.0", 6)} AS quality
   FROM qc0
 ),
 lt AS (
@@ -1774,7 +1778,10 @@ def t_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hash_split(kept, "doc_id")
-        .select("doc_id", "lang", F.round("quality", 6).alias("quality"), "split")
+        .select(
+            "doc_id", "lang", stable_round("quality", 6).alias("quality"),
+            "split",
+        )
         .orderBy("doc_id")
     )
 
@@ -1838,7 +1845,7 @@ sims AS MATERIALIZED (
 ),
 sel1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS pick FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
 {', '.join(stages)}
-SELECT pick, vec_id, round(rel, 6) + 0.0 AS rel FROM {prev}
+SELECT pick, vec_id, {stable_round_sql("rel", 6)} AS rel FROM {prev}
 ORDER BY pick
 """
 

@@ -12,8 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
+from data_engineering_hs_spark.functions.scalar import stable_round
 from data_engineering_hs_spark.operators import corpus
-from data_engineering_hs_spark.queries.registry import register
+from data_engineering_hs_spark.queries.registry import register, stable_round_sql
 
 
 @register(
@@ -118,9 +119,9 @@ WITH toks AS (
   CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS bm25
+SELECT doc_id, {stable_round_sql("score", 4)} AS bm25
 FROM scored
-ORDER BY round(score, 4) DESC, doc_id
+ORDER BY {stable_round_sql("score", 4)} DESC, doc_id
 LIMIT {_BM25_TOPK}
 """,
     doc="BM25 keyword top-k over documents (inverted-postings shape)",
@@ -191,7 +192,8 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
         c = F.col(f"__s{i}")
         total = c if total is None else total + c
     scored = scored.select("doc_id", total.alias("score"))
-    return scored.select("doc_id", F.round("score", 4).alias("bm25"))
+    # string-route round (r15 sanctioned, tie-stable cross-engine)
+    return scored.select("doc_id", stable_round("score", 4).alias("bm25"))
 
 
 # ---------------------------------------------------------------------------
@@ -229,8 +231,10 @@ c AS (
   FROM c
 ), q AS (
   SELECT doc_id, lang,
-         round((len_score + punct_score
-                + greatest(1.0 - abs(sw - 0.25) * 2.0, 0.0)) / 3.0, 6) AS quality
+         {stable_round_sql(
+             "(len_score + punct_score"
+             " + greatest(1.0 - abs(sw - 0.25) * 2.0, 0.0)) / 3.0", 6)}
+           AS quality
   FROM s
 )"""
 
@@ -281,10 +285,14 @@ WITH n AS (
 SELECT bucket,
        CAST(bucket * 20 AS BIGINT) AS tokens_lo,
        COUNT(*) AS n_docs,
-       round(CAST(COUNT(*) AS DOUBLE)
-             / (SELECT COUNT(*) FROM documents), 6) AS share
+       {share} AS share
 FROM b GROUP BY bucket ORDER BY bucket
-""",
+""".format(
+        # string-route round (r15 sanctioned, tie-stable cross-engine)
+        share=stable_round_sql(
+            "CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents)", 6
+        ),
+    ),
     doc="token-count histogram (20-token buckets, top-coded at 180+)",
 )
 def t_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +312,7 @@ def t_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             (F.col("bucket") * 20).cast("bigint").alias("tokens_lo"),
             "n_docs",
-            F.round(
+            stable_round(
                 F.col("n_docs").cast("double") / F.col("__total"), 6
             ).alias("share"),
         )
@@ -325,7 +333,7 @@ WITH med AS (
   -- dq_key_skew lesson), and a raw med would leak those ulps into
   -- every deviation and potentially flip a threshold count.
   SELECT event_type,
-         round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS med
+         {med} AS med
   FROM events GROUP BY event_type
 ), dev AS (
   SELECT e.event_type, e.value, m.med,
@@ -333,7 +341,7 @@ WITH med AS (
   FROM events e JOIN med m USING (event_type)
 ), mad AS (
   SELECT event_type,
-         round(CAST(quantile_cont(absdev, 0.5) AS DOUBLE), 4) AS mad
+         {mad} AS mad
   FROM dev GROUP BY event_type
 )
 SELECT d.event_type,
@@ -345,19 +353,25 @@ SELECT d.event_type,
        COUNT(*) AS n_rows
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type
-""",
+""".format(
+        # string-route round (r15 sanctioned): med/mad feed the
+        # downstream z-score, so a tie divergence here would flip
+        # threshold COUNTS, not just a printed digit
+        med=stable_round_sql("CAST(quantile_cont(value, 0.5) AS DOUBLE)", 4),
+        mad=stable_round_sql("CAST(quantile_cont(absdev, 0.5) AS DOUBLE)", 4),
+    ),
     doc="robust MAD z-score outlier counts per event_type (Q-family DQ)",
 )
 def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+        stable_round(F.expr("percentile(value, 0.5)"), 4).alias("med")
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(absdev, 0.5)"), 4).alias("mad")
+        stable_round(F.expr("percentile(absdev, 0.5)"), 4).alias("mad")
     )
     z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
     return (
@@ -468,10 +482,15 @@ SELECT COUNT(*) AS n_vecs,
        COUNT(DISTINCT dim) AS n_dims,
        MIN(dim) AS min_dim, MAX(dim) AS max_dim,
        COUNT(DISTINCT label) AS n_labels,
-       round(CAST(SUM(CAST(round(nrm * 1099511627776) AS BIGINT)) AS DOUBLE)
-             / COUNT(*) / 1099511627776, 6) AS avg_norm
+       {avg_norm} AS avg_norm
 FROM per
-""",
+""".format(
+        # string-route round (r15 sanctioned, tie-stable cross-engine)
+        avg_norm=stable_round_sql(
+            "CAST(SUM(CAST(round(nrm * 1099511627776) AS BIGINT)) AS DOUBLE)"
+            " / COUNT(*) / 1099511627776", 6
+        ),
+    ),
     doc="embedding-table profile: dims, labels, exact-sum mean L2 norm",
 )
 def dq_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,7 +512,7 @@ def dq_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dim").alias("min_dim"),
         F.max("dim").alias("max_dim"),
         F.countDistinct("label").alias("n_labels"),
-        F.round(
+        stable_round(
             F.sum(F.round(F.col("nrm") * scale).cast("bigint")).cast("double")
             / F.count("*")
             / scale,
@@ -597,7 +616,7 @@ WITH w AS (
          )} AS ewma
   FROM events
 )
-SELECT user_id, event_id, round(ewma, 6) AS ewma
+SELECT user_id, event_id, {stable_round_sql("ewma", 6)} AS ewma
 FROM w
 """,
     doc="per-user EWMA of event values (bounded lag-expansion form)",
@@ -617,7 +636,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("value", i).over(w), F.lit(0.0)
         )
         terms = t if terms is None else terms + t
-    return e.select("user_id", "event_id", F.round(terms, 6).alias("ewma"))
+    # string-route round (r15 sanctioned, tie-stable cross-engine)
+    return e.select(
+        "user_id", "event_id", stable_round(terms, 6).alias("ewma")
+    )
 
 
 @register(
@@ -677,18 +699,22 @@ WITH pts AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,
-       -- + 0.0 normalizes DuckDB's signed zero: its round() keeps
-       -- -0.0 for a tiny-negative operand where Spark's BigDecimal
-       -- round returns +0.0, and the harness repr() distinguishes
-       -- them (r14 -0.0 lens; identity for every other value)
-       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 8) + 0.0
-         AS slope_cents_per_sec,
-       round((n * sxy - sx * sy)
-             / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 8) + 0.0
-         AS corr_xy
+       {slope} AS slope_cents_per_sec,
+       {corr} AS corr_xy
 FROM sums
 ORDER BY event_type
-""",
+""".format(
+        # string-route round (r15 sanctioned): tie-stable cross-engine
+        # and no -0.0 (subsumes the r14 `+ 0.0` normalization)
+        slope=stable_round_sql(
+            "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)", 8
+        ),
+        corr=stable_round_sql(
+            "(n * sxy - sx * sy)"
+            " / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)",
+            8,
+        ),
+    ),
     doc="per-group OLS slope + correlation from exact integer sufficient stats",
 )
 def a_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,10 +745,12 @@ def a_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type",
         "n",
-        F.round(num / F.when(den_x != 0, den_x), 8).alias(
+        stable_round(num / F.when(den_x != 0, den_x), 8).alias(
             "slope_cents_per_sec"
         ),
-        F.round(num / F.when(corr_den != 0, corr_den), 8).alias("corr_xy"),
+        stable_round(num / F.when(corr_den != 0, corr_den), 8).alias(
+            "corr_xy"
+        ),
     ).orderBy("event_type")
 
 
@@ -748,9 +776,9 @@ WITH items AS (
   GROUP BY a.l_partkey, b.l_partkey
 )
 SELECT p.part_a, p.part_b, p.together,
-       round(CAST(p.together AS DOUBLE) / n_orders.n, 6) AS support,
-       round(CAST(p.together AS DOUBLE) / pa.cnt, 6) AS confidence,
-       round(CAST(p.together AS DOUBLE) * n_orders.n / pa.cnt / pb.cnt, 6) AS lift
+       {sup} AS support,
+       {conf} AS confidence,
+       {lift} AS lift
 FROM pairs p
 JOIN part_n pa ON p.part_a = pa.l_partkey
 JOIN part_n pb ON p.part_b = pb.l_partkey
@@ -758,7 +786,14 @@ CROSS JOIN n_orders
 WHERE p.together >= 3
 ORDER BY lift DESC, part_a, part_b
 LIMIT 50
-""",
+""".format(
+        # string-route round (r15 sanctioned, tie-stable cross-engine)
+        sup=stable_round_sql("CAST(p.together AS DOUBLE) / n_orders.n", 6),
+        conf=stable_round_sql("CAST(p.together AS DOUBLE) / pa.cnt", 6),
+        lift=stable_round_sql(
+            "CAST(p.together AS DOUBLE) * n_orders.n / pa.cnt / pb.cnt", 6
+        ),
+    ),
     doc="market-basket part-pair association rules (support/confidence/lift)",
 )
 def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,11 +831,11 @@ def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "together",
-            F.round(t / F.col("n"), 6).alias("support"),
-            F.round(t / F.col("cnt_a"), 6).alias("confidence"),
-            F.round(t * F.col("n") / F.col("cnt_a") / F.col("cnt_b"), 6).alias(
-                "lift"
-            ),
+            stable_round(t / F.col("n"), 6).alias("support"),
+            stable_round(t / F.col("cnt_a"), 6).alias("confidence"),
+            stable_round(
+                t * F.col("n") / F.col("cnt_a") / F.col("cnt_b"), 6
+            ).alias("lift"),
         )
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
@@ -824,11 +859,16 @@ WITH seq AS (
   GROUP BY event_type, next_type
 )
 SELECT src, dst, n,
-       round(CAST(n AS DOUBLE)
-             / CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT), 6) AS prob
+       {prob} AS prob
 FROM pairs
 ORDER BY src, dst
-""",
+""".format(
+        # string-route round (r15 sanctioned, tie-stable cross-engine)
+        prob=stable_round_sql(
+            "CAST(n AS DOUBLE)"
+            " / CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)", 6
+        ),
+    ),
     doc="first-order event-type transition matrix per user stream",
 )
 def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,7 +888,7 @@ def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_n = F.sum("n").over(Window.partitionBy("src"))
     return pairs.select(
         "src", "dst", "n",
-        F.round(F.col("n").cast("double") / out_n, 6).alias("prob"),
+        stable_round(F.col("n").cast("double") / out_n, 6).alias("prob"),
     ).orderBy("src", "dst")
 
 
@@ -952,7 +992,10 @@ def dq_rowcounts_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no cross-engine check can catch because both sides would share
     # the bug. Revenue is exact cents; ratios are single divisions
     # rounded to 6, NULL when the comparison month is absent.
-    oracle="""
+    # growth ratios through the string-route round (r15 sanctioned
+    # conversion): tie-stable cross-engine AND no -0.0 (subsumes the
+    # r14 `+ 0.0` signed-zero normalization)
+    oracle=f"""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_d,
          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -960,12 +1003,12 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT strftime(m.month_d, '%Y-%m-%d') AS month, m.revenue_cents,
-       -- + 0.0: normalize DuckDB's signed zero on a rounded-to-zero
-       -- negative growth (Spark's round never emits -0.0; r14 lens)
-       round(CAST(m.revenue_cents AS DOUBLE)
-             / NULLIF(pm.revenue_cents, 0) - 1.0, 6) + 0.0 AS mom,
-       round(CAST(m.revenue_cents AS DOUBLE)
-             / NULLIF(py.revenue_cents, 0) - 1.0, 6) + 0.0 AS yoy
+       {stable_round_sql(
+           "CAST(m.revenue_cents AS DOUBLE)"
+           " / NULLIF(pm.revenue_cents, 0) - 1.0", 6)} AS mom,
+       {stable_round_sql(
+           "CAST(m.revenue_cents AS DOUBLE)"
+           " / NULLIF(py.revenue_cents, 0) - 1.0", 6)} AS yoy
 FROM monthly m
 LEFT JOIN monthly pm ON pm.month_d = m.month_d - INTERVAL 1 MONTH
 LEFT JOIN monthly py ON py.month_d = m.month_d - INTERVAL 12 MONTH
@@ -998,10 +1041,12 @@ def w_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format("month_d", "yyyy-MM-dd").alias("month"),
             "revenue_cents",
-            F.round(rev / F.when(F.col("__pm") != 0, F.col("__pm")) - 1.0, 6)
-            .alias("mom"),
-            F.round(rev / F.when(F.col("__py") != 0, F.col("__py")) - 1.0, 6)
-            .alias("yoy"),
+            stable_round(
+                rev / F.when(F.col("__pm") != 0, F.col("__pm")) - 1.0, 6
+            ).alias("mom"),
+            stable_round(
+                rev / F.when(F.col("__py") != 0, F.col("__py")) - 1.0, 6
+            ).alias("yoy"),
         )
         .orderBy("month")
     )
@@ -1214,7 +1259,8 @@ WITH toks AS (
   GROUP BY tf.doc_id
 ), bmr AS (
   SELECT doc_id,
-         ROW_NUMBER() OVER (ORDER BY round(score, 4) DESC, doc_id) AS ra
+         ROW_NUMBER() OVER (
+           ORDER BY {stable_round_sql("score", 4)} DESC, doc_id) AS ra
   FROM bm
 ), cosr AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS rb
@@ -1232,8 +1278,8 @@ WITH toks AS (
   FULL OUTER JOIN (SELECT * FROM cosr WHERE rb <= {_RRF_DEPTH}) b
     ON a.doc_id = b.doc_id
 )
-SELECT doc_id, round(rrf, 6) AS rrf
-FROM fused ORDER BY round(rrf, 6) DESC, doc_id LIMIT 15
+SELECT doc_id, {stable_round_sql("rrf", 6)} AS rrf
+FROM fused ORDER BY {stable_round_sql("rrf", 6)} DESC, doc_id LIMIT 15
 """
 
 
@@ -1278,7 +1324,8 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return (
-        fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+        # string-route round (r15 sanctioned, tie-stable cross-engine)
+        fused.select("doc_id", stable_round("rrf", 6).alias("rrf"))
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(15)
     )

@@ -34,6 +34,20 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def stable_round_sql(expr: str, n: int) -> str:
+    """DuckDB twin of functions.scalar.stable_round — the
+    engine-stable round of a computed double ratio/score (see that
+    docstring for the full rationale; r14 decimal lens,
+    tests/test_fuzz_decimal.py). Emits the STRING-route form so
+    oracle ROUNDs agree with the engine's on every shortest-repr tie
+    and never produce -0.0."""
+    return (
+        "CAST(CAST(round(CAST(CAST(("
+        + expr
+        + f") AS VARCHAR) AS DECIMAL(38,18)), {n}) AS VARCHAR) AS DOUBLE)"
+    )
+
+
 def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
