@@ -18,6 +18,7 @@ downstream reads stop paying the small-file tax.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -64,6 +65,58 @@ def read_with_header(
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    multi_line: bool = False,
+    tz: str = "UTC",
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-row-safe CSV read → (clean, quarantine) — the CSV
+    twin of read_jsonl(keep_corrupt=True) + split (S5/S22 discipline).
+
+    Spark PERMISSIVE repair semantics (pinned cross-engine in
+    tests/test_csv_malformed_parity.py): short rows are null-PADDED,
+    long rows keep the parsed prefix, a type-failed field nulls ONLY
+    that field, and an unclosed quote consumes to end of line — every
+    such row lands in the corrupt column with its RAW text and is
+    returned in the quarantine frame here, because those repaired
+    shapes are NOT what other engines produce (DuckDB drops or
+    re-parses them differently; see the lens) and letting them into a
+    100-TB pipeline silently ships engine-specific rows. The clean
+    frame is the cross-engine-reproducible subset.
+
+    multi_line: set True when quoted fields may contain newlines —
+    Spark's default line-splitting mode shreds such rows into
+    garbage fragments (both fragments quarantine, but the real row is
+    lost; pinned in the lens). NOTE: multiLine disables per-line
+    input splitting, so each FILE parses on one task — keep files
+    right-sized upstream.
+
+    Do NOT reach for `badRecordsPath`: open-source Spark silently
+    ignores the option (no quarantine dir is ever created — pinned in
+    the lens); this split is the portable form."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("multiLine", multi_line)
+        .option("timeZone", tz)
+        .csv(path)
+    )
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, quarantine
 
 
 def write_csv(
