@@ -153,14 +153,28 @@ def stable_round(c: ColumnOrName, n: int) -> Column:
     removes that asymmetry; string→double parse is correctly rounded
     in both). Also normalizes signed zero (decimals have none), so
     the -0.0 repr divergence the r14 oracles patched with `+ 0.0`
-    cannot arise. NULL-safe. Caveat: |x| must fit 20 integer digits
-    under ANSI (DECIMAL(38,18)) — fine for every ratio/score site.
+    cannot arise. NULL-safe.
+
+    TOTALITY GUARD: the decimal route only admits |x| < 1e18 (a raw
+    cast of NaN/Inf/|x| >= 1e20 throws CAST_INVALID_INPUT in BOTH
+    engines under ANSI). Outside that range the value passes through
+    UNCHANGED, which is exactly plain round's behavior there: every
+    double with |x| >= 2^53 (~9e15) has no fractional digits, so
+    rounding it to n decimals is the identity, and round(NaN/Inf)
+    is NaN/Inf. NULL also passes through (abs(NULL) < 1e18 is NULL →
+    otherwise branch). The branches are lazily evaluated, so the
+    throwing cast is never touched for out-of-range input. Note the
+    input expression is referenced from both branches and the guard —
+    pass a cheap expression (a column or simple arithmetic), not an
+    expensive fold (the cosine-guard CSE lesson, SCALE.md r15).
     Oracle twin: queries.registry.stable_round_sql."""
-    return (
-        F.round(_col(c).cast("string").cast("decimal(38,18)"), n)
+    x = _col(c)
+    routed = (
+        F.round(x.cast("string").cast("decimal(38,18)"), n)
         .cast("string")
         .cast("double")
     )
+    return F.when(F.abs(x) < F.lit(1e18), routed).otherwise(x)
 
 
 def to_money(c: ColumnOrName, precision: int = 12, scale: int = 2) -> Column:

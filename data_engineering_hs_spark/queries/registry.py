@@ -40,11 +40,18 @@ def stable_round_sql(expr: str, n: int) -> str:
     docstring for the full rationale; r14 decimal lens,
     tests/test_fuzz_decimal.py). Emits the STRING-route form so
     oracle ROUNDs agree with the engine's on every shortest-repr tie
-    and never produce -0.0."""
-    return (
+    and never produce -0.0. The CASE guard mirrors the Column twin's
+    totality contract: NaN/Inf/|x| >= 1e18 pass through unchanged
+    (rounding is the identity above 2^53) instead of throwing in the
+    decimal cast; NaN < 1e18 is false in DuckDB, so NaN takes the
+    ELSE branch like Spark's."""
+    route = (
         "CAST(CAST(round(CAST(CAST(("
         + expr
         + f") AS VARCHAR) AS DECIMAL(38,18)), {n}) AS VARCHAR) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN abs(({expr})) < 1e18 THEN {route} ELSE ({expr}) END"
     )
 
 

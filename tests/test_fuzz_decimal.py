@@ -289,3 +289,101 @@ class TestPinnedDivergences:
             "try_sum(CAST(s AS DECIMAL(38,0))) AS t"
         ).collect()[0]
         assert row["t"] is None
+
+
+# ---------------------------------------------------------------------------
+# stable_round / stable_round_sql (r15): the sanctioned string-route
+# helpers converted ~21 ratio-round sites. Three-way fuzz (Spark
+# Column form vs DuckDB SQL twin vs Python Decimal HALF_UP on the
+# shortest repr) + totality pins for the inputs a raw decimal cast
+# would throw on (NaN/Inf/|x| >= 1e18).
+# ---------------------------------------------------------------------------
+
+tie_doubles = st.one_of(
+    # shortest-repr tie class (d+1 fractional digits ending in 5)
+    st.builds(
+        lambda i, n: f"{i / 10**n:.{n}f}5",
+        st.integers(min_value=-10**6, max_value=10**6),
+        st.integers(min_value=0, max_value=5),
+    ),
+    # arbitrary finite doubles in ratio range
+    st.floats(
+        min_value=-1e15, max_value=1e15,
+        allow_nan=False, allow_infinity=False,
+    ).map(repr),
+)
+
+
+class TestStableRoundParity:
+    @given(vals=st.lists(tie_doubles, min_size=1, max_size=6),
+           n=st.sampled_from([0, 2, 4, 6, 8]))
+    @FUZZ
+    def test_three_way_parity(self, spark, vals, n):
+        from data_engineering_hs_spark.functions.scalar import stable_round
+        from data_engineering_hs_spark.queries.registry import (
+            stable_round_sql,
+        )
+
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            r["s"]: r["r"]
+            for r in df.select(
+                "s", stable_round(F.col("s").cast("double"), n).alias("r")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for v in vals:
+            du = con.execute(
+                f"SELECT {stable_round_sql(f'CAST($v AS DOUBLE)', n)}",
+                {"v": v},
+            ).fetchone()[0]
+            # Python third opinion: HALF_UP on the shortest repr of
+            # the parsed double — the contract both engines implement.
+            # + 0.0: decimals carry no signed zero through the route,
+            # so -0.0 inputs emerge as +0.0 (the helper's documented
+            # normalization); Python Decimal keeps the sign.
+            py = (
+                float(
+                    Decimal(repr(float(v))).quantize(
+                        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+                    )
+                )
+                + 0.0
+            )
+            assert repr(got[v]) == repr(du) == repr(py), (v, n, got[v], du, py)
+
+    def test_totality_nan_inf_huge_pass_through(self, spark):
+        from data_engineering_hs_spark.functions.scalar import stable_round
+        from data_engineering_hs_spark.queries.registry import (
+            stable_round_sql,
+        )
+
+        df = spark.createDataFrame(
+            [("nan",), ("inf",), ("-inf",), ("1e25",), ("-1e25",), (None,)],
+            "s string",
+        )
+        rows = {
+            r["s"]: r["r"]
+            for r in df.select(
+                "s", stable_round(F.col("s").cast("double"), 4).alias("r")
+            ).collect()
+        }
+        import math
+
+        assert math.isnan(rows["nan"])
+        assert rows["inf"] == float("inf")
+        assert rows["-inf"] == float("-inf")
+        assert rows["1e25"] == 1e25 and rows["-1e25"] == -1e25
+        assert rows[None] is None
+        con = duckdb.connect()
+        for v, want in [
+            ("'NaN'", "nan"), ("'Infinity'", "inf"), ("1e25", "1e+25"),
+        ]:
+            du = con.execute(
+                f"SELECT {stable_round_sql(f'CAST({v} AS DOUBLE)', 4)}"
+            ).fetchone()[0]
+            assert repr(du) == repr(float(want.strip("'"))) or str(du) == want
+        du_null = con.execute(
+            f"SELECT {stable_round_sql('CAST(NULL AS DOUBLE)', 4)}"
+        ).fetchone()[0]
+        assert du_null is None
