@@ -163,18 +163,26 @@ def stable_round(c: ColumnOrName, n: int) -> Column:
     rounding it to n decimals is the identity, and round(NaN/Inf)
     is NaN/Inf. NULL also passes through (abs(NULL) < 1e18 is NULL →
     otherwise branch). The branches are lazily evaluated, so the
-    throwing cast is never touched for out-of-range input. Note the
-    input expression is referenced from both branches and the guard —
-    pass a cheap expression (a column or simple arithmetic), not an
-    expensive fold (the cosine-guard CSE lesson, SCALE.md r15).
+    throwing cast is never touched for out-of-range input.
+
+    SINGLE-EVALUATION SHAPE: the input is bound ONCE as a 1-element
+    `aggregate` lambda variable before the guard/route reference it
+    three times — Spark does not CSE branch-local subtrees, so the
+    naive when/otherwise form re-evaluates the input per reference
+    (the cosine-guard lesson, SCALE.md r15: +41 % on a fold input;
+    quality_score's composite — regex splits + array filters — would
+    pay the same doubling per document).
     Oracle twin: queries.registry.stable_round_sql."""
-    x = _col(c)
-    routed = (
-        F.round(x.cast("string").cast("decimal(38,18)"), n)
-        .cast("string")
-        .cast("double")
+    return F.aggregate(
+        F.array(_col(c)),
+        F.lit(0.0),
+        lambda _, v: F.when(
+            F.abs(v) < F.lit(1e18),
+            F.round(v.cast("string").cast("decimal(38,18)"), n)
+            .cast("string")
+            .cast("double"),
+        ).otherwise(v),
     )
-    return F.when(F.abs(x) < F.lit(1e18), routed).otherwise(x)
 
 
 def to_money(c: ColumnOrName, precision: int = 12, scale: int = 2) -> Column:
