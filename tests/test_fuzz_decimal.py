@@ -387,3 +387,20 @@ class TestStableRoundParity:
             f"SELECT {stable_round_sql('CAST(NULL AS DOUBLE)', 4)}"
         ).fetchone()[0]
         assert du_null is None
+
+    @given(vals=st.lists(tie_doubles, min_size=1, max_size=5),
+           n=st.sampled_from([2, 4, 6]))
+    @FUZZ
+    def test_idempotent(self, spark, vals, n):
+        # t_curate_training_set stable-rounds an already-stable-
+        # rounded quality — the second application must be identity
+        from data_engineering_hs_spark.functions.scalar import stable_round
+
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        x = F.col("s").cast("double")
+        rows = df.select(
+            stable_round(x, n).alias("once"),
+            stable_round(stable_round(x, n), n).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert repr(r["once"]) == repr(r["twice"])
