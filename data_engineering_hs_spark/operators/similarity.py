@@ -1467,12 +1467,17 @@ def _write_cell_store(
     # wiped it — and the error's own advice (append to the existing
     # store) would be unfollowable. Three limit-1 probes cover all
     # causes: empty/all-excluded payload (e.g. a PQ corpus whose
-    # vectors are all non-finite encodes to nothing) and empty
-    # centers (assignment join matches nothing); a third probe on the
-    # JOINED frame below closes the residual window — nonempty corpus
-    # and centers whose assignment join shares no id with the payload
-    # (r15, ADVICE). Cost: three short-circuiting jobs, negligible
-    # against the build.
+    # vectors are all non-finite encodes to nothing), empty centers
+    # (assignment join matches nothing), and disjoint payload/corpus
+    # id sets (r15, ADVICE). The third probe is ID-ONLY by design:
+    # with nonempty centers every corpus row gets exactly one cell
+    # (_nearest_topn ranks k>=1 candidates per row, non-finite sims
+    # included at 0.0), so "payload ⋈ cells empty" reduces to
+    # "payload and corpus id sets disjoint" — probing the real join
+    # would run the n×k assignment map stage through its window
+    # Exchange just to fetch one row, roughly doubling the build's
+    # dominant stage. Cost: three short-circuiting jobs over narrow
+    # columns, negligible against the build.
     if payload.limit(1).isEmpty():
         raise ValueError(
             f"cell store build at {path!r} would write zero rows: the "
@@ -1487,20 +1492,24 @@ def _write_cell_store(
             "centers frame is empty, so no corpus row can be assigned "
             "a cell. The existing store, if any, was left untouched."
         )
-    cells = _assign_cells(
-        corpus, centers, id_col, vec_col, center_id_col, center_vec_col,
-        super_k, probe_supers,
-    )
-    joined = payload.join(cells, id_col)
-    if joined.limit(1).isEmpty():
+    if (
+        payload.select(id_col)
+        .join(corpus.select(id_col), id_col, "semi")
+        .limit(1)
+        .isEmpty()
+    ):
         raise ValueError(
             f"cell store build at {path!r} would write zero rows: the "
             "cell assignment shares no id with the payload (corpus "
             f"and payload {id_col!r} sets do not overlap). The "
             "existing store, if any, was left untouched."
         )
+    cells = _assign_cells(
+        corpus, centers, id_col, vec_col, center_id_col, center_vec_col,
+        super_k, probe_supers,
+    )
     _salted_cell_write(
-        joined, path, id_col, files_per_cell,
+        payload.join(cells, id_col), path, id_col, files_per_cell,
         mode="overwrite",
     )
     # corpus-identity stamp: read back what was WRITTEN (no TOCTOU
