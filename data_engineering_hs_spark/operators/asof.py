@@ -53,21 +53,38 @@ def _check_asof_output_names(
         )
 
 
-def _check_asof_tolerance(tolerance) -> None:
-    """A NaN tolerance makes every |diff| <= tol comparison False —
-    the join silently returns ALL-NULL asof columns, which at corpus
-    scale reads as 'no right rows matched' rather than 'the caller
-    passed garbage'. Reject it at the API boundary (r15, ADVICE; the
-    int64 fast path's floor() would otherwise raise ValueError deep
-    inside an executor task). ±inf is meaningful (no bound / match
-    nothing) and passes through."""
+def _check_asof_tolerance(tolerance):
+    """Normalize/validate tolerance at the API boundary (r15,
+    ADVICE): non-finite values either misfire deep inside an executor
+    task (the int64 fast path's floor(inf) → OverflowError; pandas'
+    merge_asof validation → MergeError) or silently match nothing.
+    Uniform contract across BOTH tolerance-taking forms:
+
+    - NaN → ValueError (every |diff| <= NaN is False: the join would
+      return ALL-NULL asof columns, reading as 'no right rows
+      matched' rather than 'the caller passed garbage');
+    - -inf → ValueError (matches nothing, same silent-garbage shape);
+    - +inf → None (unbounded — exactly what omitting tolerance
+      means, and the one form every backend supports);
+    - anything else passes through unchanged.
+
+    Returns the normalized tolerance."""
     import math
 
-    if isinstance(tolerance, float) and math.isnan(tolerance):
-        raise ValueError(
-            "tolerance=NaN matches nothing (every |diff| <= NaN is "
-            "False); pass None for unbounded or a finite tolerance"
-        )
+    if isinstance(tolerance, float) and not math.isfinite(tolerance):
+        if math.isnan(tolerance):
+            raise ValueError(
+                "tolerance=NaN matches nothing (every |diff| <= NaN "
+                "is False); pass None for unbounded or a finite "
+                "tolerance"
+            )
+        if tolerance < 0:
+            raise ValueError(
+                "tolerance=-inf matches nothing; pass None for "
+                "unbounded or a finite tolerance"
+            )
+        return None  # +inf == unbounded
+    return tolerance
 
 
 def asof_join(
@@ -167,7 +184,7 @@ def asof_join_pandas(
     (TestAsofJoinArrow.test_null_bearing_longs_above_2_53_exact).
     asof_join_arrow has identical semantics with exact dtypes."""
     _check_asof_output_names(left.columns, value_cols)
-    _check_asof_tolerance(tolerance)
+    tolerance = _check_asof_tolerance(tolerance)
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -289,7 +306,7 @@ def asof_join_arrow(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     _check_asof_output_names(left.columns, value_cols)
-    _check_asof_tolerance(tolerance)
+    tolerance = _check_asof_tolerance(tolerance)
 
     import math
 
@@ -333,8 +350,11 @@ def asof_join_arrow(
                 # non-finite tol: floor() raises (OverflowError on
                 # inf) deep in an executor task, while the object-
                 # space fallback compares gracefully — map +inf to
-                # everything-passes and -inf to nothing-passes here
-                # (NaN is rejected at the API boundary)
+                # everything-passes and -inf to nothing-passes here.
+                # The API boundary already normalizes +inf→None and
+                # rejects NaN/-inf (_check_asof_tolerance); this
+                # branch stays as defense-in-depth for internal
+                # callers.
                 if isinstance(tol, float) and math.isinf(tol):
                     tol_i = _I64_MAX if tol > 0 else -1
                 else:

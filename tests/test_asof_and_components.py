@@ -496,9 +496,10 @@ class TestRangeJoinNullColumns:
 class TestAsofNonFiniteTolerance:
     """r15, ADVICE: tolerance=inf with integer timestamps hit
     math.floor(inf) → OverflowError deep inside an executor task on
-    the r14 int64 fast path (the object-space comparison it replaced
-    handled |diff| <= inf gracefully). +inf now means unbounded,
-    -inf matches nothing, NaN is rejected at the API boundary."""
+    the r14 int64 fast path, and pandas' merge_asof raises MergeError
+    executor-deep for inf on int64 keys. Uniform boundary contract on
+    both tolerance-taking forms: +inf normalizes to None (unbounded),
+    NaN and -inf are rejected with a clear ValueError."""
 
     def _frames(self, spark):
         left = spark.createDataFrame(
@@ -509,34 +510,25 @@ class TestAsofNonFiniteTolerance:
         )
         return left, right
 
-    def test_pos_inf_tolerance_is_unbounded(self, spark):
-        from data_engineering_hs_spark.operators.asof import asof_join_arrow
+    def test_pos_inf_tolerance_is_unbounded_both_forms(self, spark):
+        from data_engineering_hs_spark.operators.asof import (
+            asof_join_arrow,
+            asof_join_pandas,
+        )
 
         left, right = self._frames(spark)
-        got = sorted(
-            (r.lts, r.asof_v)
-            for r in asof_join_arrow(
-                left, right, "k", "lts", "rts", ["v"],
-                direction="nearest", tolerance=float("inf"),
-            ).collect()
-        )
-        # unbounded nearest: 10 → rts=1 (diff 9 < 30), 50 → rts=40
-        assert got == [(10, 100), (50, 200)]
+        for form in (asof_join_arrow, asof_join_pandas):
+            got = sorted(
+                (r.lts, r.asof_v)
+                for r in form(
+                    left, right, "k", "lts", "rts", ["v"],
+                    direction="nearest", tolerance=float("inf"),
+                ).collect()
+            )
+            # unbounded nearest: 10 → rts=1 (diff 9 < 30), 50 → rts=40
+            assert got == [(10, 100), (50, 200)], form.__name__
 
-    def test_neg_inf_tolerance_matches_nothing(self, spark):
-        from data_engineering_hs_spark.operators.asof import asof_join_arrow
-
-        left, right = self._frames(spark)
-        got = sorted(
-            (r.lts, r.asof_v)
-            for r in asof_join_arrow(
-                left, right, "k", "lts", "rts", ["v"],
-                direction="backward", tolerance=float("-inf"),
-            ).collect()
-        )
-        assert got == [(10, None), (50, None)]
-
-    def test_nan_tolerance_rejected_at_boundary(self, spark):
+    def test_nan_and_neg_inf_rejected_at_boundary(self, spark):
         import pytest as _pytest
 
         from data_engineering_hs_spark.operators.asof import (
@@ -550,4 +542,9 @@ class TestAsofNonFiniteTolerance:
                 form(
                     left, right, "k", "lts", "rts", ["v"],
                     direction="backward", tolerance=float("nan"),
+                )
+            with _pytest.raises(ValueError, match="tolerance=-inf"):
+                form(
+                    left, right, "k", "lts", "rts", ["v"],
+                    direction="backward", tolerance=float("-inf"),
                 )
