@@ -823,9 +823,19 @@ def append_fingerprints(survivors: DataFrame, path: str) -> None:
     are already distinct on fingerprint by construction
     (incremental_exact_dedup keeps one row per fingerprint). Stamps
     the normalization version beside the data; aborts before writing
-    into a store stamped with an older version."""
+    into a store stamped with an older version.
+
+    The fingerprint is cast to LONG at the boundary (r15 schema-drift
+    probe): a caller-supplied INT column would otherwise append an
+    int32-footer parquet file into a bigint store, and a plain
+    parquet read samples ONE footer to infer the directory schema —
+    which footer wins is file-order roulette, so the store would read
+    correctly or throw depending on listing order. The cast makes
+    every committed file bigint regardless of caller dtype."""
     stamp_normalization_version(path)
-    survivors.select("fingerprint").write.mode("append").parquet(path)
+    survivors.select(
+        F.col("fingerprint").cast("long").alias("fingerprint")
+    ).write.mode("append").parquet(path)
 
 
 def commit_fingerprints_bucketed(
@@ -1001,9 +1011,50 @@ def read_lsh_store(spark, path: str) -> DataFrame | None:
 
 def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
     """Commit one increment's band buckets; stamps the normalization
-    version beside the data (same contract as append_fingerprints)."""
+    version beside the data (same contract as append_fingerprints).
+
+    Schema discipline (r15 schema-drift probe): `band`/`bucket` are
+    fixed by the producer contract (posexplode int, xxhash64 long)
+    and are cast to those types here; the id column's type is the
+    caller's, so it is VALIDATED against the existing store's footer
+    schema instead — a drifted increment (renamed id, widened type)
+    would otherwise append a mixed-schema parquet directory whose
+    read either null-fills or type-errors depending on which footer
+    Spark happens to sample. Loud beats roulette."""
     stamp_normalization_version(path)
-    new_bands.write.mode("append").parquet(path)
+    out = new_bands.select(
+        *[
+            F.col(c).cast("int").alias(c)
+            if c == "band"
+            else F.col(c).cast("long").alias(c)
+            if c == "bucket"
+            else F.col(c)
+            for c in new_bands.columns
+        ]
+    )
+    import os
+
+    from data_engineering_hs_spark.operators.similarity import (
+        _local_store_dir,
+    )
+
+    local = _local_store_dir(path)
+    if (
+        local is not None
+        and os.path.isdir(local)
+        and any(f.endswith(".parquet") for f in os.listdir(local))
+    ):
+        existing = out.sparkSession.read.parquet(path).schema
+        if existing != out.schema:
+            raise ValueError(
+                f"band-store schema drift: store at {path} holds "
+                f"{existing.simpleString()} but this increment "
+                f"carries {out.schema.simpleString()} — appending "
+                "would create a mixed-schema directory whose read "
+                "depends on which file's footer Spark samples. Align "
+                "the increment's columns or rebuild the store."
+            )
+    out.write.mode("append").parquet(path)
 
 
 def commit_lsh_bands_bucketed(

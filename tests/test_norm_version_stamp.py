@@ -226,3 +226,55 @@ class TestCompactParquetSidecarCarry:
             "normalization_version": NORMALIZATION_VERSION
         }, "compact_parquet dropped the normalization sidecar"
         assert read_fingerprint_store(spark, store).count() == 3
+
+
+class TestAppendSchemaDiscipline:
+    """r15 schema-drift probe: a plain parquet directory read samples
+    ONE file's footer to infer the schema, so a mixed-schema store
+    (int32 beside int64 files, renamed columns) reads correctly,
+    null-fills, or type-errors depending on listing order — roulette.
+    The append boundary now normalizes contract-fixed dtypes and
+    validates caller-typed columns loudly."""
+
+    def test_int_fingerprints_cast_to_long_at_append(self, spark, tmp_path):
+        store = str(tmp_path / "fp")
+        append_fingerprints(_survivors(spark, 1, 2), store)
+        drifted = spark.createDataFrame([(3,), (4,)], "fingerprint int")
+        append_fingerprints(drifted, store)
+        import pyarrow.parquet as pq
+        import os
+
+        # every committed file must be int64 — no mixed footers
+        for f in os.listdir(store):
+            if f.endswith(".parquet"):
+                t = pq.read_schema(os.path.join(store, f)).field(
+                    "fingerprint"
+                ).type
+                assert str(t) == "int64", (f, t)
+        out = read_fingerprint_store(spark, store)
+        assert sorted(r[0] for r in out.collect()) == [1, 2, 3, 4]
+
+    def test_band_append_refuses_drifted_id_schema(self, spark, tmp_path):
+        store = str(tmp_path / "bands")
+        bands = spark.createDataFrame(
+            [(1, 0, 123)], "id long, band int, bucket long"
+        )
+        append_lsh_bands(bands, store)
+        # renamed id column → loud, nothing appended
+        renamed = spark.createDataFrame(
+            [(2, 1, 456)], "doc long, band int, bucket long"
+        )
+        with pytest.raises(ValueError, match="schema drift"):
+            append_lsh_bands(renamed, store)
+        assert spark.read.parquet(store).count() == 1
+        # band/bucket dtypes are contract-fixed: a long band / int
+        # bucket increment normalizes instead of poisoning the store
+        loose = spark.createDataFrame(
+            [(3, 1, 456)], "id long, band long, bucket int"
+        )
+        append_lsh_bands(loose, store)
+        out = spark.read.parquet(store)
+        assert out.schema.simpleString() == (
+            "struct<id:bigint,band:int,bucket:bigint>"
+        )
+        assert out.count() == 2
