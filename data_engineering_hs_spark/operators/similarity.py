@@ -1926,6 +1926,31 @@ def append_to_cell_store(
         payload = new_rows.select(F.col(id_col), F.col(vec_col))
     else:
         raise ValueError(f"unknown cell-store kind {kind!r} at {path}")
+    # Abort-before-mixing dtype check (r15 schema-drift probe): an
+    # increment whose id/vec dtypes drifted (int id into a bigint
+    # store, array<double> vecs into an array<float> store) used to
+    # APPEND fine and poison the store — the next read samples ONE
+    # file's footer, so queries then FAILED_READ_FILE or silently
+    # upcast depending on listing order, and the bad files were
+    # already committed. Compare against the store's own schema and
+    # refuse loudly with the store untouched.
+    store_schema = {
+        f.name: f.dataType
+        for f in new_rows.sparkSession.read.parquet(path).schema.fields
+    }
+    for c in (id_col, vec_col) if kind == "ivf_flat" else (id_col,):
+        want = store_schema.get(c)
+        got = payload.schema[c].dataType
+        if want is not None and got != want:
+            raise ValueError(
+                f"cell-store append schema drift at {path}: column "
+                f"{c!r} is {want.simpleString()} in the store but "
+                f"{got.simpleString()} in this increment — appending "
+                "would create a mixed-schema store whose reads depend "
+                "on which file's footer Spark samples. Cast the "
+                "increment to the store's types or rebuild. Nothing "
+                "was written."
+            )
     cells = _assign_cells(
         new_rows, centers, id_col, vec_col, center_id_col,
         center_vec_col, recorded.get("super_k"),

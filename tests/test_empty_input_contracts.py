@@ -217,3 +217,55 @@ class TestNoOverlapBuildIsLoudPreWrite:
         assert after == before, (
             "refused no-overlap build modified the existing store"
         )
+
+
+class TestAppendSchemaDriftIsLoudPreWrite:
+    """r15 schema-drift probe: a dtype-drifted increment (int id into
+    a bigint store, array<double> vecs into an array<float> store)
+    used to APPEND fine and poison the store — the next read samples
+    one file's footer, so queries FAILED_READ_FILE or silently upcast
+    depending on listing order, with the bad files already committed.
+    The append must refuse loudly with the store untouched."""
+
+    def test_drifted_increment_refused_store_untouched(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from data_engineering_hs_spark.operators.similarity import (
+            append_to_cell_store,
+            build_ivf_store,
+        )
+
+        store = str(tmp_path / "ivf")
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        centers = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "label long, centroid array<float>",
+        )
+        build_ivf_store(corpus, centers, store)
+        before = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(store)
+            for f in fs
+        )
+        drifted = spark.createDataFrame(
+            [(3, [0.5, 0.5])], "vec_id int, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="schema drift"):
+            append_to_cell_store(drifted, centers, store)
+        after = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(store)
+            for f in fs
+        )
+        assert after == before, "refused append modified the store"
+        # an increment with the CORRECT dtypes still appends fine
+        ok = spark.createDataFrame(
+            [(3, [0.5, 0.5])], "vec_id long, embedding array<float>"
+        )
+        append_to_cell_store(ok, centers, store)
+        assert spark.read.parquet(store).count() == 3
