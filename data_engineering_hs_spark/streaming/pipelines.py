@@ -839,7 +839,19 @@ def _dedup_ingest_batch(
     crash/replay protocol is directly testable (a foreachBatch closure
     can't be re-invoked by a test). ``run_ns`` is the checkpoint-
     derived namespace (streaming_dedup_ingest always passes it; the
-    default only serves direct callers with a single logical run)."""
+    default only serves direct callers with a single logical run).
+
+    SINK SCHEMA CONTRACT (r15 schema-drift probe): the fingerprint
+    STORE is drift-safe by construction (fingerprints are computed
+    xxhash64 → always BIGINT), but the corpus SINK carries the
+    caller's columns verbatim. A restarted stream whose source schema
+    changed (renamed/retyped columns) appends a new run whose files
+    mix schemas with earlier runs' — a plain read of the sink then
+    samples ONE footer and null-fills or type-errors depending on
+    listing order. The engine cannot distinguish legitimate evolution
+    (a new optional column, readable with mergeSchema=true) from
+    drift, so the contract is the caller's: keep the sink schema
+    append-stable, or route an evolved source to a NEW sink dir."""
     from data_engineering_hs_spark.operators.dedup import (
         incremental_exact_dedup,
         read_fingerprint_store,
