@@ -1045,7 +1045,12 @@ def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
         and any(f.endswith(".parquet") for f in os.listdir(local))
     ):
         existing = out.sparkSession.read.parquet(path).schema
-        if existing != out.schema:
+        # compare (name, dataType) only: a parquet-read schema is
+        # all-nullable while computed columns (posexplode's band) are
+        # not, and nullability doesn't affect the footer layout
+        want = [(f.name, f.dataType) for f in existing.fields]
+        got = [(f.name, f.dataType) for f in out.schema.fields]
+        if want != got:
             raise ValueError(
                 f"band-store schema drift: store at {path} holds "
                 f"{existing.simpleString()} but this increment "

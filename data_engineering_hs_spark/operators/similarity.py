@@ -1934,13 +1934,24 @@ def append_to_cell_store(
     # upcast depending on listing order, and the bad files were
     # already committed. Compare against the store's own schema and
     # refuse loudly with the store untouched.
+    def _erase_nullability(dt):
+        # DataType equality includes nullable/containsNull flags,
+        # which don't affect the parquet footer layout: a computed
+        # increment (containsNull=false arrays) must compare equal to
+        # the all-nullable schema a parquet read reports
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_erase_nullability(dt.elementType), True)
+        return dt
+
     store_schema = {
-        f.name: f.dataType
+        f.name: _erase_nullability(f.dataType)
         for f in new_rows.sparkSession.read.parquet(path).schema.fields
     }
     for c in (id_col, vec_col) if kind == "ivf_flat" else (id_col,):
         want = store_schema.get(c)
-        got = payload.schema[c].dataType
+        got = _erase_nullability(payload.schema[c].dataType)
         if want is not None and got != want:
             raise ValueError(
                 f"cell-store append schema drift at {path}: column "

@@ -278,3 +278,35 @@ class TestAppendSchemaDiscipline:
             "struct<id:bigint,band:int,bucket:bigint>"
         )
         assert out.count() == 2
+
+    def test_real_pipeline_bands_append_twice(self, spark, tmp_path):
+        """Regression (r15 closing-suite find): the drift check first
+        compared full StructTypes — a parquet-read schema is
+        all-nullable while lsh_band_buckets' posexplode emits a
+        non-nullable band, so the SECOND real-pipeline append was
+        falsely refused. Nullability must not participate."""
+        from data_engineering_hs_spark.operators.dedup import (
+            incremental_minhash_lsh,
+            read_lsh_store,
+        )
+
+        store = str(tmp_path / "bands")
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"],
+        )
+        _, bands1 = incremental_minhash_lsh(
+            b1, read_lsh_store(spark, store)
+        )
+        append_lsh_bands(bands1, store)
+        b2 = spark.createDataFrame(
+            [(2, "iota kappa lambda mu nu xi omicron pi rho sigma")],
+            ["doc_id", "text"],
+        )
+        _, bands2 = incremental_minhash_lsh(
+            b2, read_lsh_store(spark, store)
+        )
+        append_lsh_bands(bands2, store)  # must NOT be refused
+        assert read_lsh_store(spark, store).select(
+            "doc_id"
+        ).distinct().count() == 2
