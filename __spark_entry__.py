@@ -127,44 +127,10 @@ def _driver_verified() -> frozenset[str]:
 # to the front of the rotation even though an older driver row was
 # green. Oracle-text changes no longer need this list —
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
-_RECHECK_THIS_ROUND = frozenset(
-    {
-        # r15: cosine_from restructured to the single-evaluation
-        # guard shape (1-element aggregate lambda binds `raw` once —
-        # the naive branch-nested guard re-evaluated the dot fold and
-        # cost a REAL +41 % on s_cosine_topk, adjudicated by
-        # interleaved A/B at sf0.1). Values bit-identical (raw passes
-        # through untouched), oracles unchanged — re-front every
-        # cosine-scored row. All 14 locally swept green at sf0.01 AND
-        # sf0.1 this round.
-        "s_centroids",
-        "s_cosine_topk",
-        "s_cosine_topk_arrow",
-        "s_ivf_topk",
-        "s_hier_assign",
-        "s_lsh_topk",
-        "s_embedding_near_dup",
-        "s_semdedup",
-        "s_mmr_diversify",
-        "s_pq_topk",
-        "s_ivf_adc_topk",
-        "s_hybrid_rrf",
-        "s_ivf_adc_store",
-        "s_ivf_store_append",
-        # r15 ADVICE closes: bucketed store commits check the
-        # normalization version BEFORE the append, compact carries
-        # the stamp, cell-store builds probe the joined frame
-        # pre-write, asof validates non-finite tolerances. Oracles
-        # unchanged; all swept green locally at sf0.01.
-        "d_incremental_dedup",
-        "d_incremental_lsh",
-        "st_compact_ingest",
-        "j_asof_last_click",
-    }
-)
-# (r15 open cleared all twenty r14 entries — every one re-verified
-# green by the r14 driver run; see CORRECTNESS_r14.json. Oracle-text
-# edits this round are caught automatically by ORACLE_HASHES.json.)
+_RECHECK_THIS_ROUND = frozenset()
+# (r16 open cleared all eighteen r15 entries — every one re-verified
+# green by the r15 driver run; see CORRECTNESS_r15.json. Oracle-text
+# edits are caught automatically by ORACLE_HASHES.json.)
 
 _R01_VERIFIED = _driver_verified() - _RECHECK_THIS_ROUND
 
