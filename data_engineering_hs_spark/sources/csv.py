@@ -101,7 +101,22 @@ def read_with_quarantine(
 
     Do NOT reach for `badRecordsPath`: open-source Spark silently
     ignores the option (no quarantine dir is ever created — pinned in
-    the lens); this split is the portable form."""
+    the lens); this split is the portable form.
+
+    The parsed frame is `.cache()`d before the split. This is NOT
+    optional: Spark refuses any query on a raw CSV scan whose pruned
+    read schema is ONLY the internal corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — verified
+    live on 4.1.2), and both `clean.count()` and
+    `quarantine.count()` — the quarantine contract's own row-counts-
+    per-error-class operation — prune to exactly that shape. Caching
+    rebases both halves on an InMemoryRelation, which the restriction
+    does not apply to; it is ALSO the right scan shape here, since the
+    split always consumes both halves and would otherwise re-parse
+    the files once per branch. MEMORY_AND_DISK, so a partition that
+    doesn't fit spills rather than OOMs; release with
+    `spark.catalog.clearCache()` (or let session teardown drop it)
+    after both halves are consumed."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -113,7 +128,7 @@ def read_with_quarantine(
         .option("multiLine", multi_line)
         .option("timeZone", tz)
         .csv(path)
-    )
+    ).cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, quarantine

@@ -33,7 +33,14 @@ def read_jsonl(
     tz: per-read `timeZone` option — NAIVE timestamp strings parse as
     UTC instants (the engine contract) even when the caller session's
     spark.sql.session.timeZone points elsewhere; override for
-    genuinely local-time feeds."""
+    genuinely local-time feeds.
+
+    keep_corrupt caveat (same raw-scan restriction as CSV, verified
+    live on 4.1.2): Spark refuses any query on this frame whose
+    pruned read schema is ONLY the corrupt column — e.g.
+    `df.filter(corrupt.isNotNull()).count()`. Cache/materialize the
+    frame first if you split it that way;
+    sources.csv.read_with_quarantine shows the pattern."""
     if keep_corrupt:
         schema = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]

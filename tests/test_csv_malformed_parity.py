@@ -282,3 +282,32 @@ class TestCleanSubsetParity:
             "SELECT COUNT(*) FROM reject_errors"
         ).fetchone()[0]
         assert n_rejects == 3
+
+
+class TestCorruptOnlyPruning:
+    """r16 ADVICE close: queries pruned to ONLY the corrupt column.
+
+    Spark refuses raw-CSV scans whose required schema is just the
+    internal corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
+    quarantine contract's own operation, row COUNTS per error class,
+    prunes to exactly that. read_with_quarantine caches the parsed
+    frame before the split so both halves rebase on an
+    InMemoryRelation, which the restriction does not apply to."""
+
+    BODY = "a,b,c\n1,x,2.5\n2,y\n3,z,4.5\n"
+
+    def test_counts_on_both_halves(self, spark, tmp_path):
+        p = _write(tmp_path, "prune.csv", self.BODY)
+        clean, quar = read_with_quarantine(spark, p, SCHEMA)
+        # Both of these threw AnalysisException before the cache.
+        assert clean.count() == 2
+        assert quar.count() == 1
+        spark.catalog.clearCache()
+
+    def test_corrupt_only_projection(self, spark, tmp_path):
+        p = _write(tmp_path, "prune2.csv", self.BODY)
+        clean, quar = read_with_quarantine(spark, p, SCHEMA)
+        raw = [r[0] for r in quar.select(CORRUPT_COL).collect()]
+        assert raw == ["2,y"]
+        spark.catalog.clearCache()
