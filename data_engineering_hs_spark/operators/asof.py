@@ -66,6 +66,10 @@ def _check_asof_tolerance(tolerance):
     - -inf → ValueError (matches nothing, same silent-garbage shape);
     - +inf → None (unbounded — exactly what omitting tolerance
       means, and the one form every backend supports);
+    - any negative FINITE value → ValueError (|diff| <= negative is
+      False for every row: the arrow form would return all-NULL asof
+      columns while pandas merge_asof raises its own error — the
+      r15-unified contract would silently re-diverge);
     - anything else passes through unchanged.
 
     Returns the normalized tolerance."""
@@ -84,6 +88,12 @@ def _check_asof_tolerance(tolerance):
                 "unbounded or a finite tolerance"
             )
         return None  # +inf == unbounded
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(
+            f"tolerance={tolerance!r} is negative and matches "
+            "nothing (every |diff| <= tolerance is False); pass a "
+            "non-negative tolerance or None for unbounded"
+        )
     return tolerance
 
 

@@ -548,3 +548,25 @@ class TestAsofNonFiniteTolerance:
                     left, right, "k", "lts", "rts", ["v"],
                     direction="backward", tolerance=float("-inf"),
                 )
+
+    def test_negative_finite_tolerance_rejected_at_boundary(self, spark):
+        # r16 ADVICE close: a negative FINITE tolerance matched
+        # nothing in the arrow form (all-NULL asof columns) while
+        # pandas merge_asof raised its own error — the r15-unified
+        # contract silently re-diverged. Both forms now raise the
+        # same boundary ValueError, for int and float alike.
+        import pytest as _pytest
+
+        from data_engineering_hs_spark.operators.asof import (
+            asof_join_arrow,
+            asof_join_pandas,
+        )
+
+        left, right = self._frames(spark)
+        for form in (asof_join_arrow, asof_join_pandas):
+            for bad in (-5, -0.5):
+                with _pytest.raises(ValueError, match="negative"):
+                    form(
+                        left, right, "k", "lts", "rts", ["v"],
+                        direction="backward", tolerance=bad,
+                    )
