@@ -1032,24 +1032,30 @@ def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
             for c in new_bands.columns
         ]
     )
-    import os
+    from pyspark.errors import AnalysisException
 
     from data_engineering_hs_spark.operators.similarity import (
-        _local_store_dir,
+        erase_nullability,
     )
 
-    local = _local_store_dir(path)
-    if (
-        local is not None
-        and os.path.isdir(local)
-        and any(f.endswith(".parquet") for f in os.listdir(local))
-    ):
+    try:
         existing = out.sparkSession.read.parquet(path).schema
-        # compare (name, dataType) only: a parquet-read schema is
-        # all-nullable while computed columns (posexplode's band) are
-        # not, and nullability doesn't affect the footer layout
-        want = [(f.name, f.dataType) for f in existing.fields]
-        got = [(f.name, f.dataType) for f in out.schema.fields]
+    except AnalysisException:
+        # nonexistent or empty store — first append, nothing to
+        # drift against. Probing by read (not listdir) keeps the
+        # check live for remote URIs (s3a://, hdfs://) too, where
+        # the old local-dir probe silently skipped it.
+        existing = None
+    if existing is not None:
+        # nullability erased recursively: a parquet-read schema is
+        # all-nullable while computed columns (posexplode's band,
+        # containsNull=false arrays) are not, and the flags don't
+        # affect the footer layout (the d61c2ab false-positive class,
+        # handled by the same shared helper as append_to_cell_store)
+        want = [(f.name, erase_nullability(f.dataType))
+                for f in existing.fields]
+        got = [(f.name, erase_nullability(f.dataType))
+               for f in out.schema.fields]
         if want != got:
             raise ValueError(
                 f"band-store schema drift: store at {path} holds "

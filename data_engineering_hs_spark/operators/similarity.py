@@ -1346,6 +1346,37 @@ def build_pq_code_store(
 _CELL_STORE_META = "_store_meta.json"
 
 
+def erase_nullability(dt):
+    """DataType with every nullable/containsNull/valueContainsNull
+    flag forced to the parquet-read default (True), recursively.
+
+    DataType equality includes those flags, but they don't affect the
+    parquet footer layout — a COMPUTED increment (posexplode's
+    containsNull=false band, a non-null array from zip_with) must
+    compare equal to the all-nullable schema a parquet read reports.
+    Shared by every store-append drift check (append_to_cell_store,
+    append_lsh_bands); commit d61c2ab is the false-positive this
+    erasure exists to prevent."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(erase_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            erase_nullability(dt.keyType),
+            erase_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, erase_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _local_store_dir(path: str) -> str | None:
     """Driver-local directory for a store `path`, or None for remote
     URIs (s3a://, hdfs://, …). Spark's writers accept ``file://`` URIs
@@ -1934,24 +1965,13 @@ def append_to_cell_store(
     # upcast depending on listing order, and the bad files were
     # already committed. Compare against the store's own schema and
     # refuse loudly with the store untouched.
-    def _erase_nullability(dt):
-        # DataType equality includes nullable/containsNull flags,
-        # which don't affect the parquet footer layout: a computed
-        # increment (containsNull=false arrays) must compare equal to
-        # the all-nullable schema a parquet read reports
-        from pyspark.sql import types as T
-
-        if isinstance(dt, T.ArrayType):
-            return T.ArrayType(_erase_nullability(dt.elementType), True)
-        return dt
-
     store_schema = {
-        f.name: _erase_nullability(f.dataType)
+        f.name: erase_nullability(f.dataType)
         for f in new_rows.sparkSession.read.parquet(path).schema.fields
     }
     for c in (id_col, vec_col) if kind == "ivf_flat" else (id_col,):
         want = store_schema.get(c)
-        got = _erase_nullability(payload.schema[c].dataType)
+        got = erase_nullability(payload.schema[c].dataType)
         if want is not None and got != want:
             raise ValueError(
                 f"cell-store append schema drift at {path}: column "

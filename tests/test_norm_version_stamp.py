@@ -310,3 +310,32 @@ class TestAppendSchemaDiscipline:
         assert read_lsh_store(spark, store).select(
             "doc_id"
         ).distinct().count() == 2
+
+    def test_nested_nullability_does_not_false_positive(
+        self, spark, tmp_path
+    ):
+        """r16 ADVICE close: the band drift check compared raw
+        (name, dataType) pairs, so for Array/Map columns the nested
+        containsNull flag still participated — a COMPUTED array
+        column (containsNull=false) false-positived against the
+        all-nullable parquet-read schema, the exact class d61c2ab
+        fixed for top-level flags. The check now erases nullability
+        recursively via the shared similarity.erase_nullability."""
+        from pyspark.sql import functions as F
+
+        store = str(tmp_path / "bands_arr")
+        seeded = spark.createDataFrame(
+            [(1, 0, 123, [1, 2])],
+            "id long, band int, bucket long, tags array<bigint>",
+        )
+        append_lsh_bands(seeded, store)
+        # computed array → containsNull=false; must append cleanly
+        computed = spark.createDataFrame(
+            [(2, 1, 456)], "id long, band int, bucket long"
+        ).withColumn(
+            "tags",
+            F.array(F.lit(3).cast("long"), F.lit(4).cast("long")),
+        )
+        assert not computed.schema["tags"].dataType.containsNull
+        append_lsh_bands(computed, store)
+        assert spark.read.parquet(store).count() == 2
