@@ -831,11 +831,24 @@ def append_fingerprints(survivors: DataFrame, path: str) -> None:
     parquet read samples ONE footer to infer the directory schema —
     which footer wins is file-order roulette, so the store would read
     correctly or throw depending on listing order. The cast makes
-    every committed file bigint regardless of caller dtype."""
-    stamp_normalization_version(path)
-    survivors.select(
-        F.col("fingerprint").cast("long").alias("fingerprint")
-    ).write.mode("append").parquet(path)
+    every committed file bigint regardless of caller dtype.
+
+    SINGLE-WRITER (enforced, r16): the commit runs under
+    store_writer_lease — two racing appends of a 100-row increment
+    were probed to leave 197 rows (duplicates AND lost task files,
+    because both jobs share `path/_temporary` and one committer's
+    cleanup deletes the other's in-flight output). A second writer
+    now raises ConcurrentWriterError instead. Remote store URIs have
+    no flock — there the contract is this paragraph."""
+    from data_engineering_hs_spark.sources.parquet import (
+        store_writer_lease,
+    )
+
+    with store_writer_lease(path, "append_fingerprints"):
+        stamp_normalization_version(path)
+        survivors.select(
+            F.col("fingerprint").cast("long").alias("fingerprint")
+        ).write.mode("append").parquet(path)
 
 
 def commit_fingerprints_bucketed(
@@ -852,7 +865,16 @@ def commit_fingerprints_bucketed(
     lands bucket-aligned. The normalization-version check runs BEFORE
     the append (same abort-before-mixing contract as the path-based
     append_fingerprints): a refused commit leaves the stamped table's
-    rows untouched."""
+    rows untouched.
+
+    SINGLE-WRITER (documented, r16): saveAsTable(mode='append') on a
+    file-based managed table has no writer-writer exclusion — two
+    racing commits of the same increment double-commit (duplicate
+    rows), the same class the path-based appends now enforce with a
+    flock lease. No path is exposed here to lease on (the warehouse
+    location is catalog-owned), so the contract is documented: one
+    committer per table; a metastore deployment enforces it with
+    catalog/table-level locking or a transactional format."""
     from data_engineering_hs_spark.operators.scale import write_bucketed
 
     _check_table_norm_version(survivors.sparkSession, table_name)
@@ -1020,7 +1042,24 @@ def append_lsh_bands(new_bands: DataFrame, path: str) -> None:
     schema instead — a drifted increment (renamed id, widened type)
     would otherwise append a mixed-schema parquet directory whose
     read either null-fills or type-errors depending on which footer
-    Spark happens to sample. Loud beats roulette."""
+    Spark happens to sample. Loud beats roulette.
+
+    SINGLE-WRITER (enforced, r16): stamp, drift-check, and commit all
+    run under store_writer_lease — the drift check is only sound if
+    the store cannot change between the check and the write, and
+    racing appends double-commit AND lose in-flight task files
+    (shared `path/_temporary`; see append_fingerprints). A second
+    writer raises ConcurrentWriterError. Remote store URIs have no
+    flock — there the contract is this paragraph."""
+    from data_engineering_hs_spark.sources.parquet import (
+        store_writer_lease,
+    )
+
+    with store_writer_lease(path, "append_lsh_bands"):
+        _append_lsh_bands_locked(new_bands, path)
+
+
+def _append_lsh_bands_locked(new_bands: DataFrame, path: str) -> None:
     stamp_normalization_version(path)
     out = new_bands.select(
         *[
@@ -1077,7 +1116,12 @@ def commit_lsh_bands_bucketed(
     straight off the bucketed scan with NO Exchange — only the new
     batch's bands shuffle (plan-asserted in tests/test_scale_ops.py).
     The normalization-version check runs BEFORE the append
-    (abort-before-mixing, matching append_lsh_bands)."""
+    (abort-before-mixing, matching append_lsh_bands).
+
+    SINGLE-WRITER (documented, r16): same contract as
+    commit_fingerprints_bucketed — racing table appends
+    double-commit; serialize committers (catalog-level locking or a
+    transactional format in a metastore deployment)."""
     from data_engineering_hs_spark.operators.scale import write_bucketed
 
     _check_table_norm_version(new_bands.sparkSession, table_name)
@@ -1119,7 +1163,16 @@ def compact_band_store(
     the normalization-version TBLPROPERTIES stamp does not ride
     through on its own: the version is checked before the staging
     read (compacting a mismatched store must abort, not launder it
-    into a fresh-looking one) and re-stamped after the rewrite."""
+    into a fresh-looking one) and re-stamped after the rewrite.
+
+    SINGLE-WRITER (documented, r16): overwrite drops and recreates
+    the table — a commit_lsh_bands_bucketed racing this compaction
+    either lands before the staging read (carried into the rewrite),
+    lands after the drop (AnalysisException, loud), or its files are
+    dropped WITH the old table (lost). Run in a maintenance window
+    with committers drained, like the path-based compactions (which
+    enforce this with a flock lease; no path is exposed to lease on
+    here)."""
     from data_engineering_hs_spark.operators.scale import write_bucketed
 
     _check_table_norm_version(spark, table_name)

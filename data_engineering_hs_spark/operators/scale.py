@@ -226,9 +226,30 @@ def optimize_table(
 
     _require_local_swap_path(path, "optimize_table")
     if not zorder_cols:
+        # delegation — compact_parquet takes the store lease itself
+        # (nesting here would self-deadlock: flock conflicts between
+        # two descriptions even within one process)
         return compact_parquet(
             spark, path, target_file_bytes=target_file_bytes
         )
+    from data_engineering_hs_spark.sources.parquet import (
+        store_writer_lease,
+    )
+
+    # SINGLE-WRITER (enforced, r16): same lease as the rest of the
+    # compaction family; the staged-snapshot tripwire stays as
+    # defense against out-of-band writers.
+    with store_writer_lease(path, "optimize_table"):
+        return _optimize_table_zorder_locked(
+            spark, path, zorder_cols, bits, target_file_bytes
+        )
+
+
+def _optimize_table_zorder_locked(
+    spark, path, zorder_cols, bits, target_file_bytes
+):
+    import math
+    import os
 
     def data_files(d: str) -> list[str]:
         return [

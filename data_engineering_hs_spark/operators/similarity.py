@@ -1477,6 +1477,37 @@ def _write_cell_store(
     super_k: int | None = None,
     probe_supers: int = 1,
 ) -> None:
+    # SINGLE-WRITER (enforced, r16): both builders route through
+    # here; two racing builds interleave their overwrite jobs into
+    # one torn directory (shared _temporary, same class as the
+    # append race probe). flock sibling lease; remote URIs are
+    # documented-contract only.
+    from data_engineering_hs_spark.sources.parquet import (
+        store_writer_lease,
+    )
+
+    with store_writer_lease(path, "build_cell_store"):
+        _write_cell_store_locked(
+            payload, corpus, centers, path, id_col, vec_col,
+            center_id_col, center_vec_col, files_per_cell, meta,
+            super_k=super_k, probe_supers=probe_supers,
+        )
+
+
+def _write_cell_store_locked(
+    payload: DataFrame,
+    corpus: DataFrame,
+    centers: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    center_id_col: str,
+    center_vec_col: str,
+    files_per_cell: int,
+    meta: dict,
+    super_k: int | None = None,
+    probe_supers: int = 1,
+) -> None:
     """Shared cell-partitioned store writer: assign each corpus row to
     its nearest coarse centroid, attach the payload columns by id, and
     write ``<path>/cell=<label>/`` — one file per cell by default,
@@ -1695,6 +1726,23 @@ def _verify_store_corpus(
 def compact_cell_store(
     spark, path: str, files_per_cell: int = 1
 ) -> dict:
+    """SINGLE-WRITER (enforced, r16): runs under store_writer_lease,
+    so an append_to_cell_store racing this compaction now fails up
+    front with ConcurrentWriterError instead of tripping the staged-
+    snapshot check mid-swap (that tripwire stays as defense against
+    writers that bypass the mutators). Remote URIs: documented
+    contract only. Full semantics: _compact_cell_store_locked."""
+    from data_engineering_hs_spark.sources.parquet import (
+        store_writer_lease,
+    )
+
+    with store_writer_lease(path, "compact_cell_store"):
+        return _compact_cell_store_locked(spark, path, files_per_cell)
+
+
+def _compact_cell_store_locked(
+    spark, path: str, files_per_cell: int = 1
+) -> dict:
     """Collapse an appended cell store back to ``files_per_cell``
     files per cell — the compaction step of the build → append* →
     compact lifecycle. Each append_to_cell_store call adds one file
@@ -1856,6 +1904,37 @@ def build_ivf_store(
 
 
 def append_to_cell_store(
+    new_rows: DataFrame,
+    centers: DataFrame,
+    path: str,
+    codebooks: DataFrame | None = None,
+    center_id_col: str = "label",
+    center_vec_col: str = "centroid",
+    files_per_cell: int = 1,
+) -> None:
+    """SINGLE-WRITER (enforced, r16): the meta read, dtype drift
+    check, no-overlap probe, cell write, and stamp fold all run
+    under store_writer_lease — every one of those steps is only
+    sound against a frozen store, and racing appends double-commit
+    AND lose in-flight task files (shared `path/_temporary`; see the
+    append_fingerprints probe). A second writer (or a concurrent
+    compact_cell_store) raises ConcurrentWriterError. Remote store
+    URIs have no flock — there this paragraph is the contract.
+    Full semantics: _append_to_cell_store_locked."""
+    from data_engineering_hs_spark.sources.parquet import (
+        store_writer_lease,
+    )
+
+    with store_writer_lease(path, "append_to_cell_store"):
+        _append_to_cell_store_locked(
+            new_rows, centers, path, codebooks=codebooks,
+            center_id_col=center_id_col,
+            center_vec_col=center_vec_col,
+            files_per_cell=files_per_cell,
+        )
+
+
+def _append_to_cell_store_locked(
     new_rows: DataFrame,
     centers: DataFrame,
     path: str,

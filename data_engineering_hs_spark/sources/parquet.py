@@ -68,6 +68,113 @@ def _require_local_swap_path(path: str, op: str) -> None:
         )
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another process/thread holds the writer lease on this store.
+
+    The path-based persistent stores (fingerprint, LSH-band, cell
+    stores and their compactions) are SINGLE-WRITER: the r16 race
+    probe showed two barrier-released appends of a 100-row increment
+    leave 197 rows — duplicates from the double-commit AND rows LOST
+    outright, because both jobs share `path/_temporary` and one
+    FileOutputCommitter's cleanup deletes the other's in-flight task
+    files. Serialize your writers; this error is the loud form of
+    that contract."""
+
+
+LEASE_SUFFIX = ".__lease"
+
+
+def _lease_file(path: str) -> str | None:
+    """Sibling lease file for a store path (survives the rename-aside
+    swap, which renames the store DIRECTORY), or None for remote URIs
+    where POSIX flock doesn't exist — there the single-writer
+    contract is documented-only (a transactional table format or
+    S3 conditional puts are the real mechanism at that layer)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme == "":
+        local = path
+    elif parsed.scheme == "file":
+        local = parsed.path or "/"
+    else:
+        return None
+    return local.rstrip("/") + LEASE_SUFFIX
+
+
+def store_writer_lease(path: str, op: str):
+    """Exclusive writer lease for a path-based store — the
+    enforcement half of the single-writer contract (the staged-
+    snapshot checks in swap_in remain as a tripwire against writers
+    that bypass the mutators).
+
+    POSIX `flock(LOCK_EX | LOCK_NB)` on a sibling `<path>.__lease`
+    file: kernel-owned, so a crashed writer's lease releases the
+    moment its process dies — no stale-TTL takeover logic, no
+    leftover lock to clean up. flock conflicts between two open file
+    descriptions even within one process, so two threads of one
+    driver are serialized the same as two drivers. A held lease makes
+    the SECOND writer raise ConcurrentWriterError immediately
+    (fail-loud, not queue: the blocked writer's increment would
+    otherwise commit after an arbitrarily long silent wait, and for
+    compaction-vs-append the right answer is 'retry after the
+    maintenance window', a caller decision).
+
+    Remote store URIs (s3a://, hdfs://) yield WITHOUT enforcement —
+    flock has no remote analog; the contract there is documented on
+    every mutator. Context manager; the lease file itself is
+    leading-punctuation-named so every data-file listing
+    (snapshot_data_files, the parquet scan) already ignores it."""
+    import contextlib
+    import fcntl
+    import json
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _lease():
+        lf = _lease_file(path)
+        if lf is None:
+            yield
+            return
+        parent = os.path.dirname(os.path.abspath(lf))
+        os.makedirs(parent, exist_ok=True)
+        fd = os.open(lf, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                try:
+                    holder = os.pread(fd, 4096, 0).decode(
+                        "utf-8", "replace"
+                    )
+                except OSError:
+                    holder = "<unreadable>"
+                raise ConcurrentWriterError(
+                    f"{op}: another writer holds the lease on "
+                    f"{path} (holder: {holder or '<unknown>'}). The "
+                    "path-based stores are single-writer — racing "
+                    "appends double-commit AND lose in-flight task "
+                    "files (shared _temporary); an append racing a "
+                    "compaction strands its batch. Retry after the "
+                    "current writer finishes."
+                ) from None
+            os.ftruncate(fd, 0)
+            os.pwrite(
+                fd,
+                json.dumps(
+                    {"op": op, "pid": os.getpid(),
+                     "acquired_at": time.time()}
+                ).encode(),
+                0,
+            )
+            yield
+        finally:
+            os.close(fd)  # closes the description → releases the lock
+
+    return _lease()
+
+
 # Test seam for the pre-swap tripwire: called (with the store path)
 # just before the concurrent-writer check so a test can deterministically
 # inject a "commit" into the race window. Never set in production.
@@ -172,6 +279,27 @@ def compact_parquet(
     import shutil
 
     _require_local_swap_path(path, "compact_parquet")
+    # SINGLE-WRITER (enforced, r16): the listing, staging read,
+    # rewrite, and swap all run under the store lease — an append
+    # racing this compaction now fails up front (its side) or is
+    # excluded (ours) instead of landing files in the pre-swap
+    # directory that the rename-aside then strands. The staged-
+    # snapshot tripwire stays as defense against out-of-band writers.
+    with store_writer_lease(path, "compact_parquet"):
+        return _compact_parquet_locked(
+            spark, path, target_file_bytes, shuffle
+        )
+
+
+def _compact_parquet_locked(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+    shuffle: bool,
+) -> dict:
+    import math
+    import os
+    import shutil
 
     def data_files(d: str) -> list[str]:
         return [
@@ -298,6 +426,16 @@ def recover_swap(path: str, tmp_suffixes: tuple[str, ...] = ("__compact", "__mer
     import shutil
 
     _require_local_swap_path(path, "recover_swap")
+    # SINGLE-WRITER (enforced, r16): recovery racing a live writer
+    # would finish/roll back a swap under its feet — take the lease.
+    with store_writer_lease(path, "recover_swap"):
+        return _recover_swap_locked(path, tmp_suffixes)
+
+
+def _recover_swap_locked(path: str, tmp_suffixes: tuple[str, ...]) -> str:
+    import os
+    import shutil
+
     norm = path.rstrip("/")
     old = norm + ".__old"
     tmps = [norm + "." + s for s in tmp_suffixes]
@@ -344,7 +482,26 @@ def delete_keys_partitioned(
     predicates achieves.
 
     Returns {"partitions_rewritten", "rows_deleted"}.
+
+    SINGLE-WRITER (enforced, r16): the dynamic partition overwrite
+    rewrites live partitions in place — racing any other mutator
+    interleaves commits (see the append_fingerprints probe). Runs
+    under store_writer_lease; remote URIs are documented-contract
+    only.
     """
+    with store_writer_lease(path, "delete_keys_partitioned"):
+        return _delete_keys_partitioned_locked(
+            spark, path, keys, key_col, partition_col
+        )
+
+
+def _delete_keys_partitioned_locked(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> dict:
     df = spark.read.parquet(path)
     # null-safe key matching throughout: a doomed NULL key must
     # delete NULL-key rows (plain equi-joins silently drop them)

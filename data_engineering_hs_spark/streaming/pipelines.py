@@ -681,17 +681,37 @@ def retire_runs(
 def _compact_ingest_impl(
     spark, path: str, files_per_partition: int, retire: frozenset
 ) -> dict:
+    from data_engineering_hs_spark.sources.parquet import (
+        _require_local_swap_path,
+        store_writer_lease,
+    )
+
+    op = "retire_runs" if retire else "compact_ingest_store"
+    _require_local_swap_path(path, op)
+    # SINGLE-WRITER (enforced, r16): maintenance on the ingest store
+    # takes the store lease — a live trigger's batch commit is NOT
+    # leased (failing production batches in favor of maintenance
+    # would be backwards), so the staged-snapshot tripwire remains
+    # the guard on that side: a batch landing mid-swap rolls the
+    # compaction back with the batch intact.
+    with store_writer_lease(path, op):
+        return _compact_ingest_locked(
+            spark, path, files_per_partition, retire, op
+        )
+
+
+def _compact_ingest_locked(
+    spark, path: str, files_per_partition: int, retire: frozenset,
+    op: str,
+) -> dict:
     import os
 
     from data_engineering_hs_spark.sources.parquet import (
-        _require_local_swap_path,
         check_no_concurrent_writer,
         snapshot_data_files,
         swap_in,
     )
 
-    op = "retire_runs" if retire else "compact_ingest_store"
-    _require_local_swap_path(path, op)
     norm = path.rstrip("/")
     if not os.path.isdir(norm):
         if retire:
