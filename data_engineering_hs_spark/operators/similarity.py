@@ -1995,9 +1995,11 @@ def _append_to_cell_store_locked(
     drift since this append's read raises RuntimeError — the store
     rows from both writers are intact (parquet appends don't collide);
     re-stamp by running a no-op append of zero rows after re-counting,
-    or rebuild. The tripwire cannot catch every interleaving (two
-    appends can both read before either writes) — it is a contract
-    check, not a lock.
+    or rebuild. (Since r16 the stamp tripwire is secondary: the
+    store_writer_lease on the public wrapper IS a lock, so two
+    lease-taking appends can no longer interleave at all — the
+    tripwire now only catches writers that bypass the mutators or
+    race on a remote URI, where flock has no analog.)
 
     CORRUPT-VECTOR ADMIT SEMANTICS (r15, sanctioned as-is): appends
     into an IVF-Flat store ADMIT non-finite vectors (scored 0.0 —

@@ -387,3 +387,98 @@ class TestDegenerateCorpora:
         assert all(2 not in p and 3 not in p for p in ids)
         for r in pairs:
             assert math.isfinite(r["cos_sim"]) and r["cos_sim"] >= 0.9
+
+
+class TestIvfFlatCorruptAdmitPinned:
+    """r16 verdict item 5: the IVF-Flat ADMIT posture for non-finite
+    vectors (r15, sanctioned as-is) converted into a pinned test on a
+    corrupt-HEAVY corpus. The contract being pinned:
+
+    - corrupt vectors are ADMITTED (unlike the PQ path, whose encoder
+      excludes them as unencodable) and ALL land in the LOWEST-LABEL
+      cell (every assignment score is 0.0; ties break by label) — the
+      hazard is bounded, observable SKEW of one cell, not correctness;
+    - the corpus stamp counts the FULL admitted corpus, so
+      verify_corpus=True passes with the same corrupt-heavy frame the
+      store was built from;
+    - queries never surface a corrupt row above finite candidates
+      (cosine_from scores non-finite similarity 0.0), and store-mode
+      ivf_topk matches brute force on the corrupt-heavy corpus.
+    """
+
+    def _fixtures(self, spark):
+        finite = [
+            [1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.8, 0.2, 0.0],
+            [0.0, 1.0, 0.0], [0.1, 0.9, 0.0], [0.2, 0.8, 0.0],
+        ]
+        corrupt = [
+            [NAN, 1.0, 0.0], [INF, 0.0, 0.0], [-INF, 1.0, 1.0],
+            [NAN, NAN, NAN],
+        ]  # 40% of the corpus
+        corpus = _mk(spark, finite + corrupt)
+        # labels deliberately NOT starting at 0: the pin is
+        # "lowest label", not "label zero"
+        centers = spark.createDataFrame(
+            [(3, [1.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0])],
+            "label int, centroid array<double>",
+        )
+        return corpus, centers, len(finite), len(corrupt)
+
+    def test_corrupt_rows_skew_into_lowest_label_cell(
+        self, spark, tmp_path
+    ):
+        from data_engineering_hs_spark.operators.similarity import (
+            append_to_cell_store,
+            build_ivf_store,
+        )
+
+        corpus, centers, n_fin, n_cor = self._fixtures(spark)
+        store = str(tmp_path / "ivf")
+        build_ivf_store(corpus, centers, store)
+        rows = spark.read.parquet(store).collect()
+        assert len(rows) == n_fin + n_cor  # all ADMITTED
+        cells = {r["vec_id"]: r["cell"] for r in rows}
+        for cid in range(n_fin, n_fin + n_cor):
+            assert cells[cid] == 3, (cid, cells[cid])  # lowest label
+        # appends follow the same admit + lowest-label assignment
+        inc = spark.createDataFrame(
+            [(100, [NAN, 0.5, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        append_to_cell_store(inc, centers, store)
+        appended = {
+            r["vec_id"]: r["cell"]
+            for r in spark.read.parquet(store).collect()
+        }
+        assert appended[100] == 3
+
+    def test_stamp_counts_full_admitted_corpus_and_queries_clean(
+        self, spark, tmp_path
+    ):
+        from data_engineering_hs_spark.operators.similarity import (
+            brute_force_topk,
+            build_ivf_store,
+            ivf_topk,
+        )
+
+        corpus, centers, n_fin, n_cor = self._fixtures(spark)
+        store = str(tmp_path / "ivf")
+        build_ivf_store(corpus, centers, store)
+        q = corpus.filter("vec_id = 0")
+        # verify_corpus=True with the SAME corrupt-heavy frame: the
+        # stamp counts the full admitted corpus, so this must pass
+        got = ivf_topk(
+            corpus, q, centers, k=4, nprobe=2,
+            vector_store=store, verify_corpus=True,
+        ).collect()
+        want = brute_force_topk(corpus, q, k=4).collect()
+        assert [(r["rank"], r["neighbor_id"]) for r in sorted(
+            got, key=lambda r: r["rank"]
+        )] == [(r["rank"], r["neighbor_id"]) for r in sorted(
+            want, key=lambda r: r["rank"]
+        )]
+        # k=4 < finite candidates → no corrupt id can appear
+        corrupt_ids = set(range(n_fin, n_fin + n_cor))
+        assert not corrupt_ids & {r["neighbor_id"] for r in got}
+        for r in got:
+            assert math.isfinite(r["cos_sim"])
