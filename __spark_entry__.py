@@ -127,7 +127,27 @@ def _driver_verified() -> frozenset[str]:
 # to the front of the rotation even though an older driver row was
 # green. Oracle-text changes no longer need this list —
 # ORACLE_HASHES.json catches them automatically (see _driver_verified).
-_RECHECK_THIS_ROUND = frozenset()
+_RECHECK_THIS_ROUND = frozenset(
+    {
+        # r16: word_shingle_seq restructured to the single-evaluation
+        # lambda-bind shape (tokens() — the full regex split — was
+        # referenced k+3 times inside CodegenFallback HOFs and
+        # re-evaluated per reference; binding it once measured
+        # -20.6 % on d_minhash_lsh at sf0.1, values bit-identical —
+        # scripts_ab_shingle_bind.py). Oracles unchanged; re-front
+        # every shingle-path row. All 10 swept green at sf0.01.
+        "d_minhash_lsh",
+        "d_minhash_lsh_audit",
+        "d_incremental_lsh",
+        "d_dup_components_lsh",
+        "t_common_ngrams",
+        "t_boilerplate_ratio",
+        "d_winnow_fingerprints",
+        "t_repetition_stats",
+        "d_decontam_overlap",
+        "t_curate_training_set",
+    }
+)
 # (r16 open cleared all eighteen r15 entries — every one re-verified
 # green by the r15 driver run; see CORRECTNESS_r15.json. Oracle-text
 # edits are caught automatically by ORACLE_HASHES.json.)

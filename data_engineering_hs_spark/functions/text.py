@@ -120,26 +120,42 @@ def word_shingle_seq(c: ColumnOrName, k: int = 3) -> Column:
     INSIDE the lambda, re-splitting the whole text per shingle index
     — O(words²) per document, measured ~4× slower on the MinHash
     signature stage at sf0.1.
+
+    The token array is LAMBDA-BOUND (r16): `tokens(c)` — a full
+    `\\s+` regex split + non-empty filter over the multi-KB text —
+    appeared k+3 times in the expression tree (the zip_with seed,
+    each per-j slice argument, every F.size use), and zip_with is
+    CodegenFallback with no subtree CSE, so the split re-executed
+    per reference per row. Binding it once as a 1-element
+    `transform` lambda variable (the cosine_from/stable_round
+    single-evaluation shape) measured **−20.6 %** on d_minhash_lsh
+    at sf0.1 (scripts_ab_shingle_bind.py, interleaved median-of-7,
+    values bit-identical).
     """
     if k < 1:
         raise ValueError(
             f"shingle width k must be >= 1 (got {k}): k=0 would "
             "silently emit the raw token list as '0-shingles'"
         )
-    toks = tokens(c)
-    n = F.size(toks)
-    sh = toks
-    for j in range(1, k):
-        # zip_with pads the shorter side with NULL and concat_ws
-        # skips NULLs, so the trailing (k-1) short shingles are
-        # cut by the final slice to exactly n-k+1 entries.
-        sh = F.zip_with(
-            sh,
-            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
-            lambda acc, t: F.concat_ws(" ", acc, t),
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        sh = toks
+        for j in range(1, k):
+            # zip_with pads the shorter side with NULL and concat_ws
+            # skips NULLs, so the trailing (k-1) short shingles are
+            # cut by the final slice to exactly n-k+1 entries.
+            sh = F.zip_with(
+                sh,
+                F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+                lambda acc, t: F.concat_ws(" ", acc, t),
+            )
+        sh = F.slice(sh, 1, F.greatest(n - k + 1, F.lit(0)))
+        return F.when(n >= k, sh).otherwise(
+            F.array().cast("array<string>")
         )
-    sh = F.slice(sh, 1, F.greatest(n - k + 1, F.lit(0)))
-    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(c)), build), 1)
 
 
 def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
