@@ -146,6 +146,17 @@ _RECHECK_THIS_ROUND = frozenset(
         "t_repetition_stats",
         "d_decontam_overlap",
         "t_curate_training_set",
+        # r16 second bind_once wave (same A/B discipline,
+        # scripts_ab_bind_once.py): segment_dedup re-split per
+        # SEGMENT per row (-46.7 % on t_segment_dedup at sf0.1),
+        # lang_id per marker set (-4.2 %), quality_score 3 splits
+        # -> 1 (-2.6 %); stopword_ratio/mean_word_length internal.
+        # Values bit-identical (asserted pre-timing); all touched
+        # rows swept green at sf0.01 AND sf0.1.
+        "t_segment_dedup",
+        "t_langid",
+        "t_quality_score",
+        "t_quality_buckets",
     }
 )
 # (r16 open cleared all eighteen r15 entries — every one re-verified

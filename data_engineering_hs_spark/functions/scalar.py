@@ -136,6 +136,27 @@ def cents_to_amount(c: ColumnOrName) -> Column:
     return _col(c).cast("double") / F.lit(100.0)
 
 
+def bind_once(c: Column, build) -> Column:
+    """Evaluate `c` ONCE and build an expression from the bound value
+    — the single-evaluation shape, shared (r16).
+
+    Any expression referenced more than once inside a
+    higher-order-function subtree RE-EVALUATES per reference: HOFs
+    (aggregate/transform/zip_with/filter) are CodegenFallback and
+    Spark does not CSE their branch-local subtrees. Measured costs of
+    getting this wrong: +41 % on s_cosine_topk (r15, the dot fold
+    re-evaluated by a branch-nested guard) and +26 % on d_minhash_lsh
+    (r16, the tokens() regex split referenced k+3 times in the
+    shingle builder). `element_at(transform(array(c), build), 1)`
+    materializes `c` exactly once as a lambda variable; `build`
+    receives the bound Column and may reference it freely. Output
+    type is whatever `build` returns (array element types included).
+
+    Use whenever the input is expensive (a regex split, a fold, a
+    decode) and the consuming expression mentions it twice or more."""
+    return F.element_at(F.transform(F.array(c), build), 1)
+
+
 def stable_round(c: ColumnOrName, n: int) -> Column:
     """Engine-stable round of a computed double ratio/score, DOUBLE out.
 

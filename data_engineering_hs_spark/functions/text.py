@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_engineering_hs_spark.functions.scalar import (
     ColumnOrName,
     _col,
+    bind_once,
     stable_round,
 )
 
@@ -80,33 +81,71 @@ def punct_ratio(c: ColumnOrName) -> Column:
 
 
 def stopword_ratio(c: ColumnOrName) -> Column:
-    """Fraction of whitespace tokens that are English stopwords."""
-    toks = tokens(c)
+    """Fraction of whitespace tokens that are English stopwords.
+
+    tokens(c) is bind_once'd (r16): the old form referenced the
+    split twice (the filter input and the denominator size) and the
+    filter HOF is CodegenFallback — two full splits per row."""
     sw = F.array([F.lit(w) for w in STOPWORDS])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def build(toks: Column) -> Column:
+        n_sw = F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+        )
+        return n_sw.cast("double") / F.greatest(
+            F.size(toks), F.lit(1)
+        ).cast("double")
+
+    return bind_once(tokens(c), build)
 
 
 def mean_word_length(c: ColumnOrName) -> Column:
-    toks = tokens(c)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    # tokens(c) bind_once'd (r16): the aggregate input and the
+    # denominator size were two separate splits per row
+    def build(toks: Column) -> Column:
+        total = F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        )
+        return total.cast("double") / F.greatest(
+            F.size(toks), F.lit(1)
+        ).cast("double")
+
+    return bind_once(tokens(c), build)
 
 
 def quality_score(c: ColumnOrName) -> Column:
     """Composite [0,1] document-quality heuristic: long enough,
     not punctuation-soup, some-but-not-all stopwords. The weights are
-    the engine's own convention (documented contract, test-pinned)."""
-    n_tok = token_count(c).cast("double")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
-    sw = stopword_ratio(c)
-    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25)) * 2.0
+    the engine's own convention (documented contract, test-pinned).
+
+    The token array is bind_once'd across the length and stopword
+    components (r16): the composite previously split the text three
+    times per row (token_count once, stopword_ratio's filter input
+    and denominator twice); one bound split feeds both components,
+    with the same arithmetic on the same values. punct_ratio stays on
+    the raw string (regex character classes, not tokens)."""
+    sw_list = F.array([F.lit(w) for w in STOPWORDS])
+
+    def build(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("double")
+        len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        punct_score = F.lit(1.0) - F.least(
+            punct_ratio(c) * 5.0, F.lit(1.0)
+        )
+        n_sw = F.size(
+            F.filter(toks, lambda t: F.array_contains(sw_list, F.lower(t)))
+        )
+        sw = n_sw.cast("double") / F.greatest(
+            F.size(toks), F.lit(1)
+        ).cast("double")
+        sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25)) * 2.0
+        return (
+            len_score + punct_score + F.greatest(sw_score, F.lit(0.0))
+        ) / 3.0
+
     # string-route round (r15 sanctioned): the composite is a computed
     # ratio — tie-stable cross-engine (see scalar.stable_round)
-    return stable_round(
-        (len_score + punct_score + F.greatest(sw_score, F.lit(0.0))) / 3.0, 6
-    )
+    return stable_round(bind_once(tokens(c), build), 6)
 
 
 def word_shingle_seq(c: ColumnOrName, k: int = 3) -> Column:
@@ -155,7 +194,7 @@ def word_shingle_seq(c: ColumnOrName, k: int = 3) -> Column:
             F.array().cast("array<string>")
         )
 
-    return F.element_at(F.transform(F.array(tokens(c)), build), 1)
+    return bind_once(tokens(c), build)
 
 
 def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
@@ -239,27 +278,34 @@ def lang_id(c: ColumnOrName) -> Column:
     deployment would swap in a model via mapInPandas; this keeps the
     hot path JVM-only.
     """
-    toks = F.transform(tokens(c), F.lower)
+    # the lowered token array is bind_once'd (r16): each of the four
+    # marker counts referenced transform(tokens(c), lower) — a full
+    # regex split + per-token lower — and filter HOFs are
+    # CodegenFallback, so the split ran four times per row
+    def build(toks: Column) -> Column:
+        def marker_count(words: list[str]) -> Column:
+            arr = F.array([F.lit(w) for w in words])
+            return F.size(
+                F.filter(toks, lambda t: F.array_contains(arr, t))
+            )
 
-    def marker_count(words: list[str]) -> Column:
-        arr = F.array([F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        en = marker_count(["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"])
+        es = marker_count(["el", "la", "de", "que", "y", "los", "las", "por", "una", "es"])
+        de = marker_count(["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "zu"])
+        fr = marker_count(["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"])
+        # CJK detection by script range (idx=0: whole-match, no group).
+        zh = F.size(F.regexp_extract_all(_col(c), F.lit(r"[一-鿿]"), 0))
+        scores = F.array(
+            F.struct(en.alias("n"), F.lit("en").alias("lang")),
+            F.struct(es.alias("n"), F.lit("es").alias("lang")),
+            F.struct(de.alias("n"), F.lit("de").alias("lang")),
+            F.struct(fr.alias("n"), F.lit("fr").alias("lang")),
+            F.struct(zh.alias("n"), F.lit("zh").alias("lang")),
+        )
+        best = F.array_max(scores)
+        return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
 
-    en = marker_count(["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"])
-    es = marker_count(["el", "la", "de", "que", "y", "los", "las", "por", "una", "es"])
-    de = marker_count(["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "zu"])
-    fr = marker_count(["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"])
-    # CJK detection by script range (idx=0: whole-match, no group).
-    zh = F.size(F.regexp_extract_all(_col(c), F.lit(r"[一-鿿]"), 0))
-    scores = F.array(
-        F.struct(en.alias("n"), F.lit("en").alias("lang")),
-        F.struct(es.alias("n"), F.lit("es").alias("lang")),
-        F.struct(de.alias("n"), F.lit("de").alias("lang")),
-        F.struct(fr.alias("n"), F.lit("fr").alias("lang")),
-        F.struct(zh.alias("n"), F.lit("zh").alias("lang")),
-    )
-    best = F.array_max(scores)
-    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return bind_once(F.transform(tokens(c), F.lower), build)
 
 
 # Conservative PII patterns, restricted to syntax with identical

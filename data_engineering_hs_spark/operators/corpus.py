@@ -25,9 +25,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_engineering_hs_spark.functions.scalar import bind_once
 from data_engineering_hs_spark.functions.text import (
     tokens,
     word_shingle_seq,
@@ -587,17 +588,25 @@ def segment_dedup(
     repeated millions of times still reduces via partial min), then
     one shuffle back on doc_id to reassemble. No self-join, no
     collect; state is O(distinct segments)."""
-    toks = tokens(F.col(text_col))
-    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
-        lambda i: F.struct(
-            i.alias("seg_idx"),
-            F.concat_ws(
-                " ", F.slice(toks, (i - F.lit(1)) * seg_tokens + 1, seg_tokens)
-            ).alias("seg"),
-        ),
-    )
+    # tokens() bind_once'd (r16): the old form referenced the split
+    # in n_segs AND inside the per-segment transform lambda — HOF
+    # lambdas are CodegenFallback with no subtree CSE, so the full
+    # regex split re-ran once per SEGMENT per row (the O(words x
+    # segments) shape word_shingle_seq's docstring warns about)
+    def build(toks: Column) -> Column:
+        n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+            lambda i: F.struct(
+                i.alias("seg_idx"),
+                F.concat_ws(
+                    " ",
+                    F.slice(toks, (i - F.lit(1)) * seg_tokens + 1, seg_tokens),
+                ).alias("seg"),
+            ),
+        )
+
+    segs = bind_once(tokens(F.col(text_col)), build)
     exploded = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("s"))
         .select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
