@@ -141,11 +141,122 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Adaptive input rebalance (r16 optimization round, guide §2.5) —
+# OPT-IN per call site, and a metadata no-op whenever the input
+# already parallelizes.
+#
+# Parquet is only splittable at ROW-GROUP boundaries: Spark carves a
+# file into byte-range splits, but a row group is read entirely by the
+# one task whose range contains its midpoint — every other task of the
+# scan produces ZERO rows. The driver testdata files are single-row-
+# group, so despite the session factory's small maxPartitionBytes the
+# ENTIRE map side of every query (tokenize, shingle, 32×xxhash64,
+# cosine folds, money arithmetic) ran in ONE task while the other
+# cores idled — measured: all 600k lineitem rows land in one
+# spark_partition_id at sf0.1, likewise documents/embeddings.
+#
+# The guide's remedy for unsplittable input (§2.5 "one huge
+# unsplittable file … otherwise repartition immediately after the
+# read") is a repartition straight after the read. MEASURED (r16
+# interleaved A/Bs at sf0.1, scripts_ab_rebalance.py): a BLANKET
+# rebalance of every table is a +33% LOSS on the headline total — the
+# exchange (and round-robin's sortBeforeRepartition local sort over
+# the full row) costs more than the freed cores buy on scan-light
+# queries (q1 +80%, s_bm25 +99%, w_topk +50%). It wins only where
+# per-row map work dominates the stage: d_minhash_lsh −20%,
+# t_segment_dedup −24% (hash-keyed form). Hence:
+#   * call sites OPT IN by passing scan_parallel_key (the winners:
+#     heavy text pipelines), everything else keeps the bare scan;
+#   * the repartition is HASH-keyed on a provided unique id, not
+#     round-robin: no sortBeforeRepartition pass over multi-KB text
+#     rows (round-robin measured +30% on t_segment_dedup where the
+#     keyed form measured −24%), and deterministic row placement
+#     under task retries for free;
+#   * the probe fires only when the dataset physically cannot fill
+#     the machine: a dataset with >= cores files never reads footers
+#     (at real scale the branch exits on the file count, so driver
+#     listing stays bounded), and the remaining < cores files must
+#     hold < cores TOTAL row groups; tiny inputs
+#     (< SPARK_GRAFT_REBALANCE_MIN_BYTES, default 256 KiB) stay
+#     serial — a shuffle would cost more than the scan.
+# The partition count is defaultParallelism (NOT a constant), so the
+# driver's lower-core scaling runs get proportionally fewer
+# partitions. Catalyst pushes filters and column pruning THROUGH
+# Repartition (plan-verified: PushedFilters/ReadSchema unchanged below
+# the exchange), so scans stay pruned and the exchange carries only
+# the columns the query needs. Value-identity across the rebalance is
+# pinned by the full oracle sweeps (every query is partitioning-
+# independent by construction).
+# ---------------------------------------------------------------------------
+
+_REBALANCE_PROBE_CACHE: dict[tuple[str, int, int], int | None] = {}
+
+
+def _rebalance_partitions(path: str, cores: int) -> int | None:
+    """Partition count to round-robin an unsplittable local parquet
+    dataset to, or None to leave the scan alone. Metadata-only."""
+    min_bytes = int(
+        os.environ.get("SPARK_GRAFT_REBALANCE_MIN_BYTES", str(256 * 1024))
+    )
+    key = (path, cores, min_bytes)
+    if key in _REBALANCE_PROBE_CACHE:
+        return _REBALANCE_PROBE_CACHE[key]
+    result: int | None = None
+    try:
+        if min_bytes >= 0:  # negative disables the rebalance entirely
+            if os.path.isfile(path):
+                files = [path]
+            else:
+                files = []
+                for root, dirs, fnames in os.walk(path):
+                    dirs[:] = sorted(
+                        d for d in dirs if not d.startswith((".", "_"))
+                    )
+                    files += [
+                        os.path.join(root, f)
+                        for f in sorted(fnames)
+                        if f.endswith(".parquet")
+                        and not f.startswith((".", "_"))
+                    ]
+                    if len(files) >= cores:
+                        break
+            if 0 < len(files) < cores:
+                import pyarrow.parquet as pq
+
+                units = 0
+                nbytes = 0
+                for f in files:
+                    units += pq.ParquetFile(f).metadata.num_row_groups
+                    nbytes += os.path.getsize(f)
+                    if units >= cores:
+                        break
+                if units < cores and nbytes >= min_bytes:
+                    result = cores
+    except Exception:  # noqa: BLE001 — remote URI / odd footer: let Spark scan as-is
+        result = None
+    _REBALANCE_PROBE_CACHE[key] = result
+    return result
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    scan_parallel_key: str | None = None,
+) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
     `events.ts` physical type varies by testdata generation (nanos vs
     micros); see normalize_event_ts.
+
+    ``scan_parallel_key``: opt-in adaptive rebalance for heavy map-side
+    pipelines (see the block comment above _rebalance_partitions).
+    When the dataset is physically unsplittable below the core count,
+    the frame is hash-repartitioned on this (unique-id) column to
+    defaultParallelism; otherwise it is a no-op. Only pass it where an
+    interleaved A/B showed a win — the exchange is pure cost on
+    scan-light queries.
     """
     # The engine's time semantics are UTC (SURVEY.md §1.2); pin it even
     # when the caller's session was built elsewhere (e.g. the driver).
@@ -154,9 +265,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # context gets a fresh app id, while a reused CPython address
     # would silently hand back frames bound to the dead JVM context.
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if _TABLE_CACHE_ENABLED and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
+
+    def _with_scan_parallel(frame: DataFrame) -> DataFrame:
+        if scan_parallel_key is None:
+            return frame
+        # applied ABOVE the cache entry: the cache holds the raw scan
+        # (shared by every query of the table), the rebalance only
+        # shapes this caller's plan
+        from pyspark.sql import functions as F
+
+        n_parts = _rebalance_partitions(
+            path, spark.sparkContext.defaultParallelism
+        )
+        if n_parts is None:
+            return frame
+        return frame.repartition(n_parts, F.col(scan_parallel_key))
+
+    if _TABLE_CACHE_ENABLED and key in _TABLE_CACHE:
+        return _with_scan_parallel(_TABLE_CACHE[key])
     if name == "events":
         # Set the legacy-nanos flag ONLY when the footer really is
         # TIMESTAMP(NANOS): setting it unconditionally changed how
@@ -172,7 +299,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _TABLE_CACHE_ENABLED:
         df = df.cache()
         _TABLE_CACHE[key] = df
-    return df
+    return _with_scan_parallel(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -377,7 +377,12 @@ def _shift_ids(
     bench=True,
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # scan_parallel_key (r16): the shingle+32×xxhash64 map stage
+    # dominates this query and ran in ONE task on the single-row-group
+    # testdata file; the adaptive hash rebalance measured −20% at
+    # sf0.1 (interleaved A/B, values bit-identical) and is a metadata
+    # no-op on any input that already splits
+    d = load_table(spark, sf_dir, "documents", scan_parallel_key="doc_id")
     return D.minhash_lsh_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
 
 

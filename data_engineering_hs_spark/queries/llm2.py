@@ -55,7 +55,13 @@ FROM k GROUP BY doc_id
     bench=True,
 )
 def t_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # scan_parallel_key (r16): segmenting + per-segment concat ran in
+    # ONE task on the single-row-group testdata file; the adaptive
+    # hash rebalance measured −24% at sf0.1 (interleaved A/B — the
+    # round-robin form measured +30%, the local sort over multi-KB
+    # text rows costs more than the freed cores buy) and is a
+    # metadata no-op on any input that already splits
+    d = load_table(spark, sf_dir, "documents", scan_parallel_key="doc_id")
     return corpus.segment_dedup(d, id_col="doc_id", text_col="text", seg_tokens=10)
 
 
