@@ -157,6 +157,15 @@ _RECHECK_THIS_ROUND = frozenset(
         "t_langid",
         "t_quality_score",
         "t_quality_buckets",
+        # r16 optimization round: _bm25_scored restructured to ONE
+        # corpus tokenize pass (reduced-proxy localCheckpoint, df via
+        # window) — -12.8% on s_bm25_topk at sf0.1, full-frame values
+        # bit-identical (scripts_ab_bm25_onepass.py asserts before
+        # timing); oracles unchanged; both consumers re-fronted.
+        # d_minhash_lsh / t_segment_dedup (adaptive scan rebalance,
+        # values compared on/off) are already in the set above.
+        "s_bm25_topk",
+        "s_hybrid_rrf",
     }
 )
 # (r16 open cleared all eighteen r15 entries — every one re-verified

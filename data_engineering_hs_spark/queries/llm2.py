@@ -8,7 +8,7 @@ is SQL-expressible carries a term-by-term DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.catalog import load_table
@@ -144,31 +144,51 @@ def s_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_scored(d: DataFrame) -> DataFrame:
     """(doc_id, bm25 rounded to 4) for every doc matching ≥1 query
-    term — the shared scoring core of s_bm25_topk and the RRF fusion."""
+    term — the shared scoring core of s_bm25_topk and the RRF fusion.
+
+    ONE corpus tokenize pass (r16 restructure, guide §2.3/§8). The
+    old shape's four consumers (tf, df-from-tf, dl, stats) each
+    re-ran the full scan+regex-split: 4 corpus passes per query. Now
+    the scan reduces ONCE to the lightweight per-doc proxy
+    (doc_id, dl, matched-terms — a few bytes/doc vs the multi-KB
+    text) and a lazy localCheckpoint materializes exactly that, so
+    every downstream branch reads the proxy:
+      * dl rides along into the postings groupBy key (doc-constant,
+        so the extra key changes no group),
+      * df becomes a window count over the tiny postings frame
+        instead of a re-derived branch that re-scanned the corpus,
+      * stats aggregates the proxy.
+    Interleaved A/B at sf0.1: see SCALE.md r16 (the r15 measurement
+    that REJECTED checkpointing `toks` at +4% checkpointed the full
+    token ARRAYS — materializing the reduced proxy is the shape that
+    wins; same §8 lesson as the fingerprint example). Values are
+    bit-identical: same expressions over the same per-(doc,term)
+    rows; the per-term conditional sums still see ≤1 nonzero
+    contribution per doc so no distributed-double-sum order can
+    reach the hash."""
     from data_engineering_hs_spark.functions.text import tokens
 
-    # toks feeds THREE branches (tf, dl, stats), each re-tokenizing —
-    # a localCheckpoint here was MEASURED (interleaved A/B, sf0.1,
-    # 4 medians) at +4%: the eager materialization costs more than
-    # the duplicated tokenize saves at this corpus size. At a corpus
-    # where tokenize dominates scan, re-measure before checkpointing.
-    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    # postings: filter to the query vocabulary BEFORE the explode's
-    # shuffle so only matching tokens move
     terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    # vocabulary filter INSIDE the token array, before any explode —
+    # only matching terms survive into the materialized proxy
+    reduced = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.filter("t", lambda x: F.array_contains(terms, x)).alias("m"),
+    ).localCheckpoint(eager=False)
+    stats = reduced.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
     tf = (
-        toks.select(
-            "doc_id",
-            F.explode(F.filter("t", lambda x: F.array_contains(terms, x))).alias("term"),
-        )
-        .groupBy("doc_id", "term")
+        reduced.select("doc_id", "dl", F.explode("m").alias("term"))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = toks.select("doc_id", F.size("t").alias("dl"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
-    )
+    # df = docs containing the term: a window count over the postings
+    # frame (one row per (doc, term)), shuffled by term — tiny, and
+    # no second corpus pass
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -187,9 +207,7 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
         for i, t in enumerate(_BM25_TERMS)
     ]
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))  # 1-row scalar frame
+        tf.crossJoin(F.broadcast(stats))  # 1-row scalar frame
         .groupBy("doc_id")
         .agg(*per_term)
     )
