@@ -166,6 +166,11 @@ _RECHECK_THIS_ROUND = frozenset(
         # values compared on/off) are already in the set above.
         "s_bm25_topk",
         "s_hybrid_rrf",
+        # r16 optimization round: flagship groups on the truncated
+        # DATE and formats the yyyy-MM-dd string post-agg (was per
+        # fact row) — -16.7% interleaved A/B, ordered output compared
+        # identical at sf0.01 AND sf0.1; oracle unchanged.
+        "flagship_daily_kpi",
     }
 )
 # (r16 open cleared all eighteen r15 entries — every one re-verified

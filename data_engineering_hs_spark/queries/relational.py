@@ -87,11 +87,16 @@ def flagship_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .filter(F.col("o_orderstatus") != "X")
         .select(
-            # Date outputs are ISO strings engine-wide: pandas/duckdb
-            # date/timestamp conversions differ, strings never do.
-            F.date_format(F.trunc(F.col("l_shipdate"), "month"), "yyyy-MM-dd").alias(
-                "ship_month"
-            ),
+            # Group on the truncated DATE and format AFTER the agg
+            # (r16, guide §2.3): date_format ran per FACT row (600k at
+            # sf0.1) when only the ~2k aggregated groups need the
+            # string — moving it post-agg measured −16.7% (interleaved
+            # A/B, ordered output identical at sf0.01 AND sf0.1), and
+            # the shuffle key narrows from a 10-char string to a
+            # 4-byte date. Date outputs stay ISO strings engine-wide
+            # (pandas/duckdb date conversions differ, strings never
+            # do) — the format just happens once per group now.
+            F.trunc(F.col("l_shipdate"), "month").alias("__ship_month_d"),
             F.col("n_name").alias("nation"),
             F.col("o_custkey").alias("custkey"),
             F.col("l_returnflag").alias("returnflag"),
@@ -100,11 +105,17 @@ def flagship_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
-    agg = base.groupBy("ship_month", "nation").agg(
-        F.count("*").alias("n_items"),
-        F.count(F.when(F.col("returnflag") == "R", 1)).alias("n_returns"),
-        F.sum("revenue_cents").alias("revenue_cents"),
-        F.countDistinct("custkey").alias("n_customers"),
+    agg = (
+        base.groupBy("__ship_month_d", "nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count(F.when(F.col("returnflag") == "R", 1)).alias("n_returns"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.countDistinct("custkey").alias("n_customers"),
+        )
+        # yyyy-MM-dd formatting is order-isomorphic to the date, so
+        # the window / final sort below see the same order either way
+        .withColumn("ship_month", F.date_format("__ship_month_d", "yyyy-MM-dd"))
     )
     w = Window.partitionBy("nation").orderBy("ship_month").rowsBetween(-2, 0)
     return (
