@@ -194,8 +194,10 @@ _REBALANCE_PROBE_CACHE: dict[tuple[str, int, int], int | None] = {}
 
 
 def _rebalance_partitions(path: str, cores: int) -> int | None:
-    """Partition count to round-robin an unsplittable local parquet
-    dataset to, or None to leave the scan alone. Metadata-only."""
+    """Partition count to hash-repartition an unsplittable local
+    parquet dataset to (the caller supplies the key column), or None
+    to leave the scan alone. Metadata-only; result memoized per
+    (path, cores, min_bytes) — testdata inputs are immutable."""
     min_bytes = int(
         os.environ.get("SPARK_GRAFT_REBALANCE_MIN_BYTES", str(256 * 1024))
     )

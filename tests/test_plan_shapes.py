@@ -104,12 +104,24 @@ class TestPlanShapes:
 
 
 class TestRound6PlanShapes:
-    def test_bm25_broadcasts_stats_and_df(self, spark):
-        summary = plan_summary(REGISTRY["s_bm25_topk"].fn(spark, SF001))
-        # df (term doc-frequencies) and the 1-row stats frame both
-        # broadcast; the posting/doclen join may AQE-broadcast too
-        assert summary["broadcast_joins"] >= 2
+    def test_bm25_one_pass_shape(self, spark):
+        # r16 restructure: ONE corpus tokenize pass behind a lazy
+        # localCheckpoint (the pre-r16 shape re-scanned the corpus
+        # four times: tf, df re-derived through tf, dl, stats). The
+        # plan must show NO parquet scans of documents (the proxy RDD
+        # replaces them), the 1-row stats frame still broadcasts, and
+        # df comes from a window over the postings frame, not a join.
         plan = _plan(spark, "s_bm25_topk")
+        # the 1-row stats frame attaches as a broadcast nested-loop
+        # cross (the sanctioned scalar-frame shape) — it must never
+        # become a real CartesianProduct
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Scan parquet" not in plan, (
+            "bm25 re-grew a direct corpus scan — the one-pass proxy "
+            "checkpoint (-12.8% measured) has been bypassed"
+        )
+        assert "Window" in plan  # df = count over term partitions
         assert "TakeOrderedAndProject" in plan  # top-k, not full sort
 
     def test_negative_pairs_single_equi_join_no_cartesian(self, spark):
