@@ -171,6 +171,12 @@ _RECHECK_THIS_ROUND = frozenset(
         # fact row) — -16.7% interleaved A/B, ordered output compared
         # identical at sf0.01 AND sf0.1; oracle unchanged.
         "flagship_daily_kpi",
+        # r16 optimization round: same post-agg-format rewrite
+        # (-11.9%, output identical at sf0.1, swept both SFs) and the
+        # curate projection-before-exchange rewrite (-11.0%, ordered
+        # collect identical at both SFs; t_curate_training_set is
+        # already re-fronted above for the shingle bind).
+        "w_open_orders_timeline",
     }
 )
 # (r16 open cleared all eighteen r15 entries — every one re-verified

