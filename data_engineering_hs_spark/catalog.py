@@ -190,18 +190,30 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 # independent by construction).
 # ---------------------------------------------------------------------------
 
-_REBALANCE_PROBE_CACHE: dict[tuple[str, int, int], int | None] = {}
+_REBALANCE_PROBE_CACHE: dict[tuple, int | None] = {}
 
 
 def _rebalance_partitions(path: str, cores: int) -> int | None:
     """Partition count to hash-repartition an unsplittable local
     parquet dataset to (the caller supplies the key column), or None
     to leave the scan alone. Metadata-only; result memoized per
-    (path, cores, min_bytes) — testdata inputs are immutable."""
+    (path, cores, min_bytes, freshness) where freshness is the root
+    stat's (mtime_ns, size) — one extra stat per call, and a dataset
+    REWRITTEN at the same path (testdata regen, load_table over a
+    mutable store) re-probes instead of silently applying a stale
+    decision (r16 advice: the old memo keyed on path alone and never
+    invalidated). Any write that lands/moves files under the root
+    updates the directory mtime; an in-place single-file rewrite
+    updates the file's own."""
     min_bytes = int(
         os.environ.get("SPARK_GRAFT_REBALANCE_MIN_BYTES", str(256 * 1024))
     )
-    key = (path, cores, min_bytes)
+    try:
+        st = os.stat(path)
+        fresh = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fresh = None
+    key = (path, cores, min_bytes, fresh)
     if key in _REBALANCE_PROBE_CACHE:
         return _REBALANCE_PROBE_CACHE[key]
     result: int | None = None

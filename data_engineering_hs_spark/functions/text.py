@@ -234,7 +234,12 @@ def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
 # this constant beside the data and reads fail loudly on mismatch
 # (operators.dedup.check_normalization_version). BUMP IT whenever
 # tokens()/normalized_text() semantics change.
-NORMALIZATION_VERSION = 2
+# v3 = r17 band-bucket hash change: lsh_band_buckets hashes the r
+# signature longs directly instead of a concat_ws string of their
+# decimal renderings — pair outputs are unchanged, but persisted
+# band-store BUCKET VALUES are not comparable across the schemes, the
+# exact store-poisoning this stamp exists to catch.
+NORMALIZATION_VERSION = 3
 
 
 def normalized_text(c: ColumnOrName) -> Column:

@@ -261,17 +261,25 @@ def lsh_band_buckets(
     )
     # Band bucket = hash of that band's signature slice. `signature`
     # is a cheap attribute here (the agg output), so referencing it
-    # per band duplicates no compute.
+    # per band duplicates no compute. xxhash64 hashes the r LONG
+    # elements directly (r17, guide §2.3 "per-task work"): the prior
+    # form stringified all num_hashes minima and concat_ws'd them per
+    # band — 32 string allocs + 8 string builds per doc whose only
+    # purpose was to feed the same hash. Fixed-width longs can't
+    # recreate concat's boundary ambiguity, and the trailing band
+    # literal keeps same-slice-different-band buckets distinct. Bucket
+    # VALUES change (a persisted band store from the old scheme is
+    # re-bucketed — NORMALIZATION_VERSION bumped); bucket MEMBERSHIP,
+    # and therefore every pair output, is identical except for 64-bit
+    # hash false-collisions (~0 at any corpus size we can verify;
+    # output equality re-proven at sf0.001/0.01/0.1 when this landed).
     band_buckets = F.array(
         *[
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("signature", b * r + j + 1).cast("string")
-                        for j in range(r)
-                    ],
-                ),
+                *[
+                    F.element_at("signature", b * r + j + 1)
+                    for j in range(r)
+                ],
                 F.lit(b),
             )
             for b in range(bands)
@@ -352,7 +360,17 @@ def _pairs_from_banded(
     candidate pairs. Shared by the batch path (minhash_lsh_pairs) and
     the incremental path's within-batch half, so an increment's band
     triples compute ONCE and feed both the pair generation and the
-    store commit."""
+    store commit.
+
+    PROBED AND REJECTED (r17): deduping on an explicit RANGE
+    repartition of (id_a, id_b) so a sorting caller's orderBy reuses
+    the exchange (one pair shuffle instead of two) measured +5.4% at
+    sf0.1 — repartitionByRange bounds its ranges by SAMPLING the
+    child, which re-evaluates the pair-generation pipeline once more;
+    that pass costs more than the exchange it saves, locally and at
+    scale (the sample is a second pass over the pair occurrences).
+    Evidence: scripts_ab_minhash_r17.py --only-fusion.
+    """
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

@@ -383,6 +383,11 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 (interleaved A/B, values bit-identical) and is a metadata
     # no-op on any input that already splits
     d = load_table(spark, sf_dir, "documents", scan_parallel_key="doc_id")
+    # PROBED AND REJECTED (r17): deduping the pairs on a range
+    # partitioning of (id_a, id_b) so this orderBy reuses the exchange
+    # (4 exchanges → 3) measured +5.4% — repartitionByRange's range-
+    # bound SAMPLING pass re-evaluates the pair pipeline and costs
+    # more than the exchange it saves (scripts_ab_minhash_r17.py).
     return D.minhash_lsh_pairs(d, "text", "doc_id").orderBy("id_a", "id_b")
 
 

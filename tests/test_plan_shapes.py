@@ -121,6 +121,15 @@ class TestRound6PlanShapes:
             "bm25 re-grew a direct corpus scan — the one-pass proxy "
             "checkpoint (-12.8% measured) has been bypassed"
         )
+        # positive pin of the proxy shape (r17 advice follow-up): the
+        # absence check above is brittle across Spark versions (a DSv2
+        # read would render as BatchScan, not 'Scan parquet'); the
+        # checkpointed proxy must itself be visible as the leaf
+        assert "Scan ExistingRDD" in plan, (
+            "the materialized-proxy leaf vanished — either the "
+            "checkpoint was removed or the plan rendering changed; "
+            "re-verify the one-pass shape before trusting this test"
+        )
         assert "Window" in plan  # df = count over term partitions
         assert "TakeOrderedAndProject" in plan  # top-k, not full sort
 
