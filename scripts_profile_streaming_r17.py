@@ -71,7 +71,10 @@ def drain(op, name, **kw):
     )
     assert q.awaitTermination(600), f"{name}: drain timed out"
     wall = time.perf_counter() - t0
-    prog = [json.loads(p) for p in q.recentProgress]
+    prog = [
+        p if isinstance(p, dict) else json.loads(str(p))
+        for p in q.recentProgress
+    ]
     add_batch = sum(p["durationMs"].get("addBatch", 0) for p in prog)
     total_ms = sum(sum(p["durationMs"].values()) for p in prog)
     rows = sum(p.get("numInputRows", 0) for p in prog)
