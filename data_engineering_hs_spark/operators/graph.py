@@ -82,8 +82,11 @@ def pagerank(
     #     partitioning and real stats, so with e hash-partitioned on
     #     src once, the per-iteration joins reuse it and the only
     #     shuffle left per iteration is the contribution groupBy(node)
-    #     — plan-verified 5 exchanges → 1, A/B at 1M edges/100k nodes
-    #     ×5 iterations: −14.2%, values bit-identical (guide §2.4).
+    #     — plan-verified 5 exchanges → 1
+    #     (plans/r17/pagerank_iteration_{before,after}.txt; requires
+    #     canChangeCachedPlanOutputPartitioning at its default false,
+    #     see session.py), A/B at 1M edges/100k nodes ×5 iterations:
+    #     −14.3%, values bit-identical (guide §2.4).
     #   * persist keeps LINEAGE (recompute on executor loss) where
     #     localCheckpoint made the query fail — the same trade
     #     documented on _bm25_scored, here resolved for free.
@@ -232,7 +235,7 @@ def label_propagation(
     # the planner's default exchange on (a, label) satisfied only the
     # aggregate and the window added a second. Per round: 3 exchanges
     # → 1 (plan-verified); A/B at 1M edges/100k nodes ×4 rounds:
-    # −16.3%, labels bit-identical.
+    # −29.5% on the final shape, labels bit-identical.
     cached = []
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))

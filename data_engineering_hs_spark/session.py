@@ -51,14 +51,19 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Let AQE re-optimize (and coalesce) the plans that MATERIALIZE
-        # cached frames (r17): off, a persisted tiny frame repartitions
-        # to the full shuffle.partitions and every later job pays the
-        # empty-task scheduling; on, small cached graphs coalesce like
-        # any other shuffle while big ones keep their key clustering.
-        # Measured on the iterative-graph loop (tiny 30-edge graphs):
-        # pagerank 3.0 s → 2.4 s per call, label prop unchanged.
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        # canChangeCachedPlanOutputPartitioning stays at its DEFAULT
+        # (false) — probed both ways in r17 and the "on" setting is a
+        # local-only win that breaks the scale design: allowing AQE to
+        # re-partition cached-plan output means consumers can no longer
+        # statically rely on a cache's key clustering, so the iterative
+        # graph loops re-Exchange the persisted EDGE LIST every
+        # iteration (plan-verified: Exchange above the e
+        # InMemoryTableScan with the flag on, none with it off). On
+        # local[32] the flag measured ~10% faster at 1M edges (AQE
+        # coalesces the small caches), but at the 100 TB target the
+        # per-iteration O(E) re-shuffle dwarfs partition-count
+        # overhead. plans/r17/pagerank_iteration_after.txt is captured
+        # with the default.
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Nested-schema pruning so struct projections reach the scan
         # (the reference projects 9 of ~15 nested order fields,
